@@ -1,0 +1,133 @@
+"""URL canonicalization, host extraction, join, and fingerprinting.
+
+Re-implements (from public API docs / published behavior, no code copied)
+the canonicalization rules scrapy's dupefilter applies via
+``w3lib.url.canonicalize_url`` — the reference activates them implicitly
+through its pinned scrapy engine (/root/reference/requirements.txt:1):
+
+  * scheme + host lowercased
+  * default port stripped
+  * query parameters sorted by (key, value), blank values kept
+  * percent-encoding normalized (uppercase hex), path safely quoted
+  * fragment removed
+  * empty path -> '/'
+
+The single-string functions are the shared core: the pure-Python crawl
+simulator (plans/simulator.py) uses them directly so engine and oracle
+share byte-identical canonicalization. The ``*_udf`` wrappers are
+Arrow-batched pandas UDFs (Series -> Series): vectorized at the transport
+layer, no per-row Python UDF registration.
+
+Fingerprint: the engine hashes ``canonicalize_url(url) || form_body``
+with Spark's built-in ``xxhash64`` (JVM-side, codegen'd) — see
+``url_hash_col``. The reference's SHA1 request fingerprint
+(scrapy RFPDupeFilter) serves the same role; xxhash64 is chosen for
+speed and native Catalyst support; exactness of the seen set does not
+depend on the hash function since the authoritative dedup is an
+anti-join on the canonical URL hash, not a lossy filter.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import (
+    parse_qsl,
+    quote,
+    urlencode,
+    urljoin,
+    urlparse,
+    urlunparse,
+)
+
+_HEX_ESCAPE_RE = re.compile(r"%[0-9a-fA-F]{2}")
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+_DEFAULT_PORTS = {"http": 80, "https": 443, "ftp": 21}
+
+# RFC 3986 path characters that stay unescaped when (re)quoting.
+_PATH_SAFE = "/;:@&=+$,!~*'()-._"
+
+
+def canonicalize_url(url: str) -> str:
+    """Canonical form of *url* (w3lib-compatible rule set, see module doc)."""
+    if url is None:
+        return None
+    url = url.strip()
+    parts = urlparse(url)
+    scheme = parts.scheme.lower()
+    netloc = parts.netloc.lower()
+    if parts.port is not None and _DEFAULT_PORTS.get(scheme) == parts.port:
+        netloc = netloc.rsplit(":", 1)[0]
+    # normalize percent-encoding in place: quote unsafe chars, uppercase the
+    # hex of existing escapes — never decode (%2F must not become '/')
+    path = quote(parts.path, safe=_PATH_SAFE + "%") or "/"
+    path = _HEX_ESCAPE_RE.sub(lambda m: m.group(0).upper(), path)
+    params = parts.params
+    query_pairs = parse_qsl(parts.query, keep_blank_values=True)
+    query = urlencode(sorted(query_pairs))
+    return urlunparse((scheme, netloc, path, params, query, ""))
+
+
+def url_host(url: str) -> str:
+    """Lowercased host (netloc without port/userinfo) of *url*."""
+    if url is None:
+        return None
+    host = urlparse(url).hostname
+    return host.lower() if host else ""
+
+
+def url_join(base: str, href: str) -> str:
+    """RFC 3986 reference resolution — the reference's ``response.urljoin``
+    (/root/reference/firmware/tests/mock_classes.py:12-13)."""
+    if href is None:
+        return None
+    return urljoin(base or "", href)
+
+
+# --- Arrow-batched pandas UDFs ------------------------------------------------
+# Declared lazily so importing this module never requires an active session.
+
+def _pandas_udf(fn, name):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(StringType())
+    def _udf(*cols: pd.Series) -> pd.Series:
+        return fn(*cols)
+
+    _udf.__name__ = name
+    return _udf
+
+
+def _canonicalize_series(urls: pd.Series) -> pd.Series:
+    return urls.map(canonicalize_url, na_action="ignore")
+
+
+def _host_series(urls: pd.Series) -> pd.Series:
+    return urls.map(url_host, na_action="ignore")
+
+
+def _join_series(bases: pd.Series, hrefs: pd.Series) -> pd.Series:
+    return pd.Series(
+        [url_join(b, h) for b, h in zip(bases, hrefs)], index=bases.index
+    )
+
+
+canonicalize_url_udf = lambda: _pandas_udf(_canonicalize_series, "canonicalize_url")  # noqa: E731
+url_host_udf = lambda: _pandas_udf(_host_series, "url_host")  # noqa: E731
+url_join_udf = lambda: _pandas_udf(_join_series, "url_join")  # noqa: E731
+
+
+def url_hash_col(canon_url: Column | str, form_body: Column | str | None = None) -> Column:
+    """Frontier/seen fingerprint column: JVM-side xxhash64 over the
+    canonical URL (plus the POST form body for S2 form requests —
+    reference: FormRequest bodies participate in the scrapy request
+    fingerprint, /root/reference/firmware/spiders/dlink_gpl.py:97-107)."""
+    canon = F.col(canon_url) if isinstance(canon_url, str) else canon_url
+    if form_body is None:
+        return F.xxhash64(canon)
+    body = F.col(form_body) if isinstance(form_body, str) else form_body
+    return F.xxhash64(canon, F.coalesce(body, F.lit("")))

@@ -1,0 +1,14 @@
+import pytest
+
+from firmwarescraper_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark(
+        app_name="fw-spark-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+    )
+    yield spark
+    spark.stop()
