@@ -232,6 +232,52 @@ def extract_table_rows(html) -> list:
     return [row for table in doc.tables for row in table]
 
 
+def extract_text(html) -> str:
+    """Pinned HTML->text rule (input_hint: byte-identical per url):
+    stripped non-empty text nodes (anchors' text, <pre> chunks, cell and
+    body text, in document order) joined with a single newline. Both the
+    corpus generator and the engine use this one function, so the
+    invariant is enforced by construction and tested end-to-end."""
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+
+    chunks: list[str] = []
+
+    class _TextParser(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self._skip = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in ("script", "style"):
+                self._skip += 1
+
+        def handle_endtag(self, tag):
+            if tag in ("script", "style") and self._skip:
+                self._skip -= 1
+
+        def handle_data(self, data):
+            if not self._skip:
+                s = data.strip()
+                if s:
+                    chunks.append(s)
+
+    p = _TextParser()
+    p.feed(html)
+    p.close()
+    return "\n".join(chunks)
+
+
+def extract_text_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(StringType())
+    def _extract_text(html: pd.Series) -> pd.Series:
+        return html.map(extract_text, na_action="ignore")
+
+    return _extract_text
+
+
 # ---------------------------------------------------------------------------
 # Arrow-batched pandas UDF factories
 # ---------------------------------------------------------------------------

@@ -1,0 +1,139 @@
+"""robots.txt compliance — table-driven, protego-compatible core rules.
+
+The reference obeys robots globally (ROBOTSTXT_OBEY = True,
+/root/reference/firmware/settings.py:11) via scrapy's protego parser:
+longest-match-wins between the most specific Allow and Disallow rule, with
+Allow winning ties. The engine reproduces that as pure relational algebra:
+
+  1. ``build_robots_rules`` parses each host's /robots.txt page (they are
+     ordinary corpus rows) into a flat rule table
+     (host, is_allow, rule_regex, rule_len) plus (host, crawl_delay);
+  2. ``robots_filter`` broadcast-joins rules to the frontier on host,
+     evaluates each rule as a regex (wildcards * and $ compiled at table
+     build time), and aggregates longest-allow vs longest-disallow per URL.
+
+No per-row Python on the Spark path — rule compilation happens once,
+driver-side, on a table that is tiny by construction (rules per host).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _rule_to_regex(rule: str) -> str:
+    """Compile a robots path rule to an anchored Java-compatible regex:
+    '*' -> '.*', trailing '$' -> end anchor, everything else literal."""
+    anchored_end = rule.endswith("$")
+    body = rule[:-1] if anchored_end else rule
+    out = "^" + ".*".join(re.escape(part) for part in body.split("*"))
+    if anchored_end:
+        out += "$"
+    return out
+
+
+def parse_robots_txt(body: str) -> tuple:
+    """Parse one robots.txt into ([(is_allow, rule)], crawl_delay|None) for
+    the '*' user-agent group (the reference crawls with a single agent)."""
+    rules, delay = [], None
+    active = False
+    group_started = False
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, value = line.partition(":")
+        key, value = key.strip().lower(), value.strip()
+        if key == "user-agent":
+            if group_started:          # a new group begins
+                active, group_started = False, False
+            if value == "*":
+                active = True
+        elif key in ("allow", "disallow"):
+            group_started = True
+            if active and value:
+                rules.append((key == "allow", value))
+        elif key == "crawl-delay":
+            group_started = True
+            if active:
+                try:
+                    delay = float(value)
+                except ValueError:
+                    pass
+    return rules, delay
+
+
+def build_robots_rules(pages: DataFrame) -> tuple:
+    """From the pages corpus, build (rules_df, delay_df).
+
+    rules_df: host, is_allow, rule_regex, rule_len
+    delay_df: host, crawl_delay
+    Parsing runs distributed (the robots rows are a filtered scan), then the
+    resulting tiny tables are collected once and re-created for broadcast.
+    """
+    spark = pages.sparkSession
+    robots = (
+        pages.filter(F.col("url").rlike(r"^[a-z]+://[^/]+/robots\.txt$"))
+        .select("url", F.col("html").cast("string").alias("body"))
+        .collect()
+    )
+    rule_rows, delay_rows = [], []
+    for r in robots:
+        host = re.sub(r"^[a-z]+://([^/]+)/robots\.txt$", r"\1", r["url"])
+        rules, delay = parse_robots_txt(r["body"])
+        for is_allow, rule in rules:
+            rule_rows.append((host, is_allow, _rule_to_regex(rule), len(rule)))
+        if delay is not None:
+            delay_rows.append((host, delay))
+    rules_df = spark.createDataFrame(
+        rule_rows or [("", True, "^$", 0)],
+        "host string, is_allow boolean, rule_regex string, rule_len int",
+    )
+    delay_df = spark.createDataFrame(
+        delay_rows or [("", 0.0)], "host string, crawl_delay double"
+    )
+    return rules_df, delay_df
+
+
+def robots_filter(frontier: DataFrame, rules_df: DataFrame) -> tuple:
+    """Split frontier into (allowed, blocked) by protego longest-match:
+    a URL is blocked iff its longest matching Disallow rule is strictly
+    longer than its longest matching Allow rule."""
+    path = F.regexp_replace("canon_url", r"^[a-z]+://[^/]*", "")
+    candidates = frontier.withColumn("_path", path).join(
+        F.broadcast(rules_df), "host", "left"
+    )
+    matched_len = F.when(
+        F.col("rule_regex").isNotNull()
+        & F.expr("regexp_like(_path, rule_regex)"),
+        F.col("rule_len"),
+    ).otherwise(F.lit(-1))
+    scored = candidates.withColumn("_mlen", matched_len)
+    verdict = (
+        scored.groupBy("url_hash")
+        .agg(
+            F.max(F.when(F.col("is_allow"), F.col("_mlen")).otherwise(-1)).alias("_allow"),
+            F.max(F.when(~F.col("is_allow"), F.col("_mlen")).otherwise(-1)).alias("_deny"),
+        )
+        # tie (equal lengths) -> Allow wins (protego)
+        .withColumn("_blocked", (F.col("_deny") >= 0) & (F.col("_deny") > F.col("_allow")))
+        .select("url_hash", "_blocked")
+    )
+    joined = frontier.join(verdict, "url_hash", "left")
+    allowed = joined.filter(~F.coalesce(F.col("_blocked"), F.lit(False))).drop("_blocked")
+    blocked = joined.filter(F.coalesce(F.col("_blocked"), F.lit(False))).drop("_blocked")
+    return allowed, blocked
+
+
+def host_budget_from_delay(delay_df: DataFrame, round_seconds: float,
+                           default_tokens: int) -> DataFrame:
+    """Crawl-delay -> per-round token budget (deterministic: the engine's
+    correctness mode converts wall-clock delays into fixed tokens/round)."""
+    tokens = F.least(
+        F.lit(default_tokens),
+        F.greatest(F.lit(1), (F.lit(round_seconds) / F.col("crawl_delay")).cast("int")),
+    )
+    return delay_df.select("host", tokens.alias("tokens"))

@@ -1,0 +1,304 @@
+"""The crawl engine: scrapy's scheduler/dupefilter/downloader loop as
+round-based DataFrame jobs (SURVEY.md §3.1 "Spark lifecycle equivalent").
+
+One round r:
+
+    frontier(r) --anti-join--> seen --robots--> allowed/blocked
+      --politeness dequeue (two-phase salted rank)--> dequeued + deferred
+      --join pages corpus (the fetch)--> fetched (miss = 404, logged)
+      --rule-pack extraction--> (children, items)
+      --canonicalize/hash/offsite/dedup--> new frontier rows
+      state appends: seen += dequeued+blocked, items, fetch_log
+      frontier(r+1) = deferred ∪ new children
+    fixpoint: stop when frontier is empty.
+
+State layout (``state_dir``): parquet tables ``seen/``, ``items/``,
+``fetch_log/`` (append, each row stamped with ``round``) and one frontier
+snapshot per round ``frontier/round=N``. Every round is a checkpoint:
+**resume = read the latest frontier snapshot and continue** — kill the
+driver at any round boundary and re-run; appends are idempotent per round
+because a resumed round rewrites its own round-stamped partition. On a
+real deployment these become Iceberg tables (snapshot IDs = round
+manifest); parquet-with-round-column keeps the identical protocol without
+an Iceberg catalog in this sandbox.
+
+Per-partition lineage/metrics (north_rule): ``fetch_log`` records
+(round, partition_id, host, fetched, bytes, errors) via
+``spark_partition_id()`` before the extraction stage.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType, LongType, MapType, StringType, StructField, StructType,
+)
+
+from firmwarescraper_spark.functions import url as U
+from firmwarescraper_spark.operators import frontier as FR
+from firmwarescraper_spark.operators import robots as RB
+from firmwarescraper_spark.plans import rulepacks as RP
+
+FRONTIER_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("canon_url", StringType()),
+    StructField("url_hash", LongType()),
+    StructField("host", StringType()),
+    StructField("depth", IntegerType()),
+    StructField("priority", IntegerType()),
+    StructField("rule", StringType()),
+    StructField("lineage", MapType(StringType(), StringType())),
+    StructField("seq", StringType()),
+    StructField("round_added", IntegerType()),
+])
+
+ITEM_COLS = ["vendor", "device_name", "firmware_version", "device_class",
+             "release_date", "file_urls"]
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages_path: str,
+        state_dir: str,
+        tokens_per_host: int = 10_000,
+        salt_buckets: int = 8,
+        obey_robots: bool = True,
+        round_seconds: float = 60.0,
+    ):
+        self.spark = spark
+        self.pages_path = pages_path
+        self.state_dir = state_dir
+        self.tokens_per_host = tokens_per_host
+        self.salt_buckets = salt_buckets
+        self.obey_robots = obey_robots
+        self.round_seconds = round_seconds
+        self._pages = None
+        self._robots_rules = None
+        self._host_budget = None
+
+    # -- state paths ---------------------------------------------------------
+    def _p(self, *parts) -> str:
+        return os.path.join(self.state_dir, *parts)
+
+    def pages(self) -> DataFrame:
+        if self._pages is None:
+            # column-pruned scan: extraction needs url + html only
+            self._pages = self.spark.read.parquet(self.pages_path).select(
+                "url", F.col("html").cast("string").alias("html")
+            )
+        return self._pages
+
+    def seen(self) -> DataFrame:
+        path = self._p("seen")
+        if os.path.exists(path):
+            return self.spark.read.parquet(path)
+        return self.spark.createDataFrame(
+            [], "url_hash long, canon_url string, round int"
+        )
+
+    def items(self) -> DataFrame:
+        path = self._p("items")
+        if os.path.exists(path):
+            return self.spark.read.parquet(path)
+        return self.spark.createDataFrame(
+            [], "vendor array<string>, device_name array<string>, "
+                "firmware_version array<string>, device_class array<string>, "
+                "release_date array<string>, file_urls array<string>, round int"
+        )
+
+    def fetch_log(self) -> DataFrame:
+        path = self._p("fetch_log")
+        if os.path.exists(path):
+            return self.spark.read.parquet(path)
+        return self.spark.createDataFrame(
+            [], "round int, partition_id int, host string, fetched long, "
+                "bytes long, errors long"
+        )
+
+    # -- seeding ---------------------------------------------------------------
+    def seed_frontier(self, seeds: list) -> DataFrame:
+        """seeds: [(url, rule)] — reference start_urls in declaration order."""
+        rows = [
+            (url, rule, f"{i:06d}") for i, (url, rule) in enumerate(seeds)
+        ]
+        df = self.spark.createDataFrame(rows, "url string, rule string, seq string")
+        return (
+            df.withColumn("canon_url", U.canonicalize_url_udf()(F.col("url")))
+            .withColumn("url_hash", U.url_hash_col(F.col("canon_url")))
+            .withColumn("host", U.url_host_udf()(F.col("url")))
+            .withColumn("depth", F.lit(0))
+            .withColumn("priority", FR.priority_score(F.col("url")))
+            .withColumn("lineage", F.create_map().cast("map<string,string>"))
+            .withColumn("round_added", F.lit(0))
+            .select([f.name for f in FRONTIER_SCHEMA.fields])
+        )
+
+    # -- checkpoint helpers ----------------------------------------------------
+    def _write_frontier(self, df: DataFrame, rnd: int):
+        df.write.mode("overwrite").parquet(self._p("frontier", f"round={rnd}"))
+
+    def _read_frontier(self, rnd: int) -> DataFrame:
+        return self.spark.read.schema(FRONTIER_SCHEMA).parquet(
+            self._p("frontier", f"round={rnd}")
+        )
+
+    def latest_round(self) -> int:
+        base = self._p("frontier")
+        if not os.path.exists(base):
+            return -1
+        rounds = [
+            int(d.split("=")[1]) for d in os.listdir(base) if d.startswith("round=")
+        ]
+        return max(rounds) if rounds else -1
+
+    def _append(self, df: DataFrame, table: str, rnd: int):
+        # idempotent per round: a resumed round overwrites its own partition;
+        # the round value lives in the hive-style directory name and comes
+        # back as a `round` column at read time.
+        df.write.mode("overwrite").parquet(self._p(table, f"round={rnd}"))
+
+    # -- the round job -----------------------------------------------------------
+    def _robots(self):
+        if self._robots_rules is None:
+            rules, delay = RB.build_robots_rules(
+                self.spark.read.parquet(self.pages_path)
+            )
+            self._robots_rules = rules
+            self._host_budget = RB.host_budget_from_delay(
+                delay, self.round_seconds, self.tokens_per_host
+            )
+        return self._robots_rules, self._host_budget
+
+    def run_round(self, rnd: int) -> dict:
+        frontier = self._read_frontier(rnd)
+        seen = self.seen()
+
+        candidates = FR.anti_join_seen(frontier, seen)
+
+        blocked = None
+        if self.obey_robots:
+            rules, budget = self._robots()
+            candidates, blocked = RB.robots_filter(candidates, rules)
+        else:
+            budget = None
+
+        dequeued, deferred = FR.politeness_dequeue(
+            candidates, self.tokens_per_host, self.salt_buckets, budget
+        )
+
+        # the fetch: equi-join against the corpus on the canonical URL
+        # (the corpus IS the web in this sandbox — SURVEY.md §2.1 S1); at
+        # real scale this is the Iceberg storage-partitioned join.
+        fetched = dequeued.join(
+            self.pages().withColumnRenamed("url", "_page_url"),
+            dequeued["canon_url"] == F.col("_page_url"),
+            "left",
+        ).drop("_page_url")
+
+        # per-partition lineage + fetch metrics (T4 / north_rule)
+        metrics = (
+            fetched.groupBy(F.spark_partition_id().alias("partition_id"), "host")
+            .agg(
+                F.count("*").alias("fetched"),
+                F.sum(F.length("html")).alias("bytes"),
+                F.sum(F.when(F.col("html").isNull(), 1).otherwise(0)).alias("errors"),
+            )
+            .select("partition_id", "host", "fetched", "bytes", "errors")
+        )
+        if blocked is not None:
+            metrics = metrics.unionByName(
+                blocked.groupBy(F.spark_partition_id().alias("partition_id"), "host")
+                .agg(
+                    F.lit(0).cast("long").alias("fetched"),
+                    F.lit(0).cast("long").alias("bytes"),
+                    F.count("*").alias("errors"),
+                )
+            )
+        self._append(metrics, "fetch_log", rnd)
+
+        ok = fetched.filter(F.col("html").isNotNull())
+
+        all_children, all_items = [], []
+        present_rules = [r["rule"] for r in ok.select("rule").distinct().collect()]
+        for rule in present_rules:
+            subset = ok.filter(F.col("rule") == rule)
+            children, items = RP.RULES[rule](subset)
+            if children is not None:
+                all_children.append((children, RP.allowed_hosts_for_rule(rule)))
+            if items is not None:
+                all_items.append(items)
+
+        # new seen rows: everything dequeued this round (+ robots-blocked,
+        # so they are not re-attempted — scrapy drops them permanently too)
+        seen_add = dequeued.select("url_hash", "canon_url")
+        if blocked is not None:
+            seen_add = seen_add.unionByName(blocked.select("url_hash", "canon_url"))
+        self._append(seen_add, "seen", rnd)
+
+        if all_items:
+            items_df = all_items[0]
+            for it in all_items[1:]:
+                items_df = items_df.unionByName(it)
+            self._append(items_df, "items", rnd)
+
+        # normalize children into frontier rows
+        new_frontiers = []
+        for children, allowed in all_children:
+            nf = (
+                children.withColumn("canon_url", U.canonicalize_url_udf()(F.col("url")))
+                .withColumn("url_hash", U.url_hash_col(F.col("canon_url")))
+                .withColumn("host", U.url_host_udf()(F.col("url")))
+                .filter(F.col("host").isin(allowed))  # F8 offsite filter
+                .withColumn("priority", FR.priority_score(F.col("url")))
+                .withColumn(
+                    "seq",
+                    F.concat_ws(".", F.col("parent_seq"),
+                                F.format_string("%06d", F.col("pos"))),
+                )
+                .withColumn("round_added", F.lit(rnd + 1))
+                .select([f.name for f in FRONTIER_SCHEMA.fields])
+            )
+            new_frontiers.append(nf)
+
+        next_frontier = deferred.select([f.name for f in FRONTIER_SCHEMA.fields])
+        if new_frontiers:
+            fresh = new_frontiers[0]
+            for nf in new_frontiers[1:]:
+                fresh = fresh.unionByName(nf)
+            fresh = FR.dedup_new_children(fresh, seen_add.unionByName(
+                seen.select("url_hash", "canon_url")))
+            next_frontier = next_frontier.unionByName(fresh)
+
+        self._write_frontier(next_frontier, rnd + 1)
+        remaining = self._read_frontier(rnd + 1).count()
+        return {"round": rnd, "frontier_remaining": remaining}
+
+    def run(self, seeds: list | None = None, max_rounds: int = 1000,
+            fresh: bool = False) -> dict:
+        """Run to fixpoint. With ``fresh=False`` and existing state, resumes
+        from the latest frontier snapshot (T4 exactly-once resume)."""
+        if fresh and os.path.exists(self.state_dir):
+            shutil.rmtree(self.state_dir)
+        rnd = self.latest_round()
+        if rnd < 0:
+            assert seeds is not None, "first run needs seeds"
+            self._write_frontier(self.seed_frontier(seeds), 0)
+            rnd = 0
+        rounds_run = 0
+        while rounds_run < max_rounds:
+            if self._read_frontier(rnd).isEmpty():
+                break
+            self.run_round(rnd)
+            rnd += 1
+            rounds_run += 1
+        return {
+            "rounds": rnd,
+            "seen": self.seen().count(),
+            "items": self.items().count(),
+        }

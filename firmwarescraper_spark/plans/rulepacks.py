@@ -1,0 +1,241 @@
+"""Declarative per-vendor rule packs — the Spark-side spider logic.
+
+Each rule is a function ``fetched_df -> (children_df | None, items_df | None)``:
+
+  fetched_df columns: url, canon_url, url_hash, host, depth, priority,
+                      rule, lineage (map<string,string>), seq, html (string)
+  children_df columns: url (absolute), rule, lineage, pos (link position —
+                       the deterministic ordering key component), depth
+  items_df columns:   the FirmwareItem schema with ItemLoader list-wrapping
+                      (vendor, device_name, firmware_version, device_class,
+                      release_date: array<string>; file_urls: array<string>)
+                      — mirror of /root/reference/firmware/items.py:4-12.
+
+Everything is column expressions over the extraction pandas UDFs of
+functions/html.py; the only driver-side Python is plan construction.
+Positional joins (J1/J2) use posexplode: position is the join key,
+preserving document order exactly (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from firmwarescraper_spark.functions import html as H
+from firmwarescraper_spark.functions import url as U
+from firmwarescraper_spark.functions import versions as V
+from firmwarescraper_spark.plans.simulator import (
+    AVM_DEVICE_CLASSES,
+    LINKSYS_DEVICE_CLASSES,
+)
+
+def _ignore_filter(href, prefixes) -> F.Column:
+    """F2 prefix-ignore (avm.py:25,33): NOT startswith(any of prefixes)."""
+    cond = F.lit(False)
+    for p in prefixes:
+        cond = cond | href.startswith(p)
+    return ~cond
+
+
+def _children(df: DataFrame, rule: str, lineage=None) -> DataFrame:
+    """Normalize a (url, pos[, lineage]) frame into the children schema."""
+    lineage_col = lineage if lineage is not None else F.col("lineage")
+    return df.select(
+        F.col("child_url").alias("url"),
+        F.lit(rule).alias("rule"),
+        lineage_col.alias("lineage"),
+        F.col("pos").cast("int").alias("pos"),
+        (F.col("depth") + 1).alias("depth"),
+        F.col("seq").alias("parent_seq"),
+    )
+
+
+def _class_case(pairs, product: F.Column) -> F.Column:
+    """J3 lookup join as a generated first-match-wins CASE expression
+    (declaration order == reference iteration order). Miss -> NULL
+    (the reference raises; the engine quarantines — SURVEY.md §2.3 J3)."""
+    expr = None
+    for prefixes, cls in pairs:
+        cond = F.lit(False)
+        for p in prefixes:
+            cond = cond | product.startswith(p)
+        expr = F.when(cond, cls) if expr is None else expr.when(cond, cls)
+    return expr
+
+
+def _wrap_items(df: DataFrame) -> DataFrame:
+    """F10 projection to the fixed item schema with ItemLoader
+    list-wrapping (items.py:4-12; test_avm.py:111-118)."""
+    return df.select(
+        F.array("vendor").alias("vendor"),
+        F.array("device_name").alias("device_name"),
+        F.array("firmware_version").alias("firmware_version"),
+        F.array("device_class").alias("device_class"),
+        F.array("release_date").alias("release_date"),
+        F.array("file_url").alias("file_urls"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# AVM (/root/reference/firmware/spiders/avm.py)
+# ---------------------------------------------------------------------------
+
+def avm_parse(fetched: DataFrame):
+    """Index page -> product-directory requests (avm.py:24-26)."""
+    hrefs = H.extract_hrefs_udf()(F.col("html"))
+    exploded = fetched.select(
+        "url", "depth", "seq", "lineage", F.posexplode(hrefs).alias("pos", "href")
+    ).filter(_ignore_filter(F.col("href"), ("beta", "tools", "license", "..")))
+    joined = exploded.withColumn(
+        "child_url", U.url_join_udf()(F.col("url"), F.col("href"))
+    )
+    return _children(joined, "avm:parse_product"), None
+
+
+def avm_parse_product(fetched: DataFrame):
+    """Directory recursion or leaf firmware extraction, dispatched on the
+    URL's leaf directory (avm.py:28-34)."""
+    leaf_dir = V.url_path_part_col(F.col("url"), 1)
+    dirs = fetched.filter(leaf_dir != "fritz.os")
+    leaves = fetched.filter(leaf_dir == "fritz.os")
+
+    hrefs = H.extract_hrefs_udf()(F.col("html"))
+    exploded = dirs.select(
+        "url", "depth", "seq", "lineage", F.posexplode(hrefs).alias("pos", "href")
+    ).filter(_ignore_filter(F.col("href"), ("recover", "..")))
+    children = _children(
+        exploded.withColumn("child_url", U.url_join_udf()(F.col("url"), F.col("href"))),
+        "avm:parse_product",
+    )
+
+    # Leaf: J2 index-aligned link<->date join via posexplode — position is
+    # the join key; the 1:1 ordering assumption of avm.py:37-40 is
+    # preserved exactly (misalignment when a row lacks a date is reproduced,
+    # not fixed).
+    dates = F.filter(
+        F.transform(H.extract_pre_texts_udf()(F.col("html")), V.avm_listing_date_col),
+        lambda d: d.isNotNull(),
+    )
+    filtered_hrefs = F.filter(hrefs, lambda h: ~h.startswith(".."))
+    base = leaves.select(
+        "url", "seq", dates.alias("dates"),
+        F.posexplode(filtered_hrefs).alias("pos", "href"),
+        V.url_path_part_col(F.col("url"), 3).alias("device_name"),
+    )
+    items = (
+        base.withColumn("file_url", U.url_join_udf()(F.col("url"), F.col("href")))
+        .filter(F.col("file_url").endswith(".image"))
+        .select(
+            F.lit("AVM").alias("vendor"),
+            F.col("device_name"),
+            V.avm_version_col(
+                V.url_basename_col(F.col("file_url")), F.col("device_name")
+            ).alias("firmware_version"),
+            F.coalesce(
+                _class_case(AVM_DEVICE_CLASSES, F.col("device_name")), F.lit("Router")
+            ).alias("device_class"),
+            F.get(F.col("dates"), F.col("pos")).alias("release_date"),
+            F.col("file_url"),
+        )
+    )
+    return children, _wrap_items(items)
+
+
+# ---------------------------------------------------------------------------
+# Linksys (/root/reference/firmware/spiders/linksys.py)
+# ---------------------------------------------------------------------------
+
+def linksys_parse(fetched: DataFrame):
+    """Sitemap: positional zip join of product hrefs x device names
+    (linksys.py:68-72, J1) — lineage carries device_name downstream (J6)."""
+    anchors = H.extract_anchors_udf(div_class="item")(F.col("html"))
+    exploded = fetched.select(
+        "url", "depth", "seq", F.posexplode(anchors).alias("pos", "a")
+    ).filter(F.col("a.href").isNotNull())
+    joined = exploded.withColumn(
+        "child_url", U.url_join_udf()(F.col("url"), F.col("a.href"))
+    )
+    lineage = F.create_map(F.lit("device_name"), F.col("a.text"))
+    return _children(joined, "linksys:parse_product", lineage), None
+
+
+def linksys_parse_product(fetched: DataFrame):
+    """First 'Download Software' anchor -> versions page (linksys.py:74-78,
+    W2 first-match-in-list via element_at(filter(...), 1))."""
+    anchors = H.extract_anchors_udf(div_class="support-downloads")(F.col("html"))
+    first_dl = F.try_element_at(
+        F.filter(
+            anchors, lambda a: (a["title"] == "Download Software") & a["href"].isNotNull()
+        ),
+        F.lit(1),
+    )
+    hit = fetched.select(
+        "url", "depth", "seq", "lineage", first_dl["href"].alias("href")
+    ).filter(F.col("href").isNotNull())
+    joined = hit.withColumn(
+        "child_url", U.url_join_udf()(F.col("url"), F.col("href"))
+    ).withColumn("pos", F.lit(0))
+    return _children(joined, "linksys:parse_versions"), None
+
+
+def linksys_parse_versions(fetched: DataFrame):
+    """Accordion blocks -> firmware items (linksys.py:80-124): line-scoped
+    Ver..href span regex, extension predicate, scalar rule pack, and the
+    per-block PRODUCT_DICTIONARIES dedup (A1) as dropDuplicates scoped by
+    (page, block)."""
+    blocks = H.extract_div_html_udf(
+        div_class="article-accordian-content", parent_id="support-article-downloads"
+    )(F.col("html"))
+    spans = fetched.select(
+        "url", "seq", "lineage",
+        F.posexplode(blocks).alias("block_pos", "block"),
+    ).select(
+        "url", "seq", "lineage", "block_pos",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("block"), F.lit(r'Ver.+href=".+(?:bin|img)"'), F.lit(0)
+            )
+        ).alias("fw"),
+    ).filter(F.col("fw").rlike(r"(\.img|\.bin)"))
+
+    device = F.col("lineage")["device_name"]
+    meta = spans.select(
+        "url", "block_pos",
+        F.lit("Linksys").alias("vendor"),
+        device.alias("device_name"),
+        V.linksys_version_col(F.col("fw")).alias("firmware_version"),
+        _class_case(LINKSYS_DEVICE_CLASSES, device).alias("device_class"),
+        V.linksys_date_col(F.col("fw")).alias("release_date"),
+        V.linksys_file_url_col(F.col("fw")).alias("file_url"),
+    ).filter(F.col("device_class").isNotNull())  # miss -> quarantine (J3)
+
+    deduped = meta.dropDuplicates(
+        ["url", "block_pos", "vendor", "device_name", "firmware_version",
+         "device_class", "release_date", "file_url"]
+    )
+    return None, _wrap_items(deduped)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+RULES = {
+    "avm:parse": avm_parse,
+    "avm:parse_product": avm_parse_product,
+    "linksys:parse": linksys_parse,
+    "linksys:parse_product": linksys_parse_product,
+    "linksys:parse_versions": linksys_parse_versions,
+}
+
+# F8 offsite filter — allowed_domains per spider family
+# (avm.py:16; linksys implicit single host).
+ALLOWED_DOMAINS = {
+    "avm": ["download.avm.de"],
+    "linksys": ["www.linksys.com"],
+}
+
+
+def allowed_hosts_for_rule(rule: str) -> list:
+    return ALLOWED_DOMAINS[rule.split(":", 1)[0]]

@@ -1,0 +1,256 @@
+"""Deterministic synthetic Common-Crawl-style corpus generator.
+
+Stamps scaled variants of the reference's golden fixture templates
+(/root/reference/firmware/tests/test_avm.py:6-72, test_linksys.py:6-91)
+into a ``pages`` table in exactly the BASELINE.json ``input_hint`` shape:
+
+    pages(url string, warc_ts timestamp, html binary, text string, lang string)
+
+Scale/skew design (FIXTURES.md §1.3): ``download.avm.de`` is the
+deliberately **hot host** — with the default knobs it holds >90% of all
+URLs, exercising the engine's salted per-host dequeue and AQE skew
+handling. Everything is a pure function of the integer knobs — no RNG,
+no wall clock — so the simulator, the engine, and the benchmarks all see
+the same corpus for the same parameters.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+import pandas as pd
+
+from firmwarescraper_spark.functions.html import extract_text
+from firmwarescraper_spark.functions.url import canonicalize_url
+
+AVM_HOST = "download.avm.de"
+LINKSYS_HOST = "www.linksys.com"
+_EPOCH = datetime(2020, 1, 1, tzinfo=timezone.utc)
+
+_MONTH_ABBRS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+
+# Linksys device-name prefixes that resolve in the reference class map
+# (linksys.py:26-56) — cycled per product index.
+_LINKSYS_PREFIXES = ["EA", "WRT", "WAG", "RE", "WUSB", "LAPAC", "LGS", "WAP",
+                     "PL", "SE", "WET", "MR", "LRT", "NMH", "WVC", "AM"]
+
+AVM_FAMILIES = ["fritzbox", "fritzwlan", "fritzpowerline"]
+
+
+def _listing_page(title_path: str, entries: list) -> str:
+    """Apache-style <pre> index page — the AVM fixture template.
+
+    entries: (href, label, date 'DD-Mon-YYYY HH:MM' or None, size or '-')
+    """
+    rows = []
+    for href, label, date, size in entries:
+        rows.append(f'                <a href="{href}">{label}</a>')
+        if date is not None:
+            rows.append(f"                {date} {size}")
+    body = "\n".join(rows)
+    return (
+        '<html lang="en">\n    <head><meta charset="UTF-8">'
+        f"<title>Index of {title_path}</title></head>\n    <body>\n"
+        f"        <pre>\n{body}\n        </pre>\n    </body>\n</html>"
+    )
+
+
+def _date_for(i: int) -> str:
+    return f"{1 + i % 28:02d}-{_MONTH_ABBRS[i % 12]}-{2015 + i % 6}"
+
+
+def _avm_device_name(family: str, i: int) -> str:
+    if family == "fritzbox":
+        return f"fritzbox-{7000 + i}"
+    if family == "fritzwlan":
+        # alternate repeater / usb-stick to exercise the class map
+        return (f"fritzwlan-repeater-{300 + i}" if i % 2 == 0
+                else f"fritzwlan-usb-stick-ac-{400 + i}")
+    return f"fritzpowerline-{1000 + i}e-t"
+
+
+def _avm_image_name(family: str, device: str, i: int) -> str:
+    if family == "fritzpowerline":
+        # exercises the permutation search path (avm.py:102-116):
+        # device fritzpowerline-1000e-t -> tokens [1000e, t] -> '1000ET'
+        num = device.split("-")[1].upper()  # '1000E'
+        return f"fritz.powerline_{num}T_{i % 8:02d}_{i % 6 + 1:02d}.image"
+    n = device.split("-")[-1]
+    if i % 3 == 0:
+        return f"FRITZ.Box_{n}.en-de-es-it-fr-pl.1{i % 9}0.07.{i % 28 + 1:02d}.image"
+    return f"FRITZ.Box_{n}-{i % 8:02d}.{i % 28 + 1:02d}.image"
+
+
+def avm_pages(n_devices_per_family: int) -> dict:
+    """{url: html} for the AVM directory tree."""
+    pages = {}
+    base = f"http://{AVM_HOST}"
+    for family in AVM_FAMILIES:
+        devices = [_avm_device_name(family, i) for i in range(n_devices_per_family)]
+        entries = [("../", "../", None, None), ("beta/", "beta/", f"{_date_for(1)} 02:45", "-")]
+        for i, d in enumerate(devices):
+            entries.append((f"{d}/", f"{d}/", f"{_date_for(i)} 12:13", "-"))
+        entries.append(("tools/", "tools/", f"{_date_for(2)} 21:18", "-"))
+        entries.append(("license.txt", "license.txt", f"{_date_for(3)} 01:10", "28193"))
+        pages[f"{base}/{family}/"] = _listing_page(f"/{family}/", entries)
+
+        for i, d in enumerate(devices):
+            dev_url = f"{base}/{family}/{d}/"
+            pages[dev_url] = _listing_page(
+                f"/{family}/{d}/",
+                [("../", "../", None, None),
+                 ("deutschland/", "deutschland/", f"{_date_for(i)} 12:13", "-"),
+                 ("other/", "other/", f"{_date_for(i + 1)} 21:18", "-")],
+            )
+            for loc in ("deutschland", "other"):
+                loc_url = f"{dev_url}{loc}/"
+                pages[loc_url] = _listing_page(
+                    f"/{family}/{d}/{loc}/",
+                    [("../", "../", None, None),
+                     ("fritz.os/", "fritz.os/", f"{_date_for(i)} 12:13", "-"),
+                     ("recover/", "recover/", f"{_date_for(i + 2)} 21:18", "-")],
+                )
+                img = _avm_image_name(family, d, i)
+                pages[f"{loc_url}fritz.os/"] = _listing_page(
+                    f"/{family}/{d}/{loc}/fritz.os/",
+                    [("../", "../", None, None),
+                     (img, img, f"{_date_for(i)} 12:13", str(20000000 + i)),
+                     ("info_de.txt", "info_de.txt", f"{_date_for(i + 3)} 21:18", "47418")],
+                )
+    return pages
+
+
+def _linksys_sitemap(products: list) -> str:
+    anchors = "\n".join(
+        f'        <a href="/de/support-product?pid={pid}">{name}</a>'
+        for pid, name in products
+    )
+    return (
+        "<!DOCTYPE html>\n<html><head></head><body><main><div>\n"
+        f'    <div class="item"><ul><li>\n{anchors}\n    </li></ul></div>\n'
+        "</div></main></body></html>"
+    )
+
+
+def _linksys_product_page(article: int) -> str:
+    return (
+        "<!DOCTYPE html>\n<html><head></head><body><main><div>\n"
+        '    <div class="support-downloads col-sm-6"><div><p>\n'
+        f'        <a href="/de/support-article?articleNum={article}" '
+        'title="Download Software">Download Software</a>\n'
+        f'        <a href="/de/support-article?articleNum={article + 100000}" '
+        'title="Lizensvereinbarung">Lizensvereinbarung</a>\n'
+        "    </p></div></div>\n</div></main></body></html>"
+    )
+
+
+def _linksys_fw_block(device: str, ver: str, build: int, date: str, ext: str) -> str:
+    fname = f"FW_{device}_{ver}.{build}_prod{ext}"
+    return (
+        f"<h3>Firmware</h3>Ver.{ver} (build {build})<br>"
+        f"Datum der letzten Version: {date}<br>"
+        f'<a href="http://downloads.linksys.com/downloads/firmware/{fname}">Herunterladen</a>'
+    )
+
+
+def _linksys_article_page(device: str, i: int) -> str:
+    # Constraints inherited from the reference's regexes (linksys.py:86,111-121):
+    #  * one firmware section per LINE — the 'Ver.+href' span regex is
+    #    line-scoped ('.' excludes newlines), so a line is the item unit;
+    #  * version/build digits must not form an accidental 'M.D.YYYY' run
+    #    (builds start 3xxxx/4xxxx, patch < 19) or the date strptime crashes;
+    #  * day-of-month 10..28 — the reference's day alternation has no
+    #    zero-padded single digits, so '01' would silently not match.
+    v1 = f"{1 + i % 3}.{i % 10}.{i % 18}"
+    v2 = f"{1 + i % 2}.{(i + 3) % 10}.{(i + 7) % 18}"
+    d1 = f"{1 + i % 12:02d}/{10 + i % 19}/{2015 + i % 6}"
+    d2 = f"{1 + (i + 5) % 12:02d}/{10 + (i + 9) % 19}/{2014 + i % 6}"
+    blocks = [
+        _linksys_fw_block(device, v1, 30000 + i, d1, ".gpg.img"),
+        _linksys_fw_block(device, v2, 40000 + i, d2, ".img"),
+        # duplicate line — exercises the PRODUCT_DICTIONARIES dedup (A1)
+        _linksys_fw_block(device, v2, 40000 + i, d2, ".img"),
+        # .exe distractor — exercises the extension filter (F4)
+        _linksys_fw_block(device, "9.9.9", 77777, d2, ".exe"),
+    ]
+    inner = "\n".join(blocks)
+    return (
+        "<!DOCTYPE html><html><head></head><body><div>"
+        '<div id="support-article-downloads">'
+        f'<div class="article-accordian-content collapse-me">{inner}</div>'
+        "</div></div></body></html>"
+    )
+
+
+def linksys_pages(n_products: int) -> dict:
+    pages = {}
+    base = f"https://{LINKSYS_HOST}"
+    products = []
+    for i in range(n_products):
+        prefix = _LINKSYS_PREFIXES[i % len(_LINKSYS_PREFIXES)]
+        name = f"{prefix}{6000 + i}"
+        products.append((1000 + i, name))
+    pages[f"{base}/us/support/sitemap/"] = _linksys_sitemap(products)
+    for i, (pid, name) in enumerate(products):
+        pages[f"{base}/de/support-product?pid={pid}"] = _linksys_product_page(pid)
+        pages[f"{base}/de/support-article?articleNum={pid}"] = _linksys_article_page(name, i)
+    return pages
+
+
+def robots_pages() -> dict:
+    return {
+        f"http://{AVM_HOST}/robots.txt": (
+            "User-agent: *\nDisallow: /private/\nDisallow: /fritzbox/beta/\n"
+            "Crawl-delay: 1\n"
+        ),
+        f"https://{LINKSYS_HOST}/robots.txt": "User-agent: *\nDisallow: /cart/\n",
+    }
+
+
+def seeds() -> list:
+    """(url, rule) crawl seeds — reference start_urls
+    (avm.py:18-22, linksys.py:66)."""
+    return [
+        (f"http://{AVM_HOST}/fritzbox/", "avm:parse"),
+        (f"http://{AVM_HOST}/fritzwlan/", "avm:parse"),
+        (f"http://{AVM_HOST}/fritzpowerline/", "avm:parse"),
+        (f"https://{LINKSYS_HOST}/us/support/sitemap/", "linksys:parse"),
+    ]
+
+
+def corpus_dict(n_avm: int = 8, n_linksys: int = 6) -> dict:
+    """{canonical_url: html} for the simulator and for parquet generation."""
+    pages = {}
+    pages.update(avm_pages(n_avm))
+    pages.update(linksys_pages(n_linksys))
+    pages.update(robots_pages())
+    return {canonicalize_url(u): h for u, h in pages.items()}
+
+
+def pages_pdf(n_avm: int = 8, n_linksys: int = 6) -> pd.DataFrame:
+    """pages table as pandas, input_hint schema."""
+    corpus = corpus_dict(n_avm, n_linksys)
+    rows = []
+    for i, (url, html) in enumerate(sorted(corpus.items())):
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": _EPOCH + timedelta(seconds=i),
+                "html": html.encode("utf-8"),
+                "text": extract_text(html),
+                "lang": "de" if "linksys" in url else "en",
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def write_corpus(spark, out_dir: str, n_avm: int = 8, n_linksys: int = 6,
+                 partitions: int = 8):
+    """Write the pages corpus as parquet (Iceberg-ready layout: one table,
+    hash-distributed by canonical URL so the frontier⋈pages join can be a
+    storage-partitioned join when an Iceberg catalog is attached)."""
+    pdf = pages_pdf(n_avm, n_linksys)
+    df = spark.createDataFrame(pdf)
+    df.repartition(partitions, "url").write.mode("overwrite").parquet(out_dir)
+    return len(pdf)
