@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+(or a training-data op) through the firmwarescraper_spark package, over the
+driver's TPC-H-ish tables; ``oracle_sql()`` holds the DuckDB-runnable
+equivalent. Column names and types are aligned on both sides; doubles are
+rounded in-query on both sides so the value-hash comparison is stable.
 """
 
 from __future__ import annotations
@@ -12,27 +12,664 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship: one crawl round's hot path (seen anti-join + salted
+# politeness dequeue + corpus-join + per-host metrics) over sf0.001 tables
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from firmwarescraper_spark.operators import frontier as FR
 
+    sf_dir = "/root/testdata/sf0.001"
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+
+    frontier = li.select(
+        F.concat(F.lit("http://h"), F.col("l_suppkey"), F.lit("/o/"),
+                 F.col("l_orderkey"), F.lit("/"), F.col("l_linenumber")).alias("url"),
+        F.concat(F.lit("h"), F.col("l_suppkey")).alias("host"),
+        F.lit(0).alias("priority"),
+        F.format_string("%09d.%03d", F.col("l_orderkey"), F.col("l_linenumber")).alias("seq"),
+        F.col("l_orderkey").alias("okey"),
+    ).withColumn("canon_url", F.col("url")).withColumn(
+        "url_hash", F.xxhash64("canon_url")
+    )
+    # "seen": odd orderkeys were crawled already
+    seen = frontier.filter(F.col("okey") % 2 == 1).select("url_hash")
+    candidates = FR.anti_join_seen(frontier, seen)
+    dequeued, _ = FR.politeness_dequeue(candidates, tokens_per_host=20, salt_buckets=4)
+    fetched = dequeued.join(
+        orders.select(F.col("o_orderkey").alias("okey"), "o_totalprice"), "okey"
+    )
+    return (
+        fetched.groupBy("host")
+        .agg(F.count("*").alias("fetched"),
+             F.round(F.sum("o_totalprice"), 2).alias("bytes_proxy"))
+        .orderBy("host")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from firmwarescraper_spark.functions import versions as V
+    from firmwarescraper_spark.operators import dedup as DD
+    from firmwarescraper_spark.operators import frontier as FR
+    from firmwarescraper_spark.operators import similarity as SIM
+    from firmwarescraper_spark.operators import textops as TX
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- J5: frontier ⋈ seen anti-join ------------------------------------
+    def q_anti_join_seen(spark, sf):
+        # "seen" = customers who ordered in 1998 — anti-join keeps the rest
+        # with predicate pushdown into the seen-side scan (nonzero result at
+        # every sf, so the check is not vacuous)
+        customer, orders = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+        seen = orders.filter(F.col("o_orderdate") >= "1998-01-01").select(
+            F.col("o_custkey").alias("c_custkey")
+        )
+        return customer.join(seen, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+    # -- T1/W5: politeness-budgeted per-host dequeue (salted two-phase) ----
+    def q_politeness_dequeue(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        frontier = li.select(
+            F.concat(F.lit("h"), F.col("l_suppkey")).alias("host"),
+            F.lit(0).alias("priority"),
+            F.format_string("%09d.%03d", "l_orderkey", "l_linenumber").alias("seq"),
+        ).withColumn("canon_url", F.col("seq")).withColumn(
+            "url_hash", F.xxhash64(F.concat("host", F.lit("/"), "seq"))
+        )
+        dequeued, _ = FR.politeness_dequeue(frontier, tokens_per_host=3, salt_buckets=4)
+        return dequeued.select("host", "seq")
+
+    # -- W1: top-1 per group ------------------------------------------------
+    def q_top1_per_group(spark, sf):
+        from pyspark.sql import Window
+        orders = _t(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+        return (
+            orders.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_custkey", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_date"))
+        )
+
+    # -- W2: first-match-in-list via element_at(filter(...), 1) -------------
+    def q_first_match_in_list(spark, sf):
+        # ordering key (l_linenumber, l_partkey): the synthetic lineitem has
+        # duplicate linenumbers per order, so the tie-break must be explicit
+        li = _t(spark, sf, "lineitem")
+        arr = (
+            li.groupBy("l_orderkey")
+            .agg(F.sort_array(F.collect_list(F.struct("l_linenumber", "l_partkey", "l_discount"))).alias("items"))
+        )
+        first_free = F.try_element_at(
+            F.filter(F.col("items"), lambda x: x["l_discount"] == 0.0), F.lit(1)
+        )
+        return arr.select(
+            "l_orderkey",
+            first_free["l_linenumber"].alias("l_linenumber"),
+            first_free["l_partkey"].alias("l_partkey"),
+        ).filter(F.col("l_linenumber").isNotNull())
+
+    # -- W3: header-row skip via posexplode + pos filter ---------------------
+    def q_header_skip(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        arr = li.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_list(F.struct("l_linenumber", "l_partkey"))).alias("rows")
+        )
+        return (
+            arr.select("l_orderkey", F.posexplode("rows").alias("pos", "r"))
+            .filter(F.col("pos") >= 3)
+            .select("l_orderkey", F.col("r.l_linenumber").alias("l_linenumber"))
+        )
+
+    # -- J1/J2: positional zip join (arrays_zip + posexplode) ----------------
+    def q_positional_zip_join(spark, sf):
+        # one sorted collect with a total ordering key, then projected into
+        # two parallel arrays — guarantees the zip alignment is well-defined
+        li = _t(spark, sf, "lineitem")
+        rows = F.sort_array(
+            F.collect_list(F.struct("l_linenumber", "l_partkey", "l_quantity"))
+        )
+        arrs = li.groupBy("l_orderkey").agg(
+            F.transform(rows, lambda s: s["l_partkey"]).alias("parts"),
+            F.transform(rows, lambda s: s["l_quantity"]).alias("quantities"),
+        )
+        zipped = arrs.select(
+            "l_orderkey", F.posexplode(F.arrays_zip("parts", "quantities")).alias("pos", "z")
+        )
+        return zipped.select(
+            "l_orderkey", F.col("pos").cast("bigint").alias("pos"),
+            F.col("z.parts").alias("l_partkey"),
+            F.col("z.quantities").alias("l_quantity"),
+        )
+
+    # -- J3: broadcast lookup join -------------------------------------------
+    def q_lookup_join(spark, sf):
+        nation, region = _t(spark, sf, "nation"), _t(spark, sf, "region")
+        return (
+            nation.join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+            .select("n_name", "r_name")
+        )
+
+    # -- F5/J4: whitelist containment semi-join -------------------------------
+    def q_whitelist_semijoin(spark, sf):
+        part = _t(spark, sf, "part")
+        wl = F.array(F.lit("green"), F.lit("red"), F.lit("blue"))
+        return part.filter(
+            F.exists(wl, lambda w: F.col("p_name").contains(w))
+        ).select("p_partkey", "p_name")
+
+    # -- F6: skip-set broadcast anti-join --------------------------------------
+    def q_skipset_antijoin(spark, sf):
+        supplier = _t(spark, sf, "supplier")
+        skip = spark.createDataFrame([(3,), (7,), (11,), (42,)], "s_suppkey bigint")
+        return supplier.join(F.broadcast(skip), "s_suppkey", "left_anti").select(
+            "s_suppkey", "s_name"
+        )
+
+    # -- F4: extension/regex predicate ------------------------------------------
+    def q_extension_predicate(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.filter(
+            F.col("text").rlike(r"\bjoin\b") & (F.col("lang") == "en")
+        ).select("doc_id", "source")
+
+    # -- X3: AVM version regex over synthesized firmware filenames ---------------
+    def q_regex_extract_version(spark, sf):
+        part = _t(spark, sf, "part")
+        fname = F.concat(
+            F.lit("FRITZ.Box_"), F.col("p_partkey"), F.lit("-0"),
+            F.pmod("p_size", F.lit(10)), F.lit("."),
+            (F.pmod("p_partkey", F.lit(90)) + 10), F.lit(".image"),
+        )
+        df = part.select("p_partkey", fname.alias("fname"))
+        version = F.regexp_extract("fname", V._AVM_VERSION_RE, 6)
+        return df.select(
+            "p_partkey", "fname",
+            F.when(version == "", "0.0").otherwise(version).alias("fw_version"),
+        )
+
+    # -- X11: month-abbr date conversion -------------------------------------------
+    def q_month_abbr_convert(spark, sf):
+        orders = _t(spark, sf, "orders")
+        month_abbr = F.element_at(
+            F.array(*[F.lit(m) for m in
+                      ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                       "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]]),
+            F.month("o_orderdate"),
+        )
+        raw = F.concat_ws(
+            "-", F.date_format("o_orderdate", "dd"), month_abbr,
+            F.date_format("o_orderdate", "yyyy"),
+        )
+        from firmwarescraper_spark.functions.versions import avm_convert_date_col
+        return orders.select(
+            "o_orderkey", raw.alias("raw_date"),
+            avm_convert_date_col(raw).alias("converted"),
+        )
+
+    # -- X12: date-format zoo ---------------------------------------------------------
+    def q_date_zoo(spark, sf):
+        orders = _t(spark, sf, "orders")
+        return orders.select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "dd-MM-yyyy").alias("dmy"),
+            F.date_format("o_orderdate", "yyyy/MM/dd").alias("ymd_slash"),
+            F.datediff("o_orderdate", F.lit("1970-01-01").cast("date"))
+            .cast("bigint").alias("epoch_day"),
+        )
+
+    # -- X15: URL basename / path split --------------------------------------------------
+    def q_url_basename(spark, sf):
+        docs = _t(spark, sf, "documents")
+        url = F.concat(F.lit("http://cdn.example.com/"), "source",
+                       F.lit("/doc_"), "doc_id", F.lit(".txt"))
+        df = docs.select("doc_id", url.alias("url"))
+        return df.select(
+            "doc_id", "url",
+            F.element_at(F.split("url", "/"), -1).alias("basename"),
+            F.element_at(F.split("url", "/"), -2).alias("parent_dir"),
+        )
+
+    # -- X13: whitespace collapse ----------------------------------------------------------
+    def q_whitespace_collapse(spark, sf):
+        docs = _t(spark, sf, "documents")
+        collapsed = F.split(F.regexp_replace(F.trim("text"), " +", " "), " ")
+        return docs.select(
+            "doc_id",
+            F.get(collapsed, 0).alias("tok0"),
+            F.get(collapsed, 1).alias("tok1"),
+            F.size(collapsed).cast("bigint").alias("n_tokens"),
+        )
+
+    # -- X18: JSON field extraction ------------------------------------------------------------
+    def q_json_extract(spark, sf):
+        events = _t(spark, sf, "events")
+        return events.select(
+            "event_id",
+            F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int").alias("k"),
+        )
+
+    # -- A1: exact dedup -------------------------------------------------------------------------
+    def q_dedup_exact(spark, sf):
+        return DD.exact_dedup(_t(spark, sf, "documents")).select(
+            "fp", "doc_id", F.col("dup_count").cast("bigint").alias("dup_count")
+        )
+
+    # -- A2: distinct -----------------------------------------------------------------------------
+    def q_distinct_pairs(spark, sf):
+        return _t(spark, sf, "events").select("user_id", "event_type").distinct()
+
+    # -- A5: grouped metrics -----------------------------------------------------------------------
+    def q_group_metrics(spark, sf):
+        events = _t(spark, sf, "events")
+        return events.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+
+    # -- streaming analogue: tumbling event-time window ----------------------------------------------
+    def q_tumbling_window(spark, sf):
+        events = _t(spark, sf, "events")
+        win = F.window("ts", "1 hour")
+        return (
+            events.groupBy(win.alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type", "n",
+            )
+        )
+
+    # -- §4.2: salted two-phase skew aggregation -------------------------------------------------------
+    def q_salted_skew_agg(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        salted = li.withColumn("_salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(8)))
+        partial = salted.groupBy("l_suppkey", "_salt").agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_p"),
+            F.count("*").alias("n_p"),
+        )
+        return partial.groupBy("l_suppkey").agg(
+            F.round(F.sum("rev_p"), 2).alias("revenue"),
+            F.sum("n_p").alias("n"),
+        )
+
+    # -- training-data ops ---------------------------------------------------------------------------
+    def q_minhash_signatures(spark, sf):
+        return DD.minhash_signatures(
+            _t(spark, sf, "documents").filter(F.col("doc_id") < 200), num_hashes=8
+        )
+
+    def q_minhash_lsh_pairs(spark, sf):
+        return DD.minhash_lsh_pairs(
+            _t(spark, sf, "documents").filter(F.col("doc_id") < 200),
+            num_hashes=8, bands=4,
+        )
+
+    def q_simhash(spark, sf):
+        return DD.simhash(
+            _t(spark, sf, "documents").filter(F.col("doc_id") < 200), bits=16
+        )
+
+    def q_ngram_jaccard(spark, sf):
+        return DD.ngram_jaccard_pairs(
+            _t(spark, sf, "documents").filter(F.col("doc_id") < 150),
+            n=3, threshold=0.05, df_cap=1000,
+        )
+
+    def q_embedding_neardup(spark, sf):
+        return DD.embedding_neardup_pairs(
+            _t(spark, sf, "embeddings").filter(F.col("vec_id") < 300), threshold=0.35
+        )
+
+    def q_cosine_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        q = emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qv")
+        )
+        scored = emb.crossJoin(F.broadcast(q)).select(
+            "vec_id",
+            F.round(
+                DD.cosine_sim(F.col("embedding").cast("array<double>"),
+                              F.col("qv").cast("array<double>")), 4
+            ).alias("cos"),
+        )
+        return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(10)
+
+    def q_langid(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.select("doc_id", TX.langid_col(F.col("text")).alias("lang_pred"))
+
+    def q_quality(spark, sf):
+        docs = _t(spark, sf, "documents")
+        f = TX.quality_features(F.col("text"))
+        return docs.select(
+            "doc_id",
+            f["n_words"].cast("bigint").alias("n_words"),
+            f["punct_ratio"].alias("punct_ratio"),
+            f["stopword_ratio"].alias("stopword_ratio"),
+            TX.quality_score(F.col("text")).alias("quality"),
+        )
+
+    def q_token_counts(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.select(
+            "doc_id",
+            TX.token_count_ws(F.col("text")).cast("bigint").alias("n_ws"),
+            TX.token_count_bpe(F.col("text")).cast("bigint").alias("n_bpe"),
+        )
+
+    def q_fingerprint(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.select("doc_id", TX.fingerprint_md5(F.col("text")).alias("fp"))
+
+    return {
+        "anti_join_seen": q_anti_join_seen,
+        "politeness_dequeue": q_politeness_dequeue,
+        "top1_per_group": q_top1_per_group,
+        "first_match_in_list": q_first_match_in_list,
+        "header_skip": q_header_skip,
+        "positional_zip_join": q_positional_zip_join,
+        "lookup_join": q_lookup_join,
+        "whitelist_semijoin": q_whitelist_semijoin,
+        "skipset_antijoin": q_skipset_antijoin,
+        "extension_predicate": q_extension_predicate,
+        "regex_extract_version": q_regex_extract_version,
+        "month_abbr_convert": q_month_abbr_convert,
+        "date_zoo": q_date_zoo,
+        "url_basename": q_url_basename,
+        "whitespace_collapse": q_whitespace_collapse,
+        "json_extract": q_json_extract,
+        "dedup_exact": q_dedup_exact,
+        "distinct_pairs": q_distinct_pairs,
+        "group_metrics": q_group_metrics,
+        "tumbling_window": q_tumbling_window,
+        "salted_skew_agg": q_salted_skew_agg,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_neardup": q_embedding_neardup,
+        "cosine_topk": q_cosine_topk,
+        "langid": q_langid,
+        "quality": q_quality,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; views pre-registered by the driver)
+# ---------------------------------------------------------------------------
+
+_NORM = r"string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')"
+_H64 = "('0x' || substr(md5({x}),1,15))::BIGINT"
+
+_MINHASH_SIGS_SQL = (
+    "WITH d AS (SELECT doc_id, " + _NORM + " AS w FROM documents WHERE doc_id < 200),\n"
+    "sh AS (SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+2],' ')"
+    " FOR i IN generate_series(1, greatest(len(w)-2,1))]) AS sh FROM d)\n"
+    "SELECT doc_id, "
+    + ", ".join(
+        "min(" + _H64.format(x=f"'{i}|' || sh") + f") AS sig_{i}" for i in range(8)
+    )
+    + " FROM sh GROUP BY doc_id"
+)
+
+_SIMHASH_SQL = (
+    "WITH d AS (SELECT doc_id, " + _NORM + " AS w FROM documents WHERE doc_id < 200),\n"
+    "t AS (SELECT DISTINCT doc_id, unnest(list_distinct(w)) AS tok FROM d),\n"
+    "h AS (SELECT doc_id, " + _H64.format(x="tok") + " AS h FROM t),\n"
+    "b AS (SELECT doc_id, "
+    + ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(16)
+    )
+    + " FROM h GROUP BY doc_id)\n"
+    "SELECT doc_id, CAST("
+    + " + ".join(f"(CASE WHEN b{i} > 0 THEN {2 ** i} ELSE 0 END)" for i in range(16))
+    + " AS BIGINT) AS simhash FROM b"
+)
+
+_MINHASH_PAIRS_SQL = (
+    "WITH sigs AS (" + _MINHASH_SIGS_SQL + "),\n"
+    "bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} || '_' || sig_{2 * b} || '_' || sig_{2 * b + 1} AS band_key FROM sigs"
+        for b in range(4)
+    )
+    + ")\n"
+    "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a "
+    "JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id"
+)
+
+_NGRAM_JACCARD_SQL = """
+WITH d AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')),' ') AS w
+           FROM documents WHERE doc_id < 150),
+sh AS (SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+2],' ')
+        FOR i IN generate_series(1, greatest(len(w)-2,1))]) AS sh FROM d),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b, round(c * 1.0 / (x.n + y.n - c), 4) AS jaccard
+FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+WHERE round(c * 1.0 / (x.n + y.n - c), 4) >= 0.05
+"""
+
+_STOPWORD_SQL = {
+    "en": "['the','and','of','to','is','in','that','it','with','for']",
+    "de": "['der','die','das','und','ist','nicht','mit','ein','für','von']",
+    "es": "['el','la','los','que','es','en','un','una','por','con']",
+    "fr": "['le','la','les','et','est','dans','que','pour','une','des']",
+}
+
+
+def _sw_hits(lang: str) -> str:
+    return (
+        "len(list_filter(string_split(trim(lower(text)), ' '),"
+        f" x -> list_contains({_STOPWORD_SQL[lang]}, x)))"
+    )
+
+
+_LANGID_SQL = (
+    "WITH s AS (SELECT doc_id, "
+    + ", ".join(f"{_sw_hits(lang)} AS s_{lang}" for lang in ["de", "en", "es", "fr"])
+    + " FROM documents)\n"
+    "SELECT doc_id, CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und' "
+    "WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de' "
+    "WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en' "
+    "WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es' "
+    "ELSE 'fr' END AS lang_pred FROM s"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "anti_join_seen": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= DATE '1998-01-01')
+        """,
+        "politeness_dequeue": """
+            SELECT host, seq FROM (
+                SELECT 'h' || l_suppkey AS host,
+                       printf('%09d.%03d', l_orderkey, l_linenumber) AS seq,
+                       row_number() OVER (PARTITION BY l_suppkey
+                                          ORDER BY printf('%09d.%03d', l_orderkey, l_linenumber)) AS rn
+                FROM lineitem
+            ) WHERE rn <= 3
+        """,
+        "top1_per_group": """
+            SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS latest_date
+            FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn FROM orders)
+            WHERE rn = 1
+        """,
+        "first_match_in_list": """
+            SELECT l_orderkey, l_linenumber, l_partkey
+            FROM (SELECT l_orderkey, l_linenumber, l_partkey,
+                         row_number() OVER (PARTITION BY l_orderkey
+                             ORDER BY l_linenumber, l_partkey, l_discount) AS rn
+                  FROM lineitem WHERE l_discount = 0.0)
+            WHERE rn = 1
+        """,
+        "header_skip": """
+            SELECT l_orderkey, l_linenumber
+            FROM (SELECT l_orderkey, l_linenumber,
+                         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+                  FROM lineitem)
+            WHERE rn > 3
+        """,
+        "positional_zip_join": """
+            SELECT l_orderkey,
+                   CAST(row_number() OVER (PARTITION BY l_orderkey
+                        ORDER BY l_linenumber, l_partkey, l_quantity) - 1 AS BIGINT) AS pos,
+                   l_partkey, l_quantity
+            FROM lineitem
+        """,
+        "lookup_join": """
+            SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+        """,
+        "whitelist_semijoin": """
+            SELECT p_partkey, p_name FROM part
+            WHERE p_name LIKE '%green%' OR p_name LIKE '%red%' OR p_name LIKE '%blue%'
+        """,
+        "skipset_antijoin": """
+            SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey NOT IN (3, 7, 11, 42)
+        """,
+        "extension_predicate": r"""
+            SELECT doc_id, source FROM documents
+            WHERE regexp_matches(text, '\bjoin\b') AND lang = 'en'
+        """,
+        "regex_extract_version": r"""
+            WITH f AS (SELECT p_partkey,
+                'FRITZ.Box_' || p_partkey || '-0' || (p_size % 10) || '.'
+                || (p_partkey % 90 + 10) || '.image' AS fname FROM part)
+            SELECT p_partkey, fname,
+                   CASE WHEN regexp_extract(fname,
+                        'FRITZ\.(Box|Powerline|Repeater)_(\w+)(\.(\w{2}-)+\w{2}\.)?([-\.])?(.*)\.image', 6) = ''
+                        THEN '0.0'
+                        ELSE regexp_extract(fname,
+                        'FRITZ\.(Box|Powerline|Repeater)_(\w+)(\.(\w{2}-)+\w{2}\.)?([-\.])?(.*)\.image', 6)
+                   END AS fw_version
+            FROM f
+        """,
+        "month_abbr_convert": """
+            WITH m AS (SELECT o_orderkey, o_orderdate,
+                ['Jan','Feb','Mar','Apr','May','Jun','Jul','Aug','Sep','Oct','Nov','Dec'][month(o_orderdate)] AS abbr
+                FROM orders)
+            SELECT o_orderkey,
+                   strftime(o_orderdate, '%d-') || abbr || strftime(o_orderdate, '-%Y') AS raw_date,
+                   strftime(o_orderdate, '%d-%m-%Y') AS converted
+            FROM m
+        """,
+        "date_zoo": """
+            SELECT o_orderkey,
+                   strftime(o_orderdate, '%d-%m-%Y') AS dmy,
+                   strftime(o_orderdate, '%Y/%m/%d') AS ymd_slash,
+                   datediff('day', DATE '1970-01-01', o_orderdate)::BIGINT AS epoch_day
+            FROM orders
+        """,
+        "url_basename": """
+            WITH u AS (SELECT doc_id,
+                'http://cdn.example.com/' || source || '/doc_' || doc_id || '.txt' AS url
+                FROM documents)
+            SELECT doc_id, url,
+                   string_split(url, '/')[-1] AS basename,
+                   string_split(url, '/')[-2] AS parent_dir
+            FROM u
+        """,
+        "whitespace_collapse": """
+            WITH c AS (SELECT doc_id,
+                string_split(regexp_replace(trim(text), ' +', ' ', 'g'), ' ') AS toks
+                FROM documents)
+            SELECT doc_id, toks[1] AS tok0, toks[2] AS tok1, len(toks)::BIGINT AS n_tokens
+            FROM c
+        """,
+        "json_extract": r"""
+            SELECT event_id, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k
+            FROM events
+        """,
+        "dedup_exact": r"""
+            SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+                   min(doc_id) AS doc_id, count(*)::BIGINT AS dup_count
+            FROM documents
+            GROUP BY 1
+        """,
+        "distinct_pairs": """
+            SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "group_metrics": """
+            SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+                   round(avg(value), 4) AS avg_value
+            FROM events GROUP BY event_type
+        """,
+        "tumbling_window": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "salted_skew_agg": """
+            SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*)::BIGINT AS n
+            FROM lineitem GROUP BY l_suppkey
+        """,
+        "minhash_signatures": _MINHASH_SIGS_SQL,
+        "minhash_lsh_pairs": _MINHASH_PAIRS_SQL,
+        "simhash": _SIMHASH_SQL,
+        "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 300 AND b.vec_id < 300
+              AND round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.35
+        """,
+        "cosine_topk": """
+            SELECT e.vec_id, round(list_cosine_similarity(e.embedding, q.embedding), 4) AS cos
+            FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            ORDER BY cos DESC, e.vec_id ASC LIMIT 10
+        """,
+        "langid": _LANGID_SQL,
+        "quality": r"""
+            WITH f AS (SELECT doc_id,
+                len(string_split(trim(text), ' '))::BIGINT AS n_words,
+                length(text) AS n_chars,
+                len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                len(list_filter(string_split(trim(lower(text)), ' '),
+                    x -> list_contains(['the','and','of','to','is','in','that','it','with','for'], x))) AS sw
+                FROM documents)
+            SELECT doc_id, n_words,
+                   round(n_punct * 1.0 / greatest(n_chars, 1), 4) AS punct_ratio,
+                   round(sw * 1.0 / greatest(n_words, 1), 4) AS stopword_ratio,
+                   round(least(round(sw * 1.0 / greatest(n_words, 1), 4) * 2, 1.0) * 0.5
+                     + CASE WHEN round(n_chars * 1.0 / greatest(n_words, 1), 4) BETWEEN 3 AND 10
+                            THEN 0.3 ELSE 0.0 END
+                     + CASE WHEN round(n_punct * 1.0 / greatest(n_chars, 1), 4) <= 0.2
+                            THEN 0.2 ELSE 0.0 END, 4) AS quality
+            FROM f
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   len(string_split(trim(text), ' '))::BIGINT AS n_ws,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_bpe
+            FROM documents
+        """,
+        "fingerprint": r"""
+            SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+    }

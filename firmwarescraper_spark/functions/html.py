@@ -19,6 +19,7 @@ Python UDFs.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import lru_cache
 from html.parser import HTMLParser
 
 import pandas as pd
@@ -268,6 +269,7 @@ def extract_text(html) -> str:
     return "\n".join(chunks)
 
 
+@lru_cache(maxsize=None)
 def extract_text_udf():
     from pyspark.sql.functions import pandas_udf
 
@@ -293,7 +295,77 @@ _ANCHOR_SCHEMA = ArrayType(
     )
 )
 
+# ---------------------------------------------------------------------------
+# parse-once page struct: ONE parse per page yields every extraction product;
+# rule packs then operate with JVM array functions (filter/transform/explode)
+# on the struct — no further Python in the round's hot path.
+# ---------------------------------------------------------------------------
 
+PAGE_STRUCT = StructType([
+    StructField("hrefs", ArrayType(StringType())),
+    StructField("anchors", ArrayType(StructType([
+        StructField("href", StringType()),
+        StructField("text", StringType()),
+        StructField("title", StringType()),
+        StructField("onclick", StringType()),
+        StructField("div_classes", ArrayType(StringType())),
+        StructField("div_ids", ArrayType(StringType())),
+    ]))),
+    StructField("pre_texts", ArrayType(StringType())),
+    StructField("divs", ArrayType(StructType([
+        StructField("classes", ArrayType(StringType())),
+        StructField("id", StringType()),
+        StructField("parent_id", StringType()),
+        StructField("html", StringType()),
+    ]))),
+    StructField("scripts", ArrayType(StringType())),
+])
+
+
+def parse_page(html) -> dict:
+    """Single-parse extraction of everything the rule packs consume."""
+    doc = parse_html(html)
+    divs = sorted(doc.div_blocks, key=lambda b: b.inner_start)
+    return {
+        "hrefs": [a.href for a in doc.anchors if a.href is not None],
+        "anchors": [
+            {
+                "href": a.href, "text": a.text, "title": a.title,
+                "onclick": a.onclick,
+                "div_classes": list(a.div_classes),
+                "div_ids": list(a.div_ids),
+            }
+            for a in doc.anchors
+        ],
+        "pre_texts": list(doc.pre_texts),
+        "divs": [
+            {
+                "classes": list(b.classes), "id": b.div_id,
+                "parent_id": b.parent_id,
+                "html": doc.raw[b.inner_start:b.end],
+            }
+            for b in divs
+        ],
+        "scripts": list(doc.head_scripts),
+    }
+
+
+@lru_cache(maxsize=None)
+def parse_page_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(PAGE_STRUCT)
+    def _parse_page(html: pd.Series) -> pd.DataFrame:
+        parsed = [parse_page(h) if h is not None else
+                  {"hrefs": None, "anchors": None, "pre_texts": None,
+                   "divs": None, "scripts": None}
+                  for h in html]
+        return pd.DataFrame(parsed, index=html.index)
+
+    return _parse_page
+
+
+@lru_cache(maxsize=None)
 def extract_hrefs_udf():
     from pyspark.sql.functions import pandas_udf
 
@@ -304,6 +376,7 @@ def extract_hrefs_udf():
     return _extract_hrefs
 
 
+@lru_cache(maxsize=None)
 def extract_anchors_udf(div_class: str | None = None, div_id: str | None = None):
     from pyspark.sql.functions import pandas_udf
 
@@ -317,6 +390,7 @@ def extract_anchors_udf(div_class: str | None = None, div_id: str | None = None)
     return _extract_anchors
 
 
+@lru_cache(maxsize=None)
 def extract_pre_texts_udf():
     from pyspark.sql.functions import pandas_udf
 
@@ -327,6 +401,7 @@ def extract_pre_texts_udf():
     return _extract_pre_texts
 
 
+@lru_cache(maxsize=None)
 def extract_div_html_udf(div_class: str | None = None, div_id: str | None = None,
                          parent_id: str | None = None):
     from pyspark.sql.functions import pandas_udf
@@ -342,6 +417,7 @@ def extract_div_html_udf(div_class: str | None = None, div_id: str | None = None
     return _extract_div_html
 
 
+@lru_cache(maxsize=None)
 def extract_head_scripts_udf():
     from pyspark.sql.functions import pandas_udf
 
@@ -352,6 +428,7 @@ def extract_head_scripts_udf():
     return _extract_head_scripts
 
 
+@lru_cache(maxsize=None)
 def extract_table_rows_udf():
     from pyspark.sql.functions import pandas_udf
 

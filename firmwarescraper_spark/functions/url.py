@@ -116,9 +116,34 @@ def _join_series(bases: pd.Series, hrefs: pd.Series) -> pd.Series:
     )
 
 
-canonicalize_url_udf = lambda: _pandas_udf(_canonicalize_series, "canonicalize_url")  # noqa: E731
-url_host_udf = lambda: _pandas_udf(_host_series, "url_host")  # noqa: E731
-url_join_udf = lambda: _pandas_udf(_join_series, "url_join")  # noqa: E731
+from functools import lru_cache
+
+canonicalize_url_udf = lru_cache(maxsize=None)(
+    lambda: _pandas_udf(_canonicalize_series, "canonicalize_url"))
+url_host_udf = lru_cache(maxsize=None)(lambda: _pandas_udf(_host_series, "url_host"))
+url_join_udf = lru_cache(maxsize=None)(lambda: _pandas_udf(_join_series, "url_join"))
+
+
+def url_join_col(base: Column, href: Column) -> Column:
+    """JVM-side (codegen'd) RFC-3986 reference resolution for the three
+    href shapes crawl pages actually contain — absolute, root-relative,
+    and relative-to-directory. Python's urljoin (url_join_udf) remains the
+    general fallback; parity between the two on corpus link shapes is
+    pinned by tests."""
+    is_absolute = href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
+    is_protocol_rel = href.startswith("//")
+    is_root_rel = href.startswith("/") & ~is_protocol_rel
+    scheme = F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    origin = F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    # directory of the base: strip query/fragment, then the trailing segment
+    base_path = F.regexp_replace(base, r"[?#].*$", "")
+    base_dir = F.regexp_replace(base_path, r"[^/]*$", "")
+    return (
+        F.when(is_absolute, href)
+        .when(is_protocol_rel, F.concat(scheme, F.lit(":"), href))
+        .when(is_root_rel, F.concat(origin, href))
+        .otherwise(F.concat(base_dir, href))
+    )
 
 
 def url_hash_col(canon_url: Column | str, form_body: Column | str | None = None) -> Column:

@@ -63,6 +63,10 @@ def avm_extract_version(firmware: str, product_specifier: str | None = None) -> 
         return "0.0"
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
 def avm_version_udf():
     """Arrow-batched pandas UDF: (filename, device_name) -> version."""
     from pyspark.sql.functions import pandas_udf

@@ -93,18 +93,18 @@ def politeness_dequeue(
     w1 = Window.partitionBy("host", "_salt").orderBy(
         F.desc("priority"), F.asc("seq")
     )
-    survivors = (
-        df.withColumn("_salt", salt)
-        .withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= F.col("_budget"))
-    )
+    staged = df.withColumn("_salt", salt).withColumn("_r1", F.row_number().over(w1))
+    survivors = staged.filter(F.col("_r1") <= F.col("_budget"))
     w2 = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("seq"))
     ranked = survivors.withColumn("_r2", F.row_number().over(w2))
-    dequeued = ranked.filter(F.col("_r2") <= F.col("_budget")).drop(
-        "_salt", "_r1", "_r2", "_budget"
-    )
-    deferred = frontier.join(
-        dequeued.select("url_hash"), "url_hash", "left_anti"
+    aux = ["_salt", "_r1", "_r2", "_budget"]
+    dequeued = ranked.filter(F.col("_r2") <= F.col("_budget")).drop(*aux)
+    # deferred = phase-1-pruned ∪ phase-2 overflow — derived by filters over
+    # the same window subtrees (exchanges get reused), NOT by an extra
+    # frontier⋈dequeued anti-join shuffle
+    deferred = (
+        staged.filter(F.col("_r1") > F.col("_budget")).drop("_salt", "_r1", "_budget")
+        .unionByName(ranked.filter(F.col("_r2") > F.col("_budget")).drop(*aux))
     )
     return dequeued, deferred
 

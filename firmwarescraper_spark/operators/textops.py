@@ -1,0 +1,117 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All pure column expressions (JVM-side, whole-stage codegen) — no Python
+in the hot path. Each operator has a DuckDB-SQL-expressible definition so
+the driver's correctness gate can cross-check it (see __spark_entry__.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal deterministic stopword lists for the n-gram/stopword language-ID
+# heuristic. Chosen to be disjoint where it matters.
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "with", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "für", "von"],
+    "es": ["el", "la", "los", "que", "es", "en", "un", "una", "por", "con"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "que", "pour", "une", "des"],
+}
+
+_WORD_SPLIT = r"\s+"
+# BPE-ish tokenization: letter runs, digit runs, or single non-space symbols
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words_col(text: Column) -> Column:
+    return F.split(F.trim(text), _WORD_SPLIT)
+
+
+def stopword_hits(text: Column, stopwords: list) -> Column:
+    """Count of words that are in the stopword list (multiset count)."""
+    wl = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(words_col(F.lower(text)), lambda w: F.array_contains(wl, w)))
+
+
+def langid_col(text: Column) -> Column:
+    """Arg-max stopword-hit language with deterministic tie-break
+    (alphabetical language code order on equal scores -> first wins via
+    strictly-greater comparison chain)."""
+    scores = {lang: stopword_hits(text, sw) for lang, sw in sorted(LANG_STOPWORDS.items())}
+    langs = sorted(scores)
+    best_lang = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        is_better = scores[lang] > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words_col(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish regex token count (letters / digits / single symbols)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def quality_features(text: Column) -> dict:
+    """Quality-scoring features: length, word count, mean word length,
+    punctuation ratio, stopword ratio (en), uppercase ratio."""
+    n_chars = F.length(text)
+    words = words_col(text)
+    n_words = F.size(words)
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), F.lit(0)))
+    n_upper = F.size(F.regexp_extract_all(text, F.lit(r"[A-Z]"), F.lit(0)))
+    sw = stopword_hits(text, LANG_STOPWORDS["en"])
+    safe_words = F.greatest(n_words, F.lit(1))
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": F.round(n_chars.cast("double") / safe_words, 4),
+        "punct_ratio": F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 4),
+        "stopword_ratio": F.round(sw.cast("double") / safe_words, 4),
+        "upper_ratio": F.round(n_upper.cast("double") / F.greatest(n_chars, F.lit(1)), 4),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score: rewards stopword presence and
+    moderate word length, penalizes punctuation soup."""
+    f = quality_features(text)
+    score = (
+        F.least(f["stopword_ratio"] * 2, F.lit(1.0)) * 0.5
+        + F.when((f["mean_word_len"] >= 3) & (f["mean_word_len"] <= 10), 0.3).otherwise(0.0)
+        + F.when(f["punct_ratio"] <= 0.2, 0.2).otherwise(0.0)
+    )
+    return F.round(score, 4)
+
+
+def normalize_text(text: Column) -> Column:
+    """Fingerprint normalization: lowercase, collapse whitespace, strip."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Content fingerprint of the normalized text (md5 — reproducible in
+    any engine; used for exact dedup keys)."""
+    return F.md5(normalize_text(text))
+
+
+def fingerprint_rolling(text: Column, window: int = 8) -> Column:
+    """Rolling polynomial hash fingerprint: min of per-window word-shingle
+    hashes (a winnowing-style document signature) — pure column exprs:
+    shingles via transform over index sequence, hash via crc32."""
+    words = F.split(normalize_text(text), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, window))
+    )
+    hashes = F.transform(shingles, lambda s: F.crc32(s.cast("binary")))
+    return F.array_min(hashes)

@@ -70,6 +70,7 @@ class CrawlEngine:
         salt_buckets: int = 8,
         obey_robots: bool = True,
         round_seconds: float = 60.0,
+        broadcast_fetch: bool = True,
     ):
         self.spark = spark
         self.pages_path = pages_path
@@ -78,6 +79,7 @@ class CrawlEngine:
         self.salt_buckets = salt_buckets
         self.obey_robots = obey_robots
         self.round_seconds = round_seconds
+        self.broadcast_fetch = broadcast_fetch
         self._pages = None
         self._robots_rules = None
         self._host_budget = None
@@ -188,49 +190,78 @@ class CrawlEngine:
         else:
             budget = None
 
+        # candidates feeds both dequeue branches (dequeued + deferred) across
+        # several actions this round — cache it so the anti-join/robots
+        # subtree runs once
+        candidates = candidates.persist()
         dequeued, deferred = FR.politeness_dequeue(
             candidates, self.tokens_per_host, self.salt_buckets, budget
         )
+        # dequeued feeds three consumers (fetch join, seen append, metrics)
+        dequeued = dequeued.persist()
 
         # the fetch: equi-join against the corpus on the canonical URL
-        # (the corpus IS the web in this sandbox — SURVEY.md §2.1 S1); at
-        # real scale this is the Iceberg storage-partitioned join.
-        fetched = dequeued.join(
-            self.pages().withColumnRenamed("url", "_page_url"),
-            dequeued["canon_url"] == F.col("_page_url"),
-            "left",
-        ).drop("_page_url")
+        # (the corpus IS the web in this sandbox — SURVEY.md §2.1 S1).
+        # The dequeued side is bounded by the politeness budget, so it is
+        # the broadcast build side of an INNER hash join: the (huge) pages
+        # table is never shuffled — one streamed, column-pruned scan per
+        # round, with Spark's runtime bloom filter pruning the scan.
+        # Misses (404s) are recovered with a cheap anti-join against the
+        # (small) fetched key set. At real 10^10 scale the same join
+        # becomes an Iceberg storage-partitioned join (both sides bucketed
+        # by xxhash64(url)) — likewise no corpus shuffle.
+        pages = self.pages().withColumnRenamed("url", "_page_url")
+        build = F.broadcast(dequeued) if self.broadcast_fetch else dequeued
+        from firmwarescraper_spark.functions.html import parse_page_udf
+
+        # parse-once: each fetched page's HTML crosses the Arrow boundary a
+        # single time per round; the cached working set holds the extracted
+        # PAGE_STRUCT, not the raw bytes, and every downstream action is
+        # pure JVM column algebra over it.
+        ok = (
+            pages.join(build, F.col("_page_url") == build["canon_url"], "inner")
+            .drop("_page_url")
+            .withColumn("page_bytes", F.length("html"))
+            .withColumn("parsed", parse_page_udf()(F.col("html")))
+            .drop("html")
+            .persist()
+        )
+        # materialize the round's working set NOW, in one pass — every later
+        # action reads the in-memory cache instead of re-parsing
+        ok.count()
+        misses = dequeued.join(
+            F.broadcast(ok.select("url_hash")), "url_hash", "left_anti"
+        )
 
         # per-partition lineage + fetch metrics (T4 / north_rule)
-        metrics = (
-            fetched.groupBy(F.spark_partition_id().alias("partition_id"), "host")
-            .agg(
-                F.count("*").alias("fetched"),
-                F.sum(F.length("html")).alias("bytes"),
-                F.sum(F.when(F.col("html").isNull(), 1).otherwise(0)).alias("errors"),
+        def _grp(df, fetched_expr, bytes_expr, errors_expr):
+            return df.groupBy(
+                F.spark_partition_id().alias("partition_id"), "host"
+            ).agg(
+                fetched_expr.alias("fetched"),
+                bytes_expr.alias("bytes"),
+                errors_expr.alias("errors"),
             )
-            .select("partition_id", "host", "fetched", "bytes", "errors")
+
+        metrics = _grp(ok, F.count("*"), F.sum("page_bytes"),
+                       F.lit(0).cast("long"))
+        metrics = metrics.unionByName(
+            _grp(misses, F.lit(0).cast("long"), F.lit(0).cast("long"), F.count("*"))
         )
         if blocked is not None:
             metrics = metrics.unionByName(
-                blocked.groupBy(F.spark_partition_id().alias("partition_id"), "host")
-                .agg(
-                    F.lit(0).cast("long").alias("fetched"),
-                    F.lit(0).cast("long").alias("bytes"),
-                    F.count("*").alias("errors"),
-                )
+                _grp(blocked, F.lit(0).cast("long"), F.lit(0).cast("long"), F.count("*"))
             )
-        self._append(metrics, "fetch_log", rnd)
 
-        ok = fetched.filter(F.col("html").isNotNull())
-
+        # apply every registered rule pack — non-present rules reduce to a
+        # filter over the cached `ok` inside the same DAG (no extra driver
+        # round-trip to discover which rules are present)
         all_children, all_items = [], []
-        present_rules = [r["rule"] for r in ok.select("rule").distinct().collect()]
-        for rule in present_rules:
+        for rule, fn in RP.RULES.items():
             subset = ok.filter(F.col("rule") == rule)
-            children, items = RP.RULES[rule](subset)
+            children, items = fn(subset)
             if children is not None:
-                all_children.append((children, RP.allowed_hosts_for_rule(rule)))
+                all_children.append((children, RP.allowed_host_pattern(rule)))
             if items is not None:
                 all_items.append(items)
 
@@ -239,22 +270,21 @@ class CrawlEngine:
         seen_add = dequeued.select("url_hash", "canon_url")
         if blocked is not None:
             seen_add = seen_add.unionByName(blocked.select("url_hash", "canon_url"))
-        self._append(seen_add, "seen", rnd)
 
+        items_df = None
         if all_items:
             items_df = all_items[0]
             for it in all_items[1:]:
                 items_df = items_df.unionByName(it)
-            self._append(items_df, "items", rnd)
 
         # normalize children into frontier rows
         new_frontiers = []
-        for children, allowed in all_children:
+        for children, allowed_pattern in all_children:
             nf = (
                 children.withColumn("canon_url", U.canonicalize_url_udf()(F.col("url")))
                 .withColumn("url_hash", U.url_hash_col(F.col("canon_url")))
                 .withColumn("host", U.url_host_udf()(F.col("url")))
-                .filter(F.col("host").isin(allowed))  # F8 offsite filter
+                .filter(F.col("host").rlike(allowed_pattern))  # F8 offsite filter
                 .withColumn("priority", FR.priority_score(F.col("url")))
                 .withColumn(
                     "seq",
@@ -275,9 +305,28 @@ class CrawlEngine:
                 seen.select("url_hash", "canon_url")))
             next_frontier = next_frontier.unionByName(fresh)
 
-        self._write_frontier(next_frontier, rnd + 1)
-        remaining = self._read_frontier(rnd + 1).count()
-        return {"round": rnd, "frontier_remaining": remaining}
+        # the four state writes are independent given the cached working set
+        # (ok / dequeued / candidates are materialized) — run them as
+        # concurrent Spark jobs so the round's wall time is parse + the
+        # slowest write, not their sum. Latency-bound small writes overlap
+        # with the UDF-heavy frontier job at every parallelism level.
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = [
+            lambda: self._append(metrics, "fetch_log", rnd),
+            lambda: self._append(seen_add, "seen", rnd),
+            lambda: self._write_frontier(next_frontier, rnd + 1),
+        ]
+        if items_df is not None:
+            writes.append(lambda: self._append(items_df, "items", rnd))
+        with ThreadPoolExecutor(max_workers=len(writes)) as ex:
+            for fut in [ex.submit(w) for w in writes]:
+                fut.result()
+
+        dequeued.unpersist()
+        ok.unpersist()
+        candidates.unpersist()
+        return {"round": rnd}
 
     def run(self, seeds: list | None = None, max_rounds: int = 1000,
             fresh: bool = False) -> dict:

@@ -3,16 +3,21 @@
 Each rule is a function ``fetched_df -> (children_df | None, items_df | None)``:
 
   fetched_df columns: url, canon_url, url_hash, host, depth, priority,
-                      rule, lineage (map<string,string>), seq, html (string)
+                      rule, lineage (map<string,string>), seq,
+                      parsed (the parse-once PAGE_STRUCT —
+                      functions/html.py)
   children_df columns: url (absolute), rule, lineage, pos (link position —
-                       the deterministic ordering key component), depth
+                       the deterministic ordering key component), depth,
+                       parent_seq
   items_df columns:   the FirmwareItem schema with ItemLoader list-wrapping
                       (vendor, device_name, firmware_version, device_class,
                       release_date: array<string>; file_urls: array<string>)
                       — mirror of /root/reference/firmware/items.py:4-12.
 
-Everything is column expressions over the extraction pandas UDFs of
-functions/html.py; the only driver-side Python is plan construction.
+Plan shape (the whole point of the ``parsed`` struct): HTML is parsed
+EXACTLY ONCE per fetched page per round, inside ``parse_page_udf``;
+everything below is JVM array functions (filter/transform/posexplode) and
+codegen'd column expressions — zero Python in the per-rule extraction.
 Positional joins (J1/J2) use posexplode: position is the join key,
 preserving document order exactly (SURVEY.md §2.3).
 """
@@ -22,13 +27,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from firmwarescraper_spark.functions import html as H
 from firmwarescraper_spark.functions import url as U
 from firmwarescraper_spark.functions import versions as V
 from firmwarescraper_spark.plans.simulator import (
     AVM_DEVICE_CLASSES,
     LINKSYS_DEVICE_CLASSES,
 )
+
 
 def _ignore_filter(href, prefixes) -> F.Column:
     """F2 prefix-ignore (avm.py:25,33): NOT startswith(any of prefixes)."""
@@ -39,7 +44,7 @@ def _ignore_filter(href, prefixes) -> F.Column:
 
 
 def _children(df: DataFrame, rule: str, lineage=None) -> DataFrame:
-    """Normalize a (url, pos[, lineage]) frame into the children schema."""
+    """Normalize a (child_url, pos[, lineage]) frame into the children schema."""
     lineage_col = lineage if lineage is not None else F.col("lineage")
     return df.select(
         F.col("child_url").alias("url"),
@@ -81,15 +86,21 @@ def _wrap_items(df: DataFrame) -> DataFrame:
 # AVM (/root/reference/firmware/spiders/avm.py)
 # ---------------------------------------------------------------------------
 
+def _explode_links(fetched: DataFrame, ignore: tuple) -> DataFrame:
+    """posexplode the page's hrefs with the F2 prefix filter applied and the
+    absolute child URL resolved JVM-side."""
+    exploded = fetched.select(
+        "url", "depth", "seq", "lineage",
+        F.posexplode("parsed.hrefs").alias("pos", "href"),
+    ).filter(_ignore_filter(F.col("href"), ignore))
+    return exploded.withColumn(
+        "child_url", U.url_join_col(F.col("url"), F.col("href"))
+    )
+
+
 def avm_parse(fetched: DataFrame):
     """Index page -> product-directory requests (avm.py:24-26)."""
-    hrefs = H.extract_hrefs_udf()(F.col("html"))
-    exploded = fetched.select(
-        "url", "depth", "seq", "lineage", F.posexplode(hrefs).alias("pos", "href")
-    ).filter(_ignore_filter(F.col("href"), ("beta", "tools", "license", "..")))
-    joined = exploded.withColumn(
-        "child_url", U.url_join_udf()(F.col("url"), F.col("href"))
-    )
+    joined = _explode_links(fetched, ("beta", "tools", "license", ".."))
     return _children(joined, "avm:parse_product"), None
 
 
@@ -100,13 +111,8 @@ def avm_parse_product(fetched: DataFrame):
     dirs = fetched.filter(leaf_dir != "fritz.os")
     leaves = fetched.filter(leaf_dir == "fritz.os")
 
-    hrefs = H.extract_hrefs_udf()(F.col("html"))
-    exploded = dirs.select(
-        "url", "depth", "seq", "lineage", F.posexplode(hrefs).alias("pos", "href")
-    ).filter(_ignore_filter(F.col("href"), ("recover", "..")))
     children = _children(
-        exploded.withColumn("child_url", U.url_join_udf()(F.col("url"), F.col("href"))),
-        "avm:parse_product",
+        _explode_links(dirs, ("recover", "..")), "avm:parse_product"
     )
 
     # Leaf: J2 index-aligned link<->date join via posexplode — position is
@@ -114,17 +120,17 @@ def avm_parse_product(fetched: DataFrame):
     # preserved exactly (misalignment when a row lacks a date is reproduced,
     # not fixed).
     dates = F.filter(
-        F.transform(H.extract_pre_texts_udf()(F.col("html")), V.avm_listing_date_col),
+        F.transform(F.col("parsed.pre_texts"), V.avm_listing_date_col),
         lambda d: d.isNotNull(),
     )
-    filtered_hrefs = F.filter(hrefs, lambda h: ~h.startswith(".."))
+    filtered_hrefs = F.filter(F.col("parsed.hrefs"), lambda h: ~h.startswith(".."))
     base = leaves.select(
         "url", "seq", dates.alias("dates"),
         F.posexplode(filtered_hrefs).alias("pos", "href"),
         V.url_path_part_col(F.col("url"), 3).alias("device_name"),
     )
     items = (
-        base.withColumn("file_url", U.url_join_udf()(F.col("url"), F.col("href")))
+        base.withColumn("file_url", U.url_join_col(F.col("url"), F.col("href")))
         .filter(F.col("file_url").endswith(".image"))
         .select(
             F.lit("AVM").alias("vendor"),
@@ -149,12 +155,15 @@ def avm_parse_product(fetched: DataFrame):
 def linksys_parse(fetched: DataFrame):
     """Sitemap: positional zip join of product hrefs x device names
     (linksys.py:68-72, J1) — lineage carries device_name downstream (J6)."""
-    anchors = H.extract_anchors_udf(div_class="item")(F.col("html"))
+    item_anchors = F.filter(
+        F.col("parsed.anchors"),
+        lambda a: F.array_contains(a["div_classes"], "item") & a["href"].isNotNull(),
+    )
     exploded = fetched.select(
-        "url", "depth", "seq", F.posexplode(anchors).alias("pos", "a")
-    ).filter(F.col("a.href").isNotNull())
+        "url", "depth", "seq", F.posexplode(item_anchors).alias("pos", "a")
+    )
     joined = exploded.withColumn(
-        "child_url", U.url_join_udf()(F.col("url"), F.col("a.href"))
+        "child_url", U.url_join_col(F.col("url"), F.col("a.href"))
     )
     lineage = F.create_map(F.lit("device_name"), F.col("a.text"))
     return _children(joined, "linksys:parse_product", lineage), None
@@ -163,10 +172,11 @@ def linksys_parse(fetched: DataFrame):
 def linksys_parse_product(fetched: DataFrame):
     """First 'Download Software' anchor -> versions page (linksys.py:74-78,
     W2 first-match-in-list via element_at(filter(...), 1))."""
-    anchors = H.extract_anchors_udf(div_class="support-downloads")(F.col("html"))
     first_dl = F.try_element_at(
         F.filter(
-            anchors, lambda a: (a["title"] == "Download Software") & a["href"].isNotNull()
+            F.col("parsed.anchors"),
+            lambda a: F.array_contains(a["div_classes"], "support-downloads")
+            & (a["title"] == "Download Software") & a["href"].isNotNull(),
         ),
         F.lit(1),
     )
@@ -174,7 +184,7 @@ def linksys_parse_product(fetched: DataFrame):
         "url", "depth", "seq", "lineage", first_dl["href"].alias("href")
     ).filter(F.col("href").isNotNull())
     joined = hit.withColumn(
-        "child_url", U.url_join_udf()(F.col("url"), F.col("href"))
+        "child_url", U.url_join_col(F.col("url"), F.col("href"))
     ).withColumn("pos", F.lit(0))
     return _children(joined, "linksys:parse_versions"), None
 
@@ -184,9 +194,14 @@ def linksys_parse_versions(fetched: DataFrame):
     Ver..href span regex, extension predicate, scalar rule pack, and the
     per-block PRODUCT_DICTIONARIES dedup (A1) as dropDuplicates scoped by
     (page, block)."""
-    blocks = H.extract_div_html_udf(
-        div_class="article-accordian-content", parent_id="support-article-downloads"
-    )(F.col("html"))
+    blocks = F.transform(
+        F.filter(
+            F.col("parsed.divs"),
+            lambda d: F.array_contains(d["classes"], "article-accordian-content")
+            & (d["parent_id"] == "support-article-downloads"),
+        ),
+        lambda d: d["html"],
+    )
     spans = fetched.select(
         "url", "seq", "lineage",
         F.posexplode(blocks).alias("block_pos", "block"),
@@ -229,13 +244,14 @@ RULES = {
     "linksys:parse_versions": linksys_parse_versions,
 }
 
-# F8 offsite filter — allowed_domains per spider family
-# (avm.py:16; linksys implicit single host).
-ALLOWED_DOMAINS = {
-    "avm": ["download.avm.de"],
-    "linksys": ["www.linksys.com"],
+# F8 offsite filter — allowed_domains per spider family as host regexes
+# (avm.py:16; linksys implicit single host; mirror hosts for the bench
+# corpus's many-host shape, sources/generate.py).
+ALLOWED_HOST_PATTERNS = {
+    "avm": r"^(download\.avm\.de|mirror-\d+\.avm-mirror\.example)$",
+    "linksys": r"^www\.linksys\.com$",
 }
 
 
-def allowed_hosts_for_rule(rule: str) -> list:
-    return ALLOWED_DOMAINS[rule.split(":", 1)[0]]
+def allowed_host_pattern(rule: str) -> str:
+    return ALLOWED_HOST_PATTERNS[rule.split(":", 1)[0]]

@@ -82,12 +82,23 @@ def _avm_image_name(family: str, device: str, i: int) -> str:
     return f"FRITZ.Box_{n}-{i % 8:02d}.{i % 28 + 1:02d}.image"
 
 
-def avm_pages(n_devices_per_family: int) -> dict:
-    """{url: html} for the AVM directory tree."""
+# per-listing distractor rows beginning with an ignored prefix ('tools…')
+# — fattens pages toward realistic crawl page sizes and adds extraction
+# work without growing the frontier (the F2 prefix filter drops them)
+def _pad_entries(i: int, n_pad: int) -> list:
+    return [
+        (f"recover-{j}/", f"recover-{j}/", f"{_date_for(i + j)} 0{j % 10}:1{j % 6}", "-")
+        for j in range(n_pad)
+    ]
+
+
+def avm_family_pages(host: str, family: str, n_devices: int, n_pad: int = 0) -> dict:
+    """{url: html} for one (host, family) directory tree — the unit of
+    distributed corpus generation (write_corpus parallelizes over these)."""
     pages = {}
-    base = f"http://{AVM_HOST}"
-    for family in AVM_FAMILIES:
-        devices = [_avm_device_name(family, i) for i in range(n_devices_per_family)]
+    base = f"http://{host}"
+    if True:  # single family
+        devices = [_avm_device_name(family, i) for i in range(n_devices)]
         entries = [("../", "../", None, None), ("beta/", "beta/", f"{_date_for(1)} 02:45", "-")]
         for i, d in enumerate(devices):
             entries.append((f"{d}/", f"{d}/", f"{_date_for(i)} 12:13", "-"))
@@ -101,7 +112,8 @@ def avm_pages(n_devices_per_family: int) -> dict:
                 f"/{family}/{d}/",
                 [("../", "../", None, None),
                  ("deutschland/", "deutschland/", f"{_date_for(i)} 12:13", "-"),
-                 ("other/", "other/", f"{_date_for(i + 1)} 21:18", "-")],
+                 ("other/", "other/", f"{_date_for(i + 1)} 21:18", "-")]
+                + _pad_entries(i, n_pad),
             )
             for loc in ("deutschland", "other"):
                 loc_url = f"{dev_url}{loc}/"
@@ -109,7 +121,8 @@ def avm_pages(n_devices_per_family: int) -> dict:
                     f"/{family}/{d}/{loc}/",
                     [("../", "../", None, None),
                      ("fritz.os/", "fritz.os/", f"{_date_for(i)} 12:13", "-"),
-                     ("recover/", "recover/", f"{_date_for(i + 2)} 21:18", "-")],
+                     ("recover/", "recover/", f"{_date_for(i + 2)} 21:18", "-")]
+                    + _pad_entries(i, n_pad),
                 )
                 img = _avm_image_name(family, d, i)
                 pages[f"{loc_url}fritz.os/"] = _listing_page(
@@ -118,6 +131,14 @@ def avm_pages(n_devices_per_family: int) -> dict:
                      (img, img, f"{_date_for(i)} 12:13", str(20000000 + i)),
                      ("info_de.txt", "info_de.txt", f"{_date_for(i + 3)} 21:18", "47418")],
                 )
+    return pages
+
+
+def avm_pages(n_devices_per_family: int, n_pad: int = 0) -> dict:
+    """{url: html} for the full AVM tree (all families on the vendor host)."""
+    pages = {}
+    for family in AVM_FAMILIES:
+        pages.update(avm_family_pages(AVM_HOST, family, n_devices_per_family, n_pad))
     return pages
 
 
@@ -208,49 +229,120 @@ def robots_pages() -> dict:
     }
 
 
-def seeds() -> list:
+MIRROR_HOST_FMT = "mirror-{i}.avm-mirror.example"
+
+
+def mirror_pages(n_mirrors: int, n_devices: int, n_pad: int = 0) -> dict:
+    """AVM-shaped trees replicated across ``n_mirrors`` extra hosts — models
+    the many-host shape of a real 10^10-URL frontier (the two vendor hosts
+    alone would serialize the crawl behind their politeness budget; a real
+    frontier spreads across millions of hosts). download.avm.de remains the
+    deliberately hot host when its device count dwarfs the per-mirror one."""
+    pages = {}
+    for i in range(n_mirrors):
+        host = MIRROR_HOST_FMT.format(i=i)
+        for family in AVM_FAMILIES:
+            pages.update(avm_family_pages(host, family, n_devices, n_pad))
+    return pages
+
+
+def seeds(n_mirrors: int = 0) -> list:
     """(url, rule) crawl seeds — reference start_urls
-    (avm.py:18-22, linksys.py:66)."""
-    return [
+    (avm.py:18-22, linksys.py:66) + one seed per mirror host."""
+    s = [
         (f"http://{AVM_HOST}/fritzbox/", "avm:parse"),
         (f"http://{AVM_HOST}/fritzwlan/", "avm:parse"),
         (f"http://{AVM_HOST}/fritzpowerline/", "avm:parse"),
         (f"https://{LINKSYS_HOST}/us/support/sitemap/", "linksys:parse"),
     ]
+    for i in range(n_mirrors):
+        host = MIRROR_HOST_FMT.format(i=i)
+        for family in AVM_FAMILIES:
+            s.append((f"http://{host}/{family}/", "avm:parse"))
+    return s
 
 
-def corpus_dict(n_avm: int = 8, n_linksys: int = 6) -> dict:
+def corpus_dict(n_avm: int = 8, n_linksys: int = 6, n_mirrors: int = 0,
+                n_avm_mirror: int = 2, n_pad: int = 0) -> dict:
     """{canonical_url: html} for the simulator and for parquet generation."""
     pages = {}
-    pages.update(avm_pages(n_avm))
+    pages.update(avm_pages(n_avm, n_pad))
     pages.update(linksys_pages(n_linksys))
     pages.update(robots_pages())
+    if n_mirrors:
+        pages.update(mirror_pages(n_mirrors, n_avm_mirror, n_pad))
     return {canonicalize_url(u): h for u, h in pages.items()}
 
 
-def pages_pdf(n_avm: int = 8, n_linksys: int = 6) -> pd.DataFrame:
-    """pages table as pandas, input_hint schema."""
-    corpus = corpus_dict(n_avm, n_linksys)
+def pages_pdf(n_avm: int = 8, n_linksys: int = 6, n_mirrors: int = 0,
+              n_avm_mirror: int = 2, n_pad: int = 0) -> pd.DataFrame:
+    """pages table as pandas, input_hint schema (driver-side small variant;
+    write_corpus generates distributed)."""
+    corpus = corpus_dict(n_avm, n_linksys, n_mirrors, n_avm_mirror, n_pad)
+    return pd.DataFrame(_rows_from_pages(corpus))
+
+
+def _rows_from_pages(pages: dict) -> list:
+    """pages dict -> input_hint rows; warc_ts derives from a stable CRC of
+    the url (deterministic regardless of generation order/partitioning)."""
+    import zlib
+
     rows = []
-    for i, (url, html) in enumerate(sorted(corpus.items())):
+    for url, html in pages.items():
+        canon = canonicalize_url(url)
         rows.append(
             {
-                "url": url,
-                "warc_ts": _EPOCH + timedelta(seconds=i),
+                "url": canon,
+                "warc_ts": _EPOCH + timedelta(seconds=zlib.crc32(canon.encode()) % 86400),
                 "html": html.encode("utf-8"),
                 "text": extract_text(html),
-                "lang": "de" if "linksys" in url else "en",
+                "lang": "de" if "linksys" in canon else "en",
             }
         )
-    return pd.DataFrame(rows)
+    return rows
 
 
 def write_corpus(spark, out_dir: str, n_avm: int = 8, n_linksys: int = 6,
-                 partitions: int = 8):
-    """Write the pages corpus as parquet (Iceberg-ready layout: one table,
-    hash-distributed by canonical URL so the frontier⋈pages join can be a
-    storage-partitioned join when an Iceberg catalog is attached)."""
-    pdf = pages_pdf(n_avm, n_linksys)
-    df = spark.createDataFrame(pdf)
-    df.repartition(partitions, "url").write.mode("overwrite").parquet(out_dir)
-    return len(pdf)
+                 partitions: int = 8, n_mirrors: int = 0, n_avm_mirror: int = 2,
+                 n_pad: int = 0):
+    """Write the pages corpus as parquet, generating the (host, family)
+    subtrees DISTRIBUTED via mapInPandas — corpus generation itself scales
+    with the cluster. (Iceberg-ready layout: one table, hash-distributed by
+    canonical URL so the frontier⋈pages join can be a storage-partitioned
+    join when a catalog is attached.)"""
+    import pandas as _pd
+    from pyspark.sql.types import (BinaryType, StringType, StructField,
+                                   StructType, TimestampType)
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ])
+
+    specs = [(AVM_HOST, f, n_avm, n_pad) for f in AVM_FAMILIES]
+    for i in range(n_mirrors):
+        host = MIRROR_HOST_FMT.format(i=i)
+        specs += [(host, f, n_avm_mirror, n_pad) for f in AVM_FAMILIES]
+    specs_df = spark.createDataFrame(
+        specs, "host string, family string, n int, n_pad int"
+    ).repartition(max(partitions, len(specs)))
+
+    def gen(batches):
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                pages = avm_family_pages(r.host, r.family, int(r.n), int(r.n_pad))
+                yield _pd.DataFrame(_rows_from_pages(pages))
+
+    avm_df = specs_df.mapInPandas(gen, schema)
+
+    small = {}
+    small.update(linksys_pages(n_linksys))
+    small.update(robots_pages())
+    small_df = spark.createDataFrame(_pd.DataFrame(_rows_from_pages(small)), schema)
+
+    full = avm_df.unionByName(small_df)
+    full.repartition(partitions, "url").write.mode("overwrite").parquet(out_dir)
+    return spark.read.parquet(out_dir).count()

@@ -1,0 +1,225 @@
+"""Operator-level tests: frontier discipline, robots matching, dedup
+family, similarity search, text analysis."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from firmwarescraper_spark.operators import dedup as DD
+from firmwarescraper_spark.operators import frontier as FR
+from firmwarescraper_spark.operators import robots as RB
+from firmwarescraper_spark.operators import similarity as SIM
+from firmwarescraper_spark.operators import textops as TX
+
+
+# --- frontier ---------------------------------------------------------------
+
+def _frontier_df(spark, rows):
+    df = spark.createDataFrame(rows, "host string, priority int, seq string")
+    return df.withColumn("canon_url", F.concat("host", F.lit("/"), "seq")).withColumn(
+        "url_hash", F.xxhash64("canon_url")
+    )
+
+
+def test_politeness_budget_enforced(spark):
+    rows = [("h1", 0, f"{i:04d}") for i in range(20)] + [("h2", 0, "0001")]
+    fr = _frontier_df(spark, rows)
+    dq, deferred = FR.politeness_dequeue(fr, tokens_per_host=5, salt_buckets=4)
+    got = {r["host"]: r["n"] for r in dq.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert got == {"h1": 5, "h2": 1}
+    assert deferred.count() == 15
+    # priority/seq ordering: the 5 dequeued are the lexicographically first
+    seqs = sorted(r["seq"] for r in dq.filter(F.col("host") == "h1").collect())
+    assert seqs == [f"{i:04d}" for i in range(5)]
+
+
+def test_politeness_salt_invariance(spark):
+    """The two-phase salted rank must select the same rows regardless of the
+    salt bucket count (phase 1 only prunes, never changes the final rank)."""
+    rows = [("hot", i % 3, f"{i:05d}") for i in range(100)]
+    fr = _frontier_df(spark, rows)
+    picks = []
+    for buckets in (1, 4, 16):
+        dq, _ = FR.politeness_dequeue(fr, tokens_per_host=10, salt_buckets=buckets)
+        picks.append(sorted((r["priority"], r["seq"]) for r in dq.collect()))
+    assert picks[0] == picks[1] == picks[2]
+    # priority desc first: all priority-2 rows outrank priority-1
+    assert all(p == 2 for p, _ in picks[0][:10]) or max(p for p, _ in picks[0]) == 2
+
+
+def test_priority_score(spark):
+    df = spark.createDataFrame(
+        [("http://h/a.image",), ("http://h/fw.bin",), ("http://h/x.zip",),
+         ("http://h/fritz.os/",), ("http://h/index.html",)], ["url"]
+    )
+    got = [r["p"] for r in df.select(FR.priority_score(F.col("url")).alias("p")).collect()]
+    assert got == [2, 2, 2, 1, 0]
+
+
+def test_dedup_new_children_first_yielder_wins(spark):
+    rows = [("u1", "0001"), ("u1", "0000"), ("u2", "0005")]
+    df = spark.createDataFrame(rows, "canon_url string, seq string").withColumn(
+        "url_hash", F.xxhash64("canon_url")
+    )
+    seen = spark.createDataFrame([], "url_hash long")
+    out = FR.dedup_new_children(df, seen).collect()
+    got = {r["canon_url"]: r["seq"] for r in out}
+    assert got == {"u1": "0000", "u2": "0005"}
+
+
+# --- robots -------------------------------------------------------------------
+
+ROBOTS_TXT = """User-agent: *
+Disallow: /private/
+Allow: /private/public/
+Disallow: /*.zip$
+Crawl-delay: 2
+
+User-agent: evilbot
+Disallow: /
+"""
+
+
+def test_parse_robots_txt():
+    rules, delay = RB.parse_robots_txt(ROBOTS_TXT)
+    assert (False, "/private/") in rules
+    assert (True, "/private/public/") in rules
+    assert (False, "/*.zip$") in rules
+    assert all("/" != r for _, r in rules)  # evilbot group not merged
+    assert delay == 2.0
+
+
+def test_robots_filter_longest_match(spark):
+    pages = spark.createDataFrame(
+        [("http://h.example/robots.txt", ROBOTS_TXT.encode())], ["url", "html"]
+    )
+    rules, delay = RB.build_robots_rules(pages)
+    fr = spark.createDataFrame(
+        [
+            ("h.example", "http://h.example/ok.html"),
+            ("h.example", "http://h.example/private/x.html"),
+            ("h.example", "http://h.example/private/public/y.html"),
+            ("h.example", "http://h.example/file.zip"),
+            ("other.example", "http://other.example/private/z.html"),
+        ],
+        "host string, canon_url string",
+    ).withColumn("url_hash", F.xxhash64("canon_url"))
+    allowed, blocked = RB.robots_filter(fr, rules)
+    a = {r["canon_url"] for r in allowed.collect()}
+    b = {r["canon_url"] for r in blocked.collect()}
+    assert "http://h.example/ok.html" in a
+    assert "http://h.example/private/x.html" in b
+    assert "http://h.example/private/public/y.html" in a  # longest-match: Allow wins
+    assert "http://h.example/file.zip" in b  # wildcard + anchor
+    assert "http://other.example/private/z.html" in a  # no rules for host
+
+
+def test_host_budget_from_delay(spark):
+    delay = spark.createDataFrame([("h1", 2.0), ("h2", 0.5)], "host string, crawl_delay double")
+    got = {r["host"]: r["tokens"] for r in
+           RB.host_budget_from_delay(delay, round_seconds=60, default_tokens=1000).collect()}
+    assert got == {"h1": 30, "h2": 120}
+
+
+# --- dedup family -----------------------------------------------------------------
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again"),
+    (1, "the quick brown fox jumps over the lazy dog again and again"),   # exact dup
+    (2, "the quick brown fox jumps over the lazy cat again and again"),   # near dup
+    (3, "completely different content about spark shuffles and joins here"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs_df):
+    out = {r["doc_id"]: r["dup_count"] for r in DD.exact_dedup(docs_df).collect()}
+    assert out[0] == 2  # doc 1 collapsed into doc 0
+    assert 1 not in out
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_minhash_identical_docs_share_all_bands(spark, docs_df):
+    pairs = {(r["id_a"], r["id_b"]) for r in DD.minhash_lsh_pairs(docs_df).collect()}
+    assert (0, 1) in pairs                       # identical -> all bands agree
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_simhash_properties(spark, docs_df):
+    sh = {r["doc_id"]: r["simhash"] for r in DD.simhash(docs_df).collect()}
+    assert sh[0] == sh[1]                        # identical text -> same hash
+    assert sh[0] != sh[3]
+
+
+def test_ngram_jaccard(spark, docs_df):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in DD.ngram_jaccard_pairs(docs_df, threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert 0.3 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_embedding_neardup_and_topk(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # near dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             DD.embedding_neardup_pairs(emb, threshold=0.95).collect()}
+    assert pairs == {(0, 1)}
+    top = SIM.cosine_topk(emb, [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [0, 1]
+    ann = SIM.lsh_bucketed_topk(emb, [1.0, 0.0, 0.0], k=1, planes=4).collect()
+    assert ann[0]["vec_id"] == 0
+
+
+# --- text ops -----------------------------------------------------------------------
+
+def test_langid(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat is in the house and it is warm"),
+         (1, "der hund ist nicht mit der katze und ein vogel"),
+         (2, "el perro es un animal que vive en la casa"),
+         (3, "xyzzy plugh 12345")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang"] for r in
+           df.select("doc_id", TX.langid_col(F.col("text")).alias("lang")).collect()}
+    assert got == {0: "en", 1: "de", 2: "es", 3: "und"}
+
+
+def test_token_counts_and_quality(spark):
+    df = spark.createDataFrame([(0, "Hello, world! This is a test.")], "doc_id long, text string")
+    row = df.select(
+        TX.token_count_ws(F.col("text")).alias("ws"),
+        TX.token_count_bpe(F.col("text")).alias("bpe"),
+        TX.quality_score(F.col("text")).alias("q"),
+    ).first()
+    assert row["ws"] == 6
+    # Hello , world ! This is a test .  -> 9 BPE-ish tokens
+    assert row["bpe"] == 9
+    assert 0.0 <= row["q"] <= 1.0
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "hello world"), (2, " HELLO\tWORLD ")],
+        "doc_id long, text string",
+    )
+    fps = [r["fp"] for r in df.select(TX.fingerprint_md5(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1] == fps[2]
+
+
+def test_fingerprint_rolling(spark):
+    df = spark.createDataFrame(
+        [(0, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    row = df.select(TX.fingerprint_rolling(F.col("text"), window=4).alias("r")).first()
+    assert isinstance(row["r"], int)
