@@ -37,8 +37,13 @@ class _Anchor:
     title: str | None
     onclick: str | None
     text: str
-    div_classes: tuple  # classes of all ancestor <div>s
-    div_ids: tuple      # ids of all ancestor <div>s
+    classes: tuple        # the anchor's own class tokens
+    class_attr: str | None
+    div_classes: tuple    # classes of all ancestor <div>s
+    div_ids: tuple        # ids of all ancestor <div>s
+    td_classes: tuple     # classes of the enclosing <td>, if any
+    tr_classes: tuple     # classes of the enclosing <tr>, if any
+    li_classes: tuple     # classes of the enclosing <li>, if any
 
 
 @dataclass
@@ -53,13 +58,62 @@ class _DivBlock:
 
 
 @dataclass
+class _Text:
+    tag: str
+    classes: tuple
+    elem_id: str | None
+    text: str  # direct text nodes only (XPath tag/text())
+
+
+@dataclass
+class _Cell:
+    td_classes: tuple
+    direct_text: str          # direct + div-wrapped text (td//div/text() style)
+    texts: list               # all descendant text nodes
+    hrefs: list               # descendant a/@href
+    a_titles: list            # descendant a/@title
+    a_texts: list
+    classed_hrefs: list       # hrefs of descendant anchors that carry @class
+    span_first_texts: list    # first text node of each descendant <span>
+    input_names: list         # names of <input> elements inside the cell
+    inner_start: int = -1
+    inner_end: int = -1
+    inner_html: str = ""
+
+
+@dataclass
+class _Row:
+    tr_classes: tuple
+    onclick: str | None
+    cells: list = field(default_factory=list)
+
+
+@dataclass
+class _Para:
+    bold_texts: list = field(default_factory=list)  # strong / bold-span text
+    a_texts: list = field(default_factory=list)
+    a_hrefs: list = field(default_factory=list)
+
+
+@dataclass
 class _ParsedDoc:
     anchors: list = field(default_factory=list)
     pre_texts: list = field(default_factory=list)
     div_blocks: list = field(default_factory=list)
     head_scripts: list = field(default_factory=list)
-    tables: list = field(default_factory=list)   # list of rows; row = list of cell texts
+    rows: list = field(default_factory=list)      # _Row, document order
+    texts: list = field(default_factory=list)     # _Text for classed/id'd h1,h2,span,div
+    paras: list = field(default_factory=list)     # _Para for <p> with bold markers
+    inputs: list = field(default_factory=list)    # (name, value)
     raw: str = ""
+
+    @property
+    def tables(self):
+        """Back-compat: rows as lists of concatenated cell text."""
+        return [[["".join(c.texts) for c in r.cells] for r in self.rows]]
+
+
+_BOLD_STYLE = "FONT-WEIGHT: bold"
 
 
 class _Parser(HTMLParser):
@@ -77,30 +131,42 @@ class _Parser(HTMLParser):
         self._in_head = 0
         self._in_script = 0
         self._script_buf: list[str] = []
-        self._cur_row: list | None = None
-        self._cur_cell: list | None = None
-        self._cur_table: list | None = None
+        self._cur_row: _Row | None = None
+        self._cur_cell: _Cell | None = None
+        self._td_stack: list[tuple] = []
+        self._tr_stack: list[tuple] = []
+        self._li_stack: list[tuple] = []
+        self._text_stack: list[_Text] = []   # open h1/h2/span/div text captures
+        self._cur_para: _Para | None = None
+        self._bold_depth = 0                 # inside strong / bold span within <p>
+        self._span_in_cell: list | None = None  # first-text sink of open span in cell
 
     def _abs(self) -> int:
         line, col = self.getpos()
         return self._line_offsets[line - 1] + col
 
+    @staticmethod
+    def _classes(a: dict) -> tuple:
+        return tuple((a.get("class") or "").split())
+
     # -- tags -------------------------------------------------------------
     def handle_starttag(self, tag, attrs):
         a = dict(attrs)
+        cls = self._classes(a)
         if tag == "div":
             start = self._abs()
             parent = self._div_stack[-1] if self._div_stack else None
+            if a.get("data-class"):
+                # XPath @data-class selectors become 'data-<value>' tokens
+                cls = cls + tuple("data-" + t for t in a["data-class"].split())
             blk = _DivBlock(
-                classes=tuple((a.get("class") or "").split()),
+                classes=cls,
                 div_id=a.get("id"),
                 parent_classes=parent.classes if parent else (),
                 parent_id=parent.div_id if parent else None,
                 start=start,
             )
-            # inner HTML starts right after this start tag
-            end_of_tag = self.raw.find(">", start)
-            blk.inner_start = end_of_tag + 1
+            blk.inner_start = self.raw.find(">", start) + 1
             self._div_stack.append(blk)
         elif tag == "a":
             self._cur_anchor = _Anchor(
@@ -108,9 +174,21 @@ class _Parser(HTMLParser):
                 title=a.get("title"),
                 onclick=a.get("onclick"),
                 text="",
+                classes=cls,
+                class_attr=a.get("class"),
                 div_classes=tuple(c for b in self._div_stack for c in b.classes),
                 div_ids=tuple(b.div_id for b in self._div_stack if b.div_id),
+                td_classes=self._td_stack[-1] if self._td_stack else (),
+                tr_classes=self._tr_stack[-1] if self._tr_stack else (),
+                li_classes=self._li_stack[-1] if self._li_stack else (),
             )
+            if self._cur_cell is not None:
+                if a.get("href") is not None:
+                    self._cur_cell.hrefs.append(a.get("href"))
+                    if a.get("class") is not None:
+                        self._cur_cell.classed_hrefs.append(a.get("href"))
+                if a.get("title") is not None:
+                    self._cur_cell.a_titles.append(a.get("title"))
         elif tag == "pre":
             self._in_pre += 1
         elif tag == "head":
@@ -118,12 +196,35 @@ class _Parser(HTMLParser):
         elif tag == "script":
             self._in_script += 1
             self._script_buf = []
-        elif tag == "table":
-            self._cur_table = []
         elif tag == "tr":
-            self._cur_row = []
+            self._cur_row = _Row(tr_classes=cls, onclick=a.get("onclick"))
+            self._tr_stack.append(cls)
         elif tag in ("td", "th"):
-            self._cur_cell = []
+            start = self._abs()
+            self._cur_cell = _Cell(
+                td_classes=cls, direct_text="", texts=[], hrefs=[], a_titles=[],
+                a_texts=[], classed_hrefs=[], span_first_texts=[], input_names=[],
+                inner_start=self.raw.find(">", start) + 1,
+            )
+            self._td_stack.append(cls)
+        elif tag == "li":
+            self._li_stack.append(cls)
+        elif tag == "p":
+            self._cur_para = _Para()
+        elif tag == "strong":
+            if self._cur_para is not None:
+                self._bold_depth += 1
+        elif tag == "input":
+            self.doc.inputs.append((a.get("name"), a.get("value")))
+            if self._cur_cell is not None and a.get("name"):
+                self._cur_cell.input_names.append(a.get("name"))
+        if tag == "span":
+            if self._cur_para is not None and _BOLD_STYLE in (a.get("style") or ""):
+                self._bold_depth += 1
+            if self._cur_cell is not None:
+                self._span_in_cell = []  # capture first text node
+        if tag in ("h1", "h2", "span", "div") and (cls or a.get("id")):
+            self._text_stack.append(_Text(tag=tag, classes=cls, elem_id=a.get("id"), text=""))
 
     def handle_endtag(self, tag):
         if tag == "div" and self._div_stack:
@@ -132,6 +233,12 @@ class _Parser(HTMLParser):
             self.doc.div_blocks.append(blk)
         elif tag == "a" and self._cur_anchor is not None:
             self.doc.anchors.append(self._cur_anchor)
+            if self._cur_cell is not None:
+                self._cur_cell.a_texts.append(self._cur_anchor.text)
+            if self._cur_para is not None:
+                self._cur_para.a_texts.append(self._cur_anchor.text)
+                if self._cur_anchor.href is not None:
+                    self._cur_para.a_hrefs.append(self._cur_anchor.href)
             self._cur_anchor = None
         elif tag == "pre" and self._in_pre:
             self._in_pre -= 1
@@ -142,16 +249,36 @@ class _Parser(HTMLParser):
             if self._in_head:
                 self.doc.head_scripts.append("".join(self._script_buf))
         elif tag in ("td", "th") and self._cur_cell is not None:
+            self._cur_cell.inner_end = self._abs()
+            self._cur_cell.inner_html = self.raw[
+                self._cur_cell.inner_start:self._cur_cell.inner_end]
             if self._cur_row is not None:
-                self._cur_row.append("".join(self._cur_cell))
+                self._cur_row.cells.append(self._cur_cell)
             self._cur_cell = None
+            if self._td_stack:
+                self._td_stack.pop()
         elif tag == "tr" and self._cur_row is not None:
-            if self._cur_table is not None:
-                self._cur_table.append(self._cur_row)
+            self.doc.rows.append(self._cur_row)
             self._cur_row = None
-        elif tag == "table" and self._cur_table is not None:
-            self.doc.tables.append(self._cur_table)
-            self._cur_table = None
+            if self._tr_stack:
+                self._tr_stack.pop()
+        elif tag == "li" and self._li_stack:
+            self._li_stack.pop()
+        elif tag == "p":
+            if self._cur_para is not None and self._cur_para.bold_texts:
+                self.doc.paras.append(self._cur_para)
+            self._cur_para = None
+            self._bold_depth = 0
+        elif tag == "strong" and self._bold_depth:
+            self._bold_depth -= 1
+        if tag == "span":
+            if self._span_in_cell is not None and self._cur_cell is not None:
+                self._cur_cell.span_first_texts.append(
+                    self._span_in_cell[0] if self._span_in_cell else "")
+            self._span_in_cell = None
+        if tag in ("h1", "h2", "span", "div") and self._text_stack and \
+                self._text_stack[-1].tag == tag:
+            self.doc.texts.append(self._text_stack.pop())
 
     # -- text ---------------------------------------------------------------
     def handle_data(self, data):
@@ -162,7 +289,15 @@ class _Parser(HTMLParser):
         if self._in_script:
             self._script_buf.append(data)
         if self._cur_cell is not None:
-            self._cur_cell.append(data)
+            self._cur_cell.texts.append(data)
+            if self._cur_anchor is None:
+                self._cur_cell.direct_text += data
+            if self._span_in_cell is not None:
+                self._span_in_cell.append(data)
+        if self._text_stack and self._cur_anchor is None:
+            self._text_stack[-1].text += data
+        if self._cur_para is not None and self._bold_depth and self._cur_anchor is None:
+            self._cur_para.bold_texts.append(data)
 
 
 def parse_html(html) -> _ParsedDoc:
@@ -308,8 +443,13 @@ PAGE_STRUCT = StructType([
         StructField("text", StringType()),
         StructField("title", StringType()),
         StructField("onclick", StringType()),
+        StructField("classes", ArrayType(StringType())),
+        StructField("class_attr", StringType()),
         StructField("div_classes", ArrayType(StringType())),
         StructField("div_ids", ArrayType(StringType())),
+        StructField("td_classes", ArrayType(StringType())),
+        StructField("tr_classes", ArrayType(StringType())),
+        StructField("li_classes", ArrayType(StringType())),
     ]))),
     StructField("pre_texts", ArrayType(StringType())),
     StructField("divs", ArrayType(StructType([
@@ -319,6 +459,37 @@ PAGE_STRUCT = StructType([
         StructField("html", StringType()),
     ]))),
     StructField("scripts", ArrayType(StringType())),
+    StructField("texts", ArrayType(StructType([
+        StructField("tag", StringType()),
+        StructField("classes", ArrayType(StringType())),
+        StructField("id", StringType()),
+        StructField("text", StringType()),
+    ]))),
+    StructField("rows", ArrayType(StructType([
+        StructField("tr_classes", ArrayType(StringType())),
+        StructField("onclick", StringType()),
+        StructField("cells", ArrayType(StructType([
+            StructField("td_classes", ArrayType(StringType())),
+            StructField("direct_text", StringType()),
+            StructField("texts", ArrayType(StringType())),
+            StructField("hrefs", ArrayType(StringType())),
+            StructField("a_titles", ArrayType(StringType())),
+            StructField("a_texts", ArrayType(StringType())),
+            StructField("classed_hrefs", ArrayType(StringType())),
+            StructField("span_first_texts", ArrayType(StringType())),
+            StructField("input_names", ArrayType(StringType())),
+            StructField("inner_html", StringType()),
+        ]))),
+    ]))),
+    StructField("paras", ArrayType(StructType([
+        StructField("bold_texts", ArrayType(StringType())),
+        StructField("a_texts", ArrayType(StringType())),
+        StructField("a_hrefs", ArrayType(StringType())),
+    ]))),
+    StructField("inputs", ArrayType(StructType([
+        StructField("name", StringType()),
+        StructField("value", StringType()),
+    ]))),
 ])
 
 
@@ -332,8 +503,13 @@ def parse_page(html) -> dict:
             {
                 "href": a.href, "text": a.text, "title": a.title,
                 "onclick": a.onclick,
+                "classes": list(a.classes),
+                "class_attr": a.class_attr,
                 "div_classes": list(a.div_classes),
                 "div_ids": list(a.div_ids),
+                "td_classes": list(a.td_classes),
+                "tr_classes": list(a.tr_classes),
+                "li_classes": list(a.li_classes),
             }
             for a in doc.anchors
         ],
@@ -347,7 +523,43 @@ def parse_page(html) -> dict:
             for b in divs
         ],
         "scripts": list(doc.head_scripts),
+        "texts": [
+            {"tag": t.tag, "classes": list(t.classes), "id": t.elem_id,
+             "text": t.text}
+            for t in doc.texts
+        ],
+        "rows": [
+            {
+                "tr_classes": list(r.tr_classes),
+                "onclick": r.onclick,
+                "cells": [
+                    {
+                        "td_classes": list(c.td_classes),
+                        "direct_text": c.direct_text,
+                        "texts": list(c.texts),
+                        "hrefs": list(c.hrefs),
+                        "a_titles": list(c.a_titles),
+                        "a_texts": list(c.a_texts),
+                        "classed_hrefs": list(c.classed_hrefs),
+                        "span_first_texts": list(c.span_first_texts),
+                        "input_names": list(c.input_names),
+                        "inner_html": c.inner_html,
+                    }
+                    for c in r.cells
+                ],
+            }
+            for r in doc.rows
+        ],
+        "paras": [
+            {"bold_texts": list(p.bold_texts), "a_texts": list(p.a_texts),
+             "a_hrefs": list(p.a_hrefs)}
+            for p in doc.paras
+        ],
+        "inputs": [{"name": n, "value": v} for n, v in doc.inputs],
     }
+
+
+_EMPTY_PAGE = {k.name: None for k in PAGE_STRUCT.fields}
 
 
 @lru_cache(maxsize=None)
@@ -356,9 +568,7 @@ def parse_page_udf():
 
     @pandas_udf(PAGE_STRUCT)
     def _parse_page(html: pd.Series) -> pd.DataFrame:
-        parsed = [parse_page(h) if h is not None else
-                  {"hrefs": None, "anchors": None, "pre_texts": None,
-                   "divs": None, "scripts": None}
+        parsed = [parse_page(h) if h is not None else dict(_EMPTY_PAGE)
                   for h in html]
         return pd.DataFrame(parsed, index=html.index)
 

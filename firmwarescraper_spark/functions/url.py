@@ -124,6 +124,51 @@ url_host_udf = lru_cache(maxsize=None)(lambda: _pandas_udf(_host_series, "url_ho
 url_join_udf = lru_cache(maxsize=None)(lambda: _pandas_udf(_join_series, "url_join"))
 
 
+def form_body(form: dict | None) -> str:
+    """Canonical POST body: sorted urlencoded pairs (the scrapy request
+    fingerprint includes the body — S2, dlink_gpl.py:97-107)."""
+    if not form:
+        return ""
+    return urlencode(sorted(form.items()))
+
+
+def fetch_key(canon_url: str, form: dict | None = None) -> str:
+    """The key a request is fetched/deduped by: canonical URL, plus a
+    '|form|' suffix for POST requests so the same URL with different form
+    data is a different fetch."""
+    body = form_body(form)
+    return canon_url + ("|form|" + body if body else "")
+
+
+def form_body_col(form_col: Column) -> Column:
+    """JVM twin of form_body over a map<string,string> column."""
+    pairs = F.transform(
+        F.sort_array(F.map_entries(form_col)),
+        lambda e: F.concat(
+            _urlencode_col(e["key"]), F.lit("="), _urlencode_col(e["value"])
+        ),
+    )
+    return F.when(
+        form_col.isNull() | (F.size(F.map_entries(form_col)) == 0), F.lit("")
+    ).otherwise(F.array_join(pairs, "&"))
+
+
+def _urlencode_col(c: Column) -> Column:
+    """urllib.parse.quote_plus for the character set vendor form fields use
+    (alnum plus ?&=/._- need no escaping except space->+); full parity with
+    urlencode is pinned by tests on the actual form vocabularies."""
+    return F.regexp_replace(c, " ", "+")
+
+
+def fetch_key_col(canon_url: Column, form_col: Column | None = None) -> Column:
+    if form_col is None:
+        return canon_url
+    body = form_body_col(form_col)
+    return F.when(body == "", canon_url).otherwise(
+        F.concat(canon_url, F.lit("|form|"), body)
+    )
+
+
 def url_join_col(base: Column, href: Column) -> Column:
     """JVM-side (codegen'd) RFC-3986 reference resolution for the three
     href shapes crawl pages actually contain — absolute, root-relative,

@@ -54,6 +54,8 @@ FRONTIER_SCHEMA = StructType([
     StructField("lineage", MapType(StringType(), StringType())),
     StructField("seq", StringType()),
     StructField("round_added", IntegerType()),
+    StructField("form_data", MapType(StringType(), StringType())),
+    StructField("fetch_key", StringType()),
 ])
 
 ITEM_COLS = ["vendor", "device_name", "firmware_version", "device_class",
@@ -101,7 +103,7 @@ class CrawlEngine:
         if os.path.exists(path):
             return self.spark.read.parquet(path)
         return self.spark.createDataFrame(
-            [], "url_hash long, canon_url string, round int"
+            [], "url_hash long, fetch_key string, round int"
         )
 
     def items(self) -> DataFrame:
@@ -125,14 +127,19 @@ class CrawlEngine:
 
     # -- seeding ---------------------------------------------------------------
     def seed_frontier(self, seeds: list) -> DataFrame:
-        """seeds: [(url, rule)] — reference start_urls in declaration order."""
-        rows = [
-            (url, rule, f"{i:06d}") for i, (url, rule) in enumerate(seeds)
-        ]
-        df = self.spark.createDataFrame(rows, "url string, rule string, seq string")
+        """seeds: [(url, rule)] or [(url, rule, form)] — reference start_urls
+        in declaration order; form is POST data (S2) or None."""
+        rows = []
+        for i, seed in enumerate(seeds):
+            url, rule, form = seed if len(seed) == 3 else (*seed, None)
+            rows.append((url, rule, f"{i:06d}", form or {}))
+        df = self.spark.createDataFrame(
+            rows, "url string, rule string, seq string, form_data map<string,string>"
+        )
         return (
             df.withColumn("canon_url", U.canonicalize_url_udf()(F.col("url")))
-            .withColumn("url_hash", U.url_hash_col(F.col("canon_url")))
+            .withColumn("fetch_key", U.fetch_key_col(F.col("canon_url"), F.col("form_data")))
+            .withColumn("url_hash", F.xxhash64("fetch_key"))
             .withColumn("host", U.url_host_udf()(F.col("url")))
             .withColumn("depth", F.lit(0))
             .withColumn("priority", FR.priority_score(F.col("url")))
@@ -219,12 +226,11 @@ class CrawlEngine:
         # PAGE_STRUCT, not the raw bytes, and every downstream action is
         # pure JVM column algebra over it.
         ok = (
-            pages.join(build, F.col("_page_url") == build["canon_url"], "inner")
+            pages.join(build, F.col("_page_url") == build["fetch_key"], "inner")
             .drop("_page_url")
             .withColumn("page_bytes", F.length("html"))
             .withColumn("parsed", parse_page_udf()(F.col("html")))
-            .drop("html")
-            .persist()
+            .persist()  # html column retained: FTP rules parse JSON bodies
         )
         # materialize the round's working set NOW, in one pass — every later
         # action reads the in-memory cache instead of re-parsing
@@ -267,9 +273,9 @@ class CrawlEngine:
 
         # new seen rows: everything dequeued this round (+ robots-blocked,
         # so they are not re-attempted — scrapy drops them permanently too)
-        seen_add = dequeued.select("url_hash", "canon_url")
+        seen_add = dequeued.select("url_hash", "fetch_key")
         if blocked is not None:
-            seen_add = seen_add.unionByName(blocked.select("url_hash", "canon_url"))
+            seen_add = seen_add.unionByName(blocked.select("url_hash", "fetch_key"))
 
         items_df = None
         if all_items:
@@ -282,7 +288,9 @@ class CrawlEngine:
         for children, allowed_pattern in all_children:
             nf = (
                 children.withColumn("canon_url", U.canonicalize_url_udf()(F.col("url")))
-                .withColumn("url_hash", U.url_hash_col(F.col("canon_url")))
+                .withColumn("fetch_key",
+                            U.fetch_key_col(F.col("canon_url"), F.col("form_data")))
+                .withColumn("url_hash", F.xxhash64("fetch_key"))
                 .withColumn("host", U.url_host_udf()(F.col("url")))
                 .filter(F.col("host").rlike(allowed_pattern))  # F8 offsite filter
                 .withColumn("priority", FR.priority_score(F.col("url")))
@@ -302,7 +310,7 @@ class CrawlEngine:
             for nf in new_frontiers[1:]:
                 fresh = fresh.unionByName(nf)
             fresh = FR.dedup_new_children(fresh, seen_add.unionByName(
-                seen.select("url_hash", "canon_url")))
+                seen.select("url_hash", "fetch_key")))
             next_frontier = next_frontier.unionByName(fresh)
 
         # the four state writes are independent given the cached working set

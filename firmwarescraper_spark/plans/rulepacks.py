@@ -43,9 +43,12 @@ def _ignore_filter(href, prefixes) -> F.Column:
     return ~cond
 
 
-def _children(df: DataFrame, rule: str, lineage=None) -> DataFrame:
-    """Normalize a (child_url, pos[, lineage]) frame into the children schema."""
+def _children(df: DataFrame, rule: str, lineage=None, form=None) -> DataFrame:
+    """Normalize a (child_url, pos[, lineage[, form]]) frame into the
+    children schema. ``form`` carries POST form data (S2) — empty map for
+    plain GET requests."""
     lineage_col = lineage if lineage is not None else F.col("lineage")
+    form_col = form if form is not None else F.create_map().cast("map<string,string>")
     return df.select(
         F.col("child_url").alias("url"),
         F.lit(rule).alias("rule"),
@@ -53,6 +56,7 @@ def _children(df: DataFrame, rule: str, lineage=None) -> DataFrame:
         F.col("pos").cast("int").alias("pos"),
         (F.col("depth") + 1).alias("depth"),
         F.col("seq").alias("parent_seq"),
+        form_col.alias("form_data"),
     )
 
 
@@ -244,6 +248,17 @@ RULES = {
     "linksys:parse_versions": linksys_parse_versions,
 }
 
+
+def _register_vendor_rules():
+    """Deferred import: rulepacks_vendors imports helpers from this module."""
+    from firmwarescraper_spark.plans.rulepacks_vendors import (
+        VENDOR_HOST_PATTERNS,
+        VENDOR_RULES,
+    )
+
+    RULES.update(VENDOR_RULES)
+    ALLOWED_HOST_PATTERNS.update(VENDOR_HOST_PATTERNS)
+
 # F8 offsite filter — allowed_domains per spider family as host regexes
 # (avm.py:16; linksys implicit single host; mirror hosts for the bench
 # corpus's many-host shape, sources/generate.py).
@@ -255,3 +270,6 @@ ALLOWED_HOST_PATTERNS = {
 
 def allowed_host_pattern(rule: str) -> str:
     return ALLOWED_HOST_PATTERNS[rule.split(":", 1)[0]]
+
+
+_register_vendor_rules()

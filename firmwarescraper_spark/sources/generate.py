@@ -246,7 +246,7 @@ def mirror_pages(n_mirrors: int, n_devices: int, n_pad: int = 0) -> dict:
     return pages
 
 
-def seeds(n_mirrors: int = 0) -> list:
+def seeds(n_mirrors: int = 0, include_vendors: bool = False) -> list:
     """(url, rule) crawl seeds — reference start_urls
     (avm.py:18-22, linksys.py:66) + one seed per mirror host."""
     s = [
@@ -259,26 +259,39 @@ def seeds(n_mirrors: int = 0) -> list:
         host = MIRROR_HOST_FMT.format(i=i)
         for family in AVM_FAMILIES:
             s.append((f"http://{host}/{family}/", "avm:parse"))
+    if include_vendors:
+        from firmwarescraper_spark.sources.vendors import all_vendor_seeds
+
+        s += all_vendor_seeds()
     return s
 
 
 def corpus_dict(n_avm: int = 8, n_linksys: int = 6, n_mirrors: int = 0,
-                n_avm_mirror: int = 2, n_pad: int = 0) -> dict:
-    """{canonical_url: html} for the simulator and for parquet generation."""
+                n_avm_mirror: int = 2, n_pad: int = 0,
+                vendor_scale: int = 0) -> dict:
+    """{fetch_key: body} for the simulator and for parquet generation.
+    vendor_scale > 0 adds the full 7-vendor + FTP corpus (sources/vendors.py)."""
     pages = {}
     pages.update(avm_pages(n_avm, n_pad))
     pages.update(linksys_pages(n_linksys))
     pages.update(robots_pages())
     if n_mirrors:
         pages.update(mirror_pages(n_mirrors, n_avm_mirror, n_pad))
-    return {canonicalize_url(u): h for u, h in pages.items()}
+    out = {canonicalize_url(u): h for u, h in pages.items()}
+    if vendor_scale:
+        from firmwarescraper_spark.sources.vendors import all_vendor_pages
+
+        out.update(all_vendor_pages(vendor_scale))
+    return out
 
 
 def pages_pdf(n_avm: int = 8, n_linksys: int = 6, n_mirrors: int = 0,
-              n_avm_mirror: int = 2, n_pad: int = 0) -> pd.DataFrame:
+              n_avm_mirror: int = 2, n_pad: int = 0,
+              vendor_scale: int = 0) -> pd.DataFrame:
     """pages table as pandas, input_hint schema (driver-side small variant;
     write_corpus generates distributed)."""
-    corpus = corpus_dict(n_avm, n_linksys, n_mirrors, n_avm_mirror, n_pad)
+    corpus = corpus_dict(n_avm, n_linksys, n_mirrors, n_avm_mirror, n_pad,
+                         vendor_scale)
     return pd.DataFrame(_rows_from_pages(corpus))
 
 
@@ -289,7 +302,7 @@ def _rows_from_pages(pages: dict) -> list:
 
     rows = []
     for url, html in pages.items():
-        canon = canonicalize_url(url)
+        canon = url if "|form|" in url else canonicalize_url(url)
         rows.append(
             {
                 "url": canon,
@@ -304,7 +317,7 @@ def _rows_from_pages(pages: dict) -> list:
 
 def write_corpus(spark, out_dir: str, n_avm: int = 8, n_linksys: int = 6,
                  partitions: int = 8, n_mirrors: int = 0, n_avm_mirror: int = 2,
-                 n_pad: int = 0):
+                 n_pad: int = 0, vendor_scale: int = 0):
     """Write the pages corpus as parquet, generating the (host, family)
     subtrees DISTRIBUTED via mapInPandas — corpus generation itself scales
     with the cluster. (Iceberg-ready layout: one table, hash-distributed by
@@ -341,6 +354,10 @@ def write_corpus(spark, out_dir: str, n_avm: int = 8, n_linksys: int = 6,
     small = {}
     small.update(linksys_pages(n_linksys))
     small.update(robots_pages())
+    if vendor_scale:
+        from firmwarescraper_spark.sources.vendors import all_vendor_pages
+
+        small.update(all_vendor_pages(vendor_scale))
     small_df = spark.createDataFrame(_pd.DataFrame(_rows_from_pages(small)), schema)
 
     full = avm_df.unionByName(small_df)

@@ -40,7 +40,7 @@ def _item_key(d):
 
 def test_seen_set_parity(engine_state, sim_result):
     eng, _ = engine_state
-    engine_seen = {r["canon_url"] for r in eng.seen().collect()}
+    engine_seen = {r["fetch_key"] for r in eng.seen().collect()}
     assert engine_seen == sim_result.seen
 
 
@@ -102,10 +102,10 @@ def test_crawl_order_parity(engine_state, sim_result):
     for d in dfs[1:]:
         all_rows = all_rows.unionByName(d)
     engine_order = [
-        r["canon_url"]
-        for r in all_rows.select("canon_url", "seq").dropDuplicates(["canon_url"])
+        r["fetch_key"]
+        for r in all_rows.select("fetch_key", "seq").dropDuplicates(["fetch_key"])
         .orderBy("seq").collect()
-        if r["canon_url"] in sim_result.seen
+        if r["fetch_key"] in sim_result.seen
     ]
     sim_order = [canon for (_, _, canon, _, _) in sim_result.order]
     assert engine_order == sim_order
@@ -122,7 +122,7 @@ def test_resume_reproduces_state(spark, corpus, sim_result, tmp_path_factory):
     # resume: a fresh engine object picks up from the latest snapshot
     eng2 = CrawlEngine(spark, corpus, state, tokens_per_host=10_000, salt_buckets=4)
     summary = eng2.run()
-    engine_seen = {r["canon_url"] for r in eng2.seen().collect()}
+    engine_seen = {r["fetch_key"] for r in eng2.seen().collect()}
     assert engine_seen == sim_result.seen
     assert summary["items"] == len(sim_result.items)
 
