@@ -336,6 +336,44 @@ class CrawlEngine:
         candidates.unpersist()
         return {"round": rnd}
 
+    # -- S6 file-download sink + F11 resume + A4 media dedup --------------------
+    def collect_downloads(self) -> DataFrame:
+        """The FilesPipeline stage (S6): dedup every distinct item file URL
+        (A4 — FilesPipeline downloads each URL once per job,
+        /root/reference/firmware/settings.py:28-33), anti-join against the
+        existing downloads manifest (F11 resume — skip files already
+        downloaded with identical size, ftp/dlink.py:92-93), fetch the
+        blobs from the corpus, and append (url, path, sha256, bytes) to the
+        manifest (path = URL basename, pipelines.py:5-6)."""
+        from firmwarescraper_spark.functions.versions import url_basename_col
+
+        pending = (
+            self.items()
+            .select(F.explode("file_urls").alias("url"))
+            .dropDuplicates(["url"])  # A4
+            .withColumn("canon_url", U.canonicalize_url_udf()(F.col("url")))
+        )
+        manifest_path = self._p("downloads")
+        if os.path.exists(manifest_path):
+            manifest = self.spark.read.parquet(manifest_path)
+            pending = pending.join(  # F11: already-downloaded skip
+                manifest.select(F.col("url").alias("canon_url")),
+                "canon_url", "left_anti",
+            )
+        blobs = pending.join(
+            self.spark.read.parquet(self.pages_path)
+            .select(F.col("url").alias("canon_url"), F.col("html").alias("blob")),
+            "canon_url", "left",
+        )
+        new_manifest = blobs.select(
+            F.col("canon_url").alias("url"),
+            url_basename_col(F.col("url")).alias("path"),
+            F.sha2(F.col("blob"), 256).alias("sha256"),
+            F.length("blob").cast("long").alias("bytes"),
+        )
+        new_manifest.write.mode("append").parquet(manifest_path)
+        return self.spark.read.parquet(manifest_path)
+
     def run(self, seeds: list | None = None, max_rounds: int = 1000,
             fresh: bool = False) -> dict:
         """Run to fixpoint. With ``fresh=False`` and existing state, resumes

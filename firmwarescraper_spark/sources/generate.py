@@ -131,6 +131,10 @@ def avm_family_pages(host: str, family: str, n_devices: int, n_pad: int = 0) -> 
                      (img, img, f"{_date_for(i)} 12:13", str(20000000 + i)),
                      ("info_de.txt", "info_de.txt", f"{_date_for(i + 3)} 21:18", "47418")],
                 )
+                # the firmware blob itself — a corpus row so the downloads
+                # sink (S6) has real bytes to hash; never enqueued by the
+                # crawl (items are not frontier children)
+                pages[f"{loc_url}fritz.os/{img}"] = f"FWBLOB {img} " * 64
     return pages
 
 
@@ -164,6 +168,11 @@ def _linksys_product_page(article: int) -> str:
         'title="Lizensvereinbarung">Lizensvereinbarung</a>\n'
         "    </p></div></div>\n</div></main></body></html>"
     )
+
+
+def linksys_fw_url(device: str, ver: str, build: int, ext: str) -> str:
+    return (f"http://downloads.linksys.com/downloads/firmware/"
+            f"FW_{device}_{ver}.{build}_prod{ext}")
 
 
 def _linksys_fw_block(device: str, ver: str, build: int, date: str, ext: str) -> str:
@@ -216,6 +225,11 @@ def linksys_pages(n_products: int) -> dict:
     for i, (pid, name) in enumerate(products):
         pages[f"{base}/de/support-product?pid={pid}"] = _linksys_product_page(pid)
         pages[f"{base}/de/support-article?articleNum={pid}"] = _linksys_article_page(name, i)
+        # firmware blobs for the downloads sink (S6)
+        v1 = f"{1 + i % 3}.{i % 10}.{i % 18}"
+        v2 = f"{1 + i % 2}.{(i + 3) % 10}.{(i + 7) % 18}"
+        pages[linksys_fw_url(name, v1, 30000 + i, ".gpg.img")] = f"FWBLOB {name} {v1} " * 64
+        pages[linksys_fw_url(name, v2, 40000 + i, ".img")] = f"FWBLOB {name} {v2} " * 64
     return pages
 
 

@@ -1,0 +1,152 @@
+"""Structured Streaming facade over the events stream.
+
+The reference crawl is a terminating batch job (SURVEY.md §2.7) — nothing
+in it *requires* streaming — but a crawl engine deployed continuously
+ingests fetch/metric events as a stream. This module provides the
+streaming shapes a deployment needs, testable locally with file sources:
+
+  * ``stream_events``      — readStream over an events directory (same
+                             schema as the driver's events table)
+  * ``windowed_counts``    — event-time tumbling window + watermark for
+                             late data
+  * ``sessionize``         — custom stateful operator via
+                             applyInPandasWithState (session gap analysis:
+                             the politeness token bucket's streaming twin)
+
+Batch twins (same transformations over a static DataFrame) keep the logic
+testable without a streaming query runner and document that the plan shape
+is identical — only the source/sink differ.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType, IntegerType, LongType, StringType, StructField, StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def stream_events(spark: SparkSession, path: str,
+                  max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over an events directory (parquet)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Event-time tumbling window with late-data watermark. Works on both a
+    stream (readStream input) and a static frame (watermark is a no-op)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+_SESSION_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_events", IntegerType()),
+    StructField("session_start", TimestampType()),
+    StructField("session_end", TimestampType()),
+])
+
+_STATE_SCHEMA = StructType([
+    StructField("count", IntegerType()),
+    StructField("start", LongType()),    # epoch micros
+    StructField("last", LongType()),
+])
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): emit a
+    session row when a user's event gap exceeds ``gap_minutes``. The batch
+    twin below must agree.
+
+    Idle-session closing via ProcessingTimeTimeout is NOT enabled: in this
+    container's pyspark 4.1.2, any applyInPandasWithState query with
+    ProcessingTimeTimeout deadlocks (reproduced minimally — the state
+    server never acks; NoTimeout works). Sessions therefore close on the
+    next event after the gap; at deployment, re-enable the timeout or move
+    to transformWithStateInPandas."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        count, start, last = state.get if state.exists else (0, None, None)
+        closed = []
+        for pdf in pdf_iter:
+            for ts in sorted(pdf["ts"]):
+                t = int(ts.value // 1000) if hasattr(ts, "value") else int(ts)
+                if last is not None and t - last > gap_us:
+                    closed.append((user_id, count, start, last))
+                    count, start = 0, t
+                if start is None:
+                    start = t
+                count += 1
+                last = t
+        state.update((count, start, last))
+        # ALWAYS yield (possibly empty) — keeps the Arrow writer contract
+        # uniform across groups
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": u, "session_events": c,
+                    "session_start": pd.Timestamp(s, unit="us"),
+                    "session_end": pd.Timestamp(e, unit="us"),
+                }
+                for (u, c, s, e) in closed
+            ],
+            columns=["user_id", "session_events", "session_start", "session_end"],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, _SESSION_SCHEMA, _STATE_SCHEMA, "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch twin of ``sessionize`` — pure window functions; used to verify
+    the stateful operator's semantics and as the backfill path."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_s = gap_minutes * 60
+    # parquet may surface TIMESTAMP_NTZ — normalize before the epoch cast
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    marked = events.withColumn(
+        "new_session",
+        (epoch - F.lag(epoch).over(w) > gap_s).cast("int"),
+    ).withColumn(
+        "session_id", F.sum(F.coalesce("new_session", F.lit(0))).over(w)
+    )
+    return (
+        marked.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").cast("int").alias("session_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .drop("session_id")
+    )
