@@ -73,6 +73,7 @@ class CrawlEngine:
         obey_robots: bool = True,
         round_seconds: float = 60.0,
         broadcast_fetch: bool = True,
+        max_fetch_bytes: int = 2_147_483_648,  # F12: 2 GiB download_maxsize
     ):
         self.spark = spark
         self.pages_path = pages_path
@@ -82,6 +83,7 @@ class CrawlEngine:
         self.obey_robots = obey_robots
         self.round_seconds = round_seconds
         self.broadcast_fetch = broadcast_fetch
+        self.max_fetch_bytes = max_fetch_bytes
         self._pages = None
         self._robots_rules = None
         self._host_budget = None
@@ -229,6 +231,9 @@ class CrawlEngine:
             pages.join(build, F.col("_page_url") == build["fetch_key"], "inner")
             .drop("_page_url")
             .withColumn("page_bytes", F.length("html"))
+            # F12 max-size guard (download_maxsize = 2 GiB, avm_gpl.py:27):
+            # oversized payloads are dropped before parsing
+            .filter(F.length("html") <= F.lit(self.max_fetch_bytes))
             .withColumn("parsed", parse_page_udf()(F.col("html")))
             .persist()  # html column retained: FTP rules parse JSON bodies
         )

@@ -97,44 +97,43 @@ def avm_family_pages(host: str, family: str, n_devices: int, n_pad: int = 0) -> 
     distributed corpus generation (write_corpus parallelizes over these)."""
     pages = {}
     base = f"http://{host}"
-    if True:  # single family
-        devices = [_avm_device_name(family, i) for i in range(n_devices)]
-        entries = [("../", "../", None, None), ("beta/", "beta/", f"{_date_for(1)} 02:45", "-")]
-        for i, d in enumerate(devices):
-            entries.append((f"{d}/", f"{d}/", f"{_date_for(i)} 12:13", "-"))
-        entries.append(("tools/", "tools/", f"{_date_for(2)} 21:18", "-"))
-        entries.append(("license.txt", "license.txt", f"{_date_for(3)} 01:10", "28193"))
-        pages[f"{base}/{family}/"] = _listing_page(f"/{family}/", entries)
+    devices = [_avm_device_name(family, i) for i in range(n_devices)]
+    entries = [("../", "../", None, None), ("beta/", "beta/", f"{_date_for(1)} 02:45", "-")]
+    for i, d in enumerate(devices):
+        entries.append((f"{d}/", f"{d}/", f"{_date_for(i)} 12:13", "-"))
+    entries.append(("tools/", "tools/", f"{_date_for(2)} 21:18", "-"))
+    entries.append(("license.txt", "license.txt", f"{_date_for(3)} 01:10", "28193"))
+    pages[f"{base}/{family}/"] = _listing_page(f"/{family}/", entries)
 
-        for i, d in enumerate(devices):
-            dev_url = f"{base}/{family}/{d}/"
-            pages[dev_url] = _listing_page(
-                f"/{family}/{d}/",
+    for i, d in enumerate(devices):
+        dev_url = f"{base}/{family}/{d}/"
+        pages[dev_url] = _listing_page(
+            f"/{family}/{d}/",
+            [("../", "../", None, None),
+             ("deutschland/", "deutschland/", f"{_date_for(i)} 12:13", "-"),
+             ("other/", "other/", f"{_date_for(i + 1)} 21:18", "-")]
+            + _pad_entries(i, n_pad),
+        )
+        for loc in ("deutschland", "other"):
+            loc_url = f"{dev_url}{loc}/"
+            pages[loc_url] = _listing_page(
+                f"/{family}/{d}/{loc}/",
                 [("../", "../", None, None),
-                 ("deutschland/", "deutschland/", f"{_date_for(i)} 12:13", "-"),
-                 ("other/", "other/", f"{_date_for(i + 1)} 21:18", "-")]
+                 ("fritz.os/", "fritz.os/", f"{_date_for(i)} 12:13", "-"),
+                 ("recover/", "recover/", f"{_date_for(i + 2)} 21:18", "-")]
                 + _pad_entries(i, n_pad),
             )
-            for loc in ("deutschland", "other"):
-                loc_url = f"{dev_url}{loc}/"
-                pages[loc_url] = _listing_page(
-                    f"/{family}/{d}/{loc}/",
-                    [("../", "../", None, None),
-                     ("fritz.os/", "fritz.os/", f"{_date_for(i)} 12:13", "-"),
-                     ("recover/", "recover/", f"{_date_for(i + 2)} 21:18", "-")]
-                    + _pad_entries(i, n_pad),
-                )
-                img = _avm_image_name(family, d, i)
-                pages[f"{loc_url}fritz.os/"] = _listing_page(
-                    f"/{family}/{d}/{loc}/fritz.os/",
-                    [("../", "../", None, None),
-                     (img, img, f"{_date_for(i)} 12:13", str(20000000 + i)),
-                     ("info_de.txt", "info_de.txt", f"{_date_for(i + 3)} 21:18", "47418")],
-                )
-                # the firmware blob itself — a corpus row so the downloads
-                # sink (S6) has real bytes to hash; never enqueued by the
-                # crawl (items are not frontier children)
-                pages[f"{loc_url}fritz.os/{img}"] = f"FWBLOB {img} " * 64
+            img = _avm_image_name(family, d, i)
+            pages[f"{loc_url}fritz.os/"] = _listing_page(
+                f"/{family}/{d}/{loc}/fritz.os/",
+                [("../", "../", None, None),
+                 (img, img, f"{_date_for(i)} 12:13", str(20000000 + i)),
+                 ("info_de.txt", "info_de.txt", f"{_date_for(i + 3)} 21:18", "47418")],
+            )
+            # the firmware blob itself — a corpus row so the downloads
+            # sink (S6) has real bytes to hash; never enqueued by the
+            # crawl (items are not frontier children)
+            pages[f"{loc_url}fritz.os/{img}"] = f"FWBLOB {img} " * 64
     return pages
 
 
