@@ -78,6 +78,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return customer.join(seen, "c_custkey", "left_anti").select("c_custkey", "c_name")
 
+    # -- J5 + bloom prefilter: same anti-join THROUGH the Bloom split path
+    # (definite-unseen bypass the shuffle; maybes go through the exact
+    # anti-join) — proves the prefilter loses no URLs (same oracle)
+    def q_bloom_anti_join(spark, sf):
+        customer, orders = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+        frontier = customer.select(
+            "c_custkey", "c_name", F.col("c_custkey").cast("long").alias("url_hash")
+        )
+        seen = orders.filter(F.col("o_orderdate") >= "1998-01-01").select(
+            F.col("o_custkey").cast("long").alias("url_hash")
+        )
+        return FR.anti_join_seen(frontier, seen, bloom=True).select(
+            "c_custkey", "c_name"
+        )
+
     # -- T1/W5: politeness-budgeted per-host dequeue (salted two-phase) ----
     def q_politeness_dequeue(spark, sf):
         li = _t(spark, sf, "lineitem")
@@ -323,6 +338,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents").filter(F.col("doc_id") < 200), bits=16
         )
 
+    def q_simhash_pairs(spark, sf):
+        # banded-LSH candidate generation (4 bands over 16 bits — exact for
+        # hamming<=3 by pigeonhole) + bit_count verify; oracle is the
+        # brute-force all-pairs hamming join over the same simhash values
+        return DD.simhash_neardup_pairs(
+            _t(spark, sf, "documents").filter(F.col("doc_id") < 200),
+            max_hamming=2, bits=16, bands=4,
+        )
+
     def q_ngram_jaccard(spark, sf):
         return DD.ngram_jaccard_pairs(
             _t(spark, sf, "documents").filter(F.col("doc_id") < 150),
@@ -332,6 +356,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_embedding_neardup(spark, sf):
         return DD.embedding_neardup_pairs(
             _t(spark, sf, "embeddings").filter(F.col("vec_id") < 300), threshold=0.35
+        )
+
+    def q_embedding_neardup_lsh(spark, sf):
+        # the scale path: LSH-bucketed pairwise near-dup. The raw test
+        # embeddings have no high-cosine pairs, so the query plants one
+        # deterministic near-duplicate twin per vector (two coordinates
+        # nudged by 0.0625 — exact in float, reproducible in DuckDB) and
+        # the oracle is the brute-force O(N^2) join over the same
+        # augmented table: equality == recall 1.0 at (planes=8, probes<=3).
+        dim = 64
+        emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 300).select(
+            "vec_id", "embedding"
+        )
+        pert = F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(
+                (i == F.col("vec_id") % dim) | (i == (F.col("vec_id") * 7 + 3) % dim),
+                x + F.lit(0.0625),
+            ).otherwise(x),
+        )
+        # NOTE: the perturbation must be computed BEFORE the id is shifted —
+        # in one combined select, the lambda's vec_id reference resolves
+        # against the aliased (vec_id + 1000) output column
+        twins = emb.withColumn("_tw", pert.cast("array<float>")).select(
+            (F.col("vec_id") + 1000).alias("vec_id"),
+            F.col("_tw").alias("embedding"),
+        )
+        aug = emb.unionByName(twins)
+        return DD.embedding_neardup_pairs_lsh(
+            aug, threshold=0.99, dim=dim, planes=8, multiprobe_hamming=3
         )
 
     def q_cosine_topk(spark, sf):
@@ -377,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         "anti_join_seen": q_anti_join_seen,
+        "bloom_anti_join": q_bloom_anti_join,
         "politeness_dequeue": q_politeness_dequeue,
         "top1_per_group": q_top1_per_group,
         "first_match_in_list": q_first_match_in_list,
@@ -400,8 +455,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "cosine_topk": q_cosine_topk,
         "langid": q_langid,
         "quality": q_quality,
@@ -455,6 +512,29 @@ _MINHASH_PAIRS_SQL = (
     "JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id"
 )
 
+_SIMHASH_PAIRS_SQL = (
+    "WITH s AS (" + _SIMHASH_SQL + ")\n"
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b,\n"
+    "       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming\n"
+    "FROM s a JOIN s b ON a.doc_id < b.doc_id\n"
+    "WHERE bit_count(xor(a.simhash, b.simhash)) <= 2"
+)
+
+_EMBEDDING_LSH_SQL = """
+    WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+    tw AS (SELECT vec_id + 1000 AS vec_id,
+             [CASE WHEN i - 1 = vec_id % 64 OR i - 1 = (vec_id * 7 + 3) % 64
+                   THEN CAST(CAST(embedding[i] AS DOUBLE) + 0.0625 AS FLOAT)
+                   ELSE embedding[i] END
+              FOR i IN generate_series(1, 64)]::FLOAT[] AS embedding
+           FROM base),
+    aug AS (SELECT * FROM base UNION ALL SELECT * FROM tw)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.99
+"""
+
 _NGRAM_JACCARD_SQL = """
 WITH d AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')),' ') AS w
            FROM documents WHERE doc_id < 150),
@@ -498,6 +578,12 @@ _LANGID_SQL = (
 def oracle_sql() -> dict[str, str]:
     return {
         "anti_join_seen": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= DATE '1998-01-01')
+        """,
+        "bloom_anti_join": """
             SELECT c_custkey, c_name FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders
                               WHERE o_custkey = c_custkey
@@ -630,7 +716,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _MINHASH_SIGS_SQL,
         "minhash_lsh_pairs": _MINHASH_PAIRS_SQL,
         "simhash": _SIMHASH_SQL,
+        "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "embedding_neardup_lsh": _EMBEDDING_LSH_SQL,
         "embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos

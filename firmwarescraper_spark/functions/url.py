@@ -154,10 +154,17 @@ def form_body_col(form_col: Column) -> Column:
 
 
 def _urlencode_col(c: Column) -> Column:
-    """urllib.parse.quote_plus for the character set vendor form fields use
-    (alnum plus ?&=/._- need no escaping except space->+); full parity with
-    urlencode is pinned by tests on the actual form vocabularies."""
-    return F.regexp_replace(c, " ", "+")
+    """Full ``urllib.parse.quote_plus`` semantics as a column expression:
+    Spark's ``url_encode`` is java.net.URLEncoder (application/
+    x-www-form-urlencoded: space->'+', uppercase percent-escapes of the
+    UTF-8 bytes), which differs from Python's quote_plus in exactly two
+    characters — Java leaves '*' bare and escapes '~', Python escapes '*'
+    and leaves '~'. Patch those two and the JVM fetch_key is byte-identical
+    to the Python twin ``form_body`` for ANY value (pinned by a
+    hypothesis test over adversarial vocabularies)."""
+    return F.regexp_replace(
+        F.regexp_replace(F.url_encode(c), r"\*", "%2A"), "%7E", "~"
+    )
 
 
 def fetch_key_col(canon_url: Column, form_col: Column | None = None) -> Column:

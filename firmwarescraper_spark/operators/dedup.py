@@ -138,23 +138,45 @@ def simhash(
 
 
 def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 2,
-                          id_col: str = "doc_id", bits: int = 16) -> DataFrame:
-    """Pairs within `max_hamming` bits. Banding on bit-halves (a pair within
-    hamming<=2 over 16 bits agrees exactly on at least one 8-bit half only
-    when both flips land in the other half — for the general scale path use
-    4 bands; here 2 halves keeps the demo exact for max_hamming<=... ) —
-    candidate generation by half-key equi-join, exact hamming verify after."""
-    half = bits // 2
+                          id_col: str = "doc_id", bits: int = 16,
+                          bands: int = 4) -> DataFrame:
+    """Pairs within `max_hamming` simhash bits — EXACT, by LSH banding.
+
+    The signature is split into ``bands`` contiguous bit segments; by
+    pigeonhole, two signatures within hamming ``max_hamming`` agree on at
+    least one full band whenever ``bands > max_hamming`` (default 4 bands
+    over 16 bits covers hamming<=3). Candidates come from a single
+    equi-join on the exploded (band_index, band_bits) key — the same
+    banded-LSH shape as ``minhash_lsh_pairs``; Spark plans a hash join,
+    never a nested-loop — then the exact ``bit_count(xor)`` verify keeps
+    precision 1. Candidate volume is O(N * bands * bucket_size), never
+    O(N^2)."""
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} must exceed max_hamming={max_hamming} for exact recall"
+        )
+    if bits % bands:
+        raise ValueError(f"bits={bits} must divide evenly into bands={bands}")
+    width = bits // bands
+    mask = (1 << width) - 1
     sh = simhash(df, id_col=id_col, bits=bits)
-    keyed = sh.select(
-        id_col, "simhash",
-        (F.col("simhash").bitwiseAND(F.lit(2 ** half - 1))).alias("lo"),
-        F.shiftright(F.col("simhash"), half).alias("hi"),
+    stacked = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.concat_ws(
+                    "_", F.lit(i),
+                    F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask)),
+                )
+                for i in range(bands)
+            ])
+        ).alias("band_key"),
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
+    a, b = stacked.alias("a"), stacked.alias("b")
     cand = a.join(
         b,
-        ((F.col("a.lo") == F.col("b.lo")) | (F.col("a.hi") == F.col("b.hi")))
+        (F.col("a.band_key") == F.col("b.band_key"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     )
     xor = F.expr("a.simhash ^ b.simhash")
@@ -165,7 +187,7 @@ def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 2,
             F.bit_count(xor).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+        .distinct()  # a pair may agree on several bands
     )
 
 
@@ -183,13 +205,17 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
     )
-    doc_sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     rare = sh.join(
         sh.groupBy("sh").agg(F.countDistinct(id_col).alias("df")).filter(
             F.col("df") <= df_cap
         ).select("sh"),
         "sh",
     )
+    # doc sizes over the SAME capped shingle space as the intersections:
+    # when the cap binds, jaccard is the exact similarity of the pruned
+    # shingle sets (numerator and denominator both exclude boilerplate);
+    # when it does not bind, this is the true n-gram jaccard.
+    doc_sizes = rare.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a, b = rare.alias("a"), rare.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh"))
@@ -230,13 +256,72 @@ def embedding_neardup_pairs(
     emb: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """Brute-force cosine near-dup pairs (the correctness baseline; the
-    scale path buckets by LSH first — operators/similarity.py)."""
+    """Brute-force cosine near-dup pairs — the O(N^2) correctness baseline
+    and cross-check oracle for ``embedding_neardup_pairs_lsh`` (the scale
+    path). Keep N small; never run this shape at corpus scale."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn("cos", F.round(cosine_sim(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def embedding_neardup_pairs_lsh(
+    emb: DataFrame, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int = 16, planes: int = 8, multiprobe_hamming: int = 2,
+) -> DataFrame:
+    """Scale path for pairwise embedding near-dup: bucket by deterministic
+    random-hyperplane LSH signature (operators/similarity.lsh_signature),
+    equi-join on the bucket with multiprobe expansion, cosine-verify inside
+    buckets.
+
+    Side B explodes each vector into every signature within
+    ``multiprobe_hamming`` bits of its own (sum of C(planes, 0..h) probe
+    keys per row — a constant), so any pair whose signatures differ by at
+    most that many bits meets in EXACTLY ONE equi-join bucket: candidate
+    volume is O(N * probes * bucket_size), never the O(N^2) cartesian of
+    the brute-force baseline. The in-bucket cosine filter keeps precision
+    1.0; recall is 1.0 iff no qualifying pair's signatures differ by more
+    than ``multiprobe_hamming`` bits — pinned against the brute-force
+    result on the test vectors (tests/test_training_ops.py) at the shipped
+    (planes, probes)."""
+    from itertools import combinations
+
+    from firmwarescraper_spark.operators.similarity import lsh_signature
+
+    sig = lsh_signature(F.col(vec_col), dim, planes)
+    signed = emb.select(F.col(id_col), F.col(vec_col), sig.alias("_sig"))
+    masks = [0]
+    for h in range(1, multiprobe_hamming + 1):
+        masks.extend(
+            sum(1 << b for b in bits_set)
+            for bits_set in combinations(range(planes), h)
+        )
+    # double-precision verify: float32xfloat32 products can flip the
+    # rounded cosine at the 4th decimal near threshold boundaries
+    a = signed.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+        F.col("_sig").alias("_sig_a"),
+    )
+    b = signed.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+        F.explode(
+            F.array(*[F.col("_sig").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("_probe"),
+    )
+    # exactly one probe of B equals A's signature per qualifying pair, so
+    # the equi-join emits each pair at most once — no distinct needed
+    cand = a.join(
+        b, (F.col("_sig_a") == F.col("_probe")) & (F.col("id_a") < F.col("id_b"))
+    )
+    return (
+        cand.withColumn("cos", F.round(cosine_sim(F.col("va"), F.col("vb")), 4))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

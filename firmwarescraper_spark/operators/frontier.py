@@ -30,38 +30,126 @@ Scale design (10^10-URL frontier, 1000 executors):
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def anti_join_seen(frontier: DataFrame, seen: DataFrame) -> DataFrame:
+def anti_join_seen(frontier: DataFrame, seen: DataFrame,
+                   bloom: bool = False,
+                   expected_items: int = 1_000_000, fpp: float = 0.03) -> DataFrame:
     """Drop frontier rows whose ``url_hash`` is in the seen set — the
     scrapy RFPDupeFilter equivalent, placed BEFORE the fetch stage (the
-    reference's key hand-optimization, SURVEY.md §4)."""
-    return frontier.join(seen.select("url_hash"), "url_hash", "left_anti")
+    reference's key hand-optimization, SURVEY.md §4).
+
+    With ``bloom=True`` the frontier is split by an explicit broadcast
+    Bloom membership test first: definite non-members (the overwhelming
+    majority of a fresh crawl's candidates) bypass the seen-check shuffle
+    entirely and only the "maybe seen" rows go through the exact
+    anti-join. Bloom false positives therefore cost one extra shuffled row
+    each, never a dropped URL — the anti-join stays authoritative
+    (north_rule: seen-set must match the reference exactly). Result parity
+    with the plain path is pinned by tests/test_operators.py and the
+    ``bloom_anti_join`` driver oracle."""
+    if not bloom:
+        return frontier.join(seen.select("url_hash"), "url_hash", "left_anti")
+    flagged = bloom_prefilter(frontier, seen, expected_items, fpp)
+    fresh = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    maybes = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+    return fresh.unionByName(
+        maybes.join(seen.select("url_hash"), "url_hash", "left_anti")
+    )
+
+
+def _bloom_geometry(expected_items: int, fpp: float) -> tuple:
+    """Standard Bloom sizing: m = -n ln(p)/ln(2)^2 bits, k = m/n ln(2)."""
+    import math
+
+    m_bits = max(64, int(-expected_items * math.log(fpp) / (math.log(2) ** 2)))
+    m_bits = (m_bits + 63) // 64 * 64
+    k = max(1, round(m_bits / expected_items * math.log(2)))
+    return m_bits, k
+
+
+_BLOOM_MIX = 0x9E3779B97F4A7C15  # 64-bit golden-ratio odd multiplier
+
+
+def build_bloom(seen: DataFrame, key: str = "url_hash",
+                expected_items: int = 1_000_000, fpp: float = 0.03) -> tuple:
+    """Build a Bloom bitmap over ``seen[key]`` from scratch (north_star:
+    "partitioned Bloom/cuckoo-filter URL-seen set") — no driver-side
+    per-row collect: each partition builds its own numpy bitmap inside one
+    Arrow-batched ``mapInPandas`` pass, and the driver ORs the (one per
+    partition, fixed-size) partials — the same merge shape Spark's own
+    sketch aggregates use.
+
+    Hashing: the key is already a 64-bit xxhash64 fingerprint, so the k
+    probe positions come from Kirsch–Mitzenmacher double hashing
+    (h1 + i*h2 mod m, h2 forced odd) — no re-hashing of the URL bytes.
+
+    Returns (bitmap bytes, m_bits, k)."""
+    import numpy as np
+
+    m_bits, k = _bloom_geometry(expected_items, fpp)
+    words = m_bits // 64
+
+    def _partial(batches):
+        bm = np.zeros(words, dtype=np.uint64)
+        seen_any = False
+        for pdf in batches:
+            h1 = pdf[key].to_numpy(dtype=np.int64).view(np.uint64)
+            h2 = (h1 * np.uint64(_BLOOM_MIX)) | np.uint64(1)
+            for i in range(k):
+                idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+                np.bitwise_or.at(
+                    bm, (idx >> np.uint64(6)).astype(np.int64),
+                    np.left_shift(np.uint64(1), idx & np.uint64(63)),
+                )
+            seen_any = True
+        if seen_any:
+            yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    partials = seen.select(key).mapInPandas(_partial, "bm binary").collect()
+    out = np.zeros(words, dtype=np.uint64)
+    for row in partials:
+        out |= np.frombuffer(row["bm"], dtype=np.uint64)
+    return out.tobytes(), m_bits, k
 
 
 def bloom_prefilter(frontier: DataFrame, seen: DataFrame,
                     expected_items: int = 1_000_000, fpp: float = 0.03) -> DataFrame:
-    """Optional explicit Bloom prefilter before the authoritative anti-join:
-    cheap broadcast-side membership test that lets most never-seen URLs skip
-    the shuffle. Composes as: bloom_prefilter(...) |> anti_join_seen(...).
+    """Tag each frontier row with ``_maybe_seen``: a broadcast Bloom
+    membership test over the seen-set's ``url_hash``. Consumed by
+    ``anti_join_seen(..., bloom=True)``, which anti-joins only the maybes
+    and unions the definite-unseen rows back.
 
-    The filter REMOVES only definite non-members from the *seen-check*
-    shuffle; rows flagged as "maybe seen" still go through the exact
-    anti-join, so false positives cannot drop URLs."""
-    bf = seen.stat.bloomFilter("url_hash", expected_items, fpp)
-    spark = frontier.sparkSession
-    bf_b = spark.sparkContext.broadcast(bf)
-
+    Cost model: building the filter is one scan + fixed-size-per-partition
+    merge over ``seen`` (~``1.44 * expected_items * log2(1/fpp)`` bits
+    total). Worth it when |seen| >> |frontier-candidates| and the seen side
+    exceeds the broadcast threshold — exactly the 10^10-URL steady state.
+    The membership test is a vectorized Arrow-batched pandas UDF over the
+    broadcast bitmap (numpy bit ops, no per-row Python)."""
+    import numpy as np
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BooleanType
-    import pandas as pd
+
+    bm_bytes, m_bits, k = build_bloom(seen, "url_hash", expected_items, fpp)
+    spark = frontier.sparkSession
+    bf_b = spark.sparkContext.broadcast((bm_bytes, m_bits, k))
 
     @pandas_udf(BooleanType())
     def maybe_seen(hashes: pd.Series) -> pd.Series:
-        f = bf_b.value
-        return hashes.map(lambda h: f.mightContain(int(h)))
+        raw, m, kk = bf_b.value
+        bm = np.frombuffer(raw, dtype=np.uint64)
+        h1 = hashes.to_numpy(dtype=np.int64).view(np.uint64)
+        h2 = (h1 * np.uint64(_BLOOM_MIX)) | np.uint64(1)
+        res = np.ones(len(h1), dtype=bool)
+        for i in range(kk):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            bit = np.left_shift(np.uint64(1), idx & np.uint64(63))
+            res &= (bm[(idx >> np.uint64(6)).astype(np.int64)] & bit) != 0
+        return pd.Series(res, index=hashes.index)
 
     return frontier.withColumn("_maybe_seen", maybe_seen(F.col("url_hash")))
 

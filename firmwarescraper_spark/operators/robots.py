@@ -67,33 +67,50 @@ def parse_robots_txt(body: str) -> tuple:
 
 
 def build_robots_rules(pages: DataFrame) -> tuple:
-    """From the pages corpus, build (rules_df, delay_df).
+    """From the pages corpus, build (rules_df, delay_df) — fully
+    distributed, no driver-side ``.collect()``: at 10^7 hosts the robots
+    rows scale with host count and must stay a DataFrame.
 
     rules_df: host, is_allow, rule_regex, rule_len
     delay_df: host, crawl_delay
-    Parsing runs distributed (the robots rows are a filtered scan), then the
-    resulting tiny tables are collected once and re-created for broadcast.
+    Parsing runs inside one Arrow-batched ``mapInPandas`` over the filtered
+    robots scan (the pure-Python ``parse_robots_txt`` is shared with the
+    simulator oracle); consumers broadcast-join the result while it fits
+    and shuffle-join past the broadcast threshold — Spark picks per plan.
     """
-    spark = pages.sparkSession
-    robots = (
-        pages.filter(F.col("url").rlike(r"^[a-z]+://[^/]+/robots\.txt$"))
-        .select("url", F.col("html").cast("string").alias("body"))
-        .collect()
+    import pandas as pd
+
+    robots = pages.filter(
+        F.col("url").rlike(r"^[a-z]+://[^/]+/robots\.txt$")
+    ).select("url", F.col("html").cast("string").alias("body"))
+
+    def _parse(batches):
+        for pdf in batches:
+            out = []
+            for url, body in zip(pdf["url"], pdf["body"]):
+                host = re.sub(r"^[a-z]+://([^/]+)/robots\.txt$", r"\1", url)
+                rules, delay = parse_robots_txt(body or "")
+                for is_allow, rule in rules:
+                    out.append((host, is_allow, _rule_to_regex(rule),
+                                len(rule), None))
+                if delay is not None:
+                    out.append((host, None, None, None, float(delay)))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["host", "is_allow", "rule_regex",
+                                  "rule_len", "crawl_delay"],
+                )
+
+    parsed = robots.mapInPandas(
+        _parse,
+        schema="host string, is_allow boolean, rule_regex string, "
+               "rule_len int, crawl_delay double",
     )
-    rule_rows, delay_rows = [], []
-    for r in robots:
-        host = re.sub(r"^[a-z]+://([^/]+)/robots\.txt$", r"\1", r["url"])
-        rules, delay = parse_robots_txt(r["body"])
-        for is_allow, rule in rules:
-            rule_rows.append((host, is_allow, _rule_to_regex(rule), len(rule)))
-        if delay is not None:
-            delay_rows.append((host, delay))
-    rules_df = spark.createDataFrame(
-        rule_rows or [("", True, "^$", 0)],
-        "host string, is_allow boolean, rule_regex string, rule_len int",
+    rules_df = parsed.filter(F.col("is_allow").isNotNull()).select(
+        "host", "is_allow", "rule_regex", "rule_len"
     )
-    delay_df = spark.createDataFrame(
-        delay_rows or [("", 0.0)], "host string, crawl_delay double"
+    delay_df = parsed.filter(F.col("crawl_delay").isNotNull()).select(
+        "host", "crawl_delay"
     )
     return rules_df, delay_df
 

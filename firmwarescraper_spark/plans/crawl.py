@@ -56,6 +56,9 @@ FRONTIER_SCHEMA = StructType([
     StructField("round_added", IntegerType()),
     StructField("form_data", MapType(StringType(), StringType())),
     StructField("fetch_key", StringType()),
+    # T3: attempt counter — scrapy retries 5xx/timeout failures RETRY_TIMES=2
+    # times (default, inherited via /root/reference/requirements.txt:1)
+    StructField("retry_count", IntegerType()),
 ])
 
 ITEM_COLS = ["vendor", "device_name", "firmware_version", "device_class",
@@ -74,6 +77,8 @@ class CrawlEngine:
         round_seconds: float = 60.0,
         broadcast_fetch: bool = True,
         max_fetch_bytes: int = 2_147_483_648,  # F12: 2 GiB download_maxsize
+        max_retries: int = 2,  # T3: scrapy RETRY_TIMES default
+        use_bloom_prefilter: bool = False,
     ):
         self.spark = spark
         self.pages_path = pages_path
@@ -84,9 +89,12 @@ class CrawlEngine:
         self.round_seconds = round_seconds
         self.broadcast_fetch = broadcast_fetch
         self.max_fetch_bytes = max_fetch_bytes
+        self.max_retries = max_retries
+        self.use_bloom_prefilter = use_bloom_prefilter
         self._pages = None
         self._robots_rules = None
         self._host_budget = None
+        self._has_fail_col = None
 
     # -- state paths ---------------------------------------------------------
     def _p(self, *parts) -> str:
@@ -94,16 +102,31 @@ class CrawlEngine:
 
     def pages(self) -> DataFrame:
         if self._pages is None:
+            raw = self.spark.read.parquet(self.pages_path)
+            # optional fault-injection column: a corpus row "responds 5xx"
+            # while retry_count < fail_times (T3 tests/simulated outages);
+            # absent column = the common case, zero extra plan nodes
+            self._has_fail_col = "fail_times" in raw.columns
             # column-pruned scan: extraction needs url + html only
-            self._pages = self.spark.read.parquet(self.pages_path).select(
-                "url", F.col("html").cast("string").alias("html")
+            self._pages = raw.select(
+                "url", F.col("html").cast("string").alias("html"),
+                *([F.coalesce(F.col("fail_times"), F.lit(0)).cast("int")
+                   .alias("fail_times")] if self._has_fail_col else []),
             )
         return self._pages
+
+    def _rollback(self, df: DataFrame) -> DataFrame:
+        """Exclude partitions newer than the last committed round: a crash
+        between the concurrent state writes and the round-commit marker
+        leaves partial round-N partitions; re-running round N must not read
+        its own leftovers (ADVICE r1: the seen set would otherwise contain
+        round N's dequeued rows and the round would come back empty)."""
+        return df.filter(F.col("round") <= F.lit(self.committed_round()))
 
     def seen(self) -> DataFrame:
         path = self._p("seen")
         if os.path.exists(path):
-            return self.spark.read.parquet(path)
+            return self._rollback(self.spark.read.parquet(path))
         return self.spark.createDataFrame(
             [], "url_hash long, fetch_key string, round int"
         )
@@ -111,7 +134,7 @@ class CrawlEngine:
     def items(self) -> DataFrame:
         path = self._p("items")
         if os.path.exists(path):
-            return self.spark.read.parquet(path)
+            return self._rollback(self.spark.read.parquet(path))
         return self.spark.createDataFrame(
             [], "vendor array<string>, device_name array<string>, "
                 "firmware_version array<string>, device_class array<string>, "
@@ -121,10 +144,21 @@ class CrawlEngine:
     def fetch_log(self) -> DataFrame:
         path = self._p("fetch_log")
         if os.path.exists(path):
-            return self.spark.read.parquet(path)
+            return self._rollback(self.spark.read.parquet(path))
         return self.spark.createDataFrame(
             [], "round int, partition_id int, host string, fetched long, "
-                "bytes long, errors long"
+                "bytes long, errors long, retries long"
+        )
+
+    def quarantine(self) -> DataFrame:
+        """J3 class-map misses (the reference raises
+        UnknownDeviceClassException, linksys.py:126-133; the engine routes
+        the offending rows here so they are auditable, not silently lost)."""
+        path = self._p("quarantine")
+        if os.path.exists(path):
+            return self._rollback(self.spark.read.parquet(path))
+        return self.spark.createDataFrame(
+            [], "url string, rule string, reason string, detail string, round int"
         )
 
     # -- seeding ---------------------------------------------------------------
@@ -147,6 +181,7 @@ class CrawlEngine:
             .withColumn("priority", FR.priority_score(F.col("url")))
             .withColumn("lineage", F.create_map().cast("map<string,string>"))
             .withColumn("round_added", F.lit(0))
+            .withColumn("retry_count", F.lit(0))
             .select([f.name for f in FRONTIER_SCHEMA.fields])
         )
 
@@ -168,6 +203,27 @@ class CrawlEngine:
         ]
         return max(rounds) if rounds else -1
 
+    # -- round commit protocol ---------------------------------------------------
+    # The four per-round state writes run concurrently (throughput), so none
+    # of them can be the commit point. A round is committed only when its
+    # marker exists; resume re-runs the first uncommitted round, and every
+    # state reader rolls back partitions newer than the last marker
+    # (see _rollback). On Iceberg this marker is the snapshot commit itself.
+    def committed_round(self) -> int:
+        base = self._p("_commits")
+        if not os.path.exists(base):
+            return -1
+        rounds = [
+            int(d.split("=")[1]) for d in os.listdir(base) if d.startswith("round=")
+        ]
+        return max(rounds) if rounds else -1
+
+    def _commit_round(self, rnd: int):
+        base = self._p("_commits")
+        os.makedirs(base, exist_ok=True)
+        with open(os.path.join(base, f"round={rnd}"), "w"):
+            pass
+
     def _append(self, df: DataFrame, table: str, rnd: int):
         # idempotent per round: a resumed round overwrites its own partition;
         # the round value lives in the hive-style directory name and comes
@@ -180,17 +236,20 @@ class CrawlEngine:
             rules, delay = RB.build_robots_rules(
                 self.spark.read.parquet(self.pages_path)
             )
-            self._robots_rules = rules
+            # persisted: the rule/budget tables are re-joined every round;
+            # the robots scan + parse must run once per crawl, not per use
+            self._robots_rules = rules.persist()
             self._host_budget = RB.host_budget_from_delay(
                 delay, self.round_seconds, self.tokens_per_host
-            )
+            ).persist()
         return self._robots_rules, self._host_budget
 
     def run_round(self, rnd: int) -> dict:
         frontier = self._read_frontier(rnd)
         seen = self.seen()
 
-        candidates = FR.anti_join_seen(frontier, seen)
+        candidates = FR.anti_join_seen(frontier, seen,
+                                       bloom=self.use_bloom_prefilter)
 
         blocked = None
         if self.obey_robots:
@@ -227,12 +286,21 @@ class CrawlEngine:
         # single time per round; the cached working set holds the extracted
         # PAGE_STRUCT, not the raw bytes, and every downstream action is
         # pure JVM column algebra over it.
+        hits = pages.join(
+            build, F.col("_page_url") == build["fetch_key"], "inner"
+        ).drop("_page_url")
+        if self._has_fail_col:
+            # T3 fault injection: the row exists but this attempt "gets a
+            # 5xx" while retry_count < fail_times
+            hits = hits.filter(
+                F.col("retry_count") >= F.col("fail_times")
+            ).drop("fail_times")
         ok = (
-            pages.join(build, F.col("_page_url") == build["fetch_key"], "inner")
-            .drop("_page_url")
+            hits
             .withColumn("page_bytes", F.length("html"))
             # F12 max-size guard (download_maxsize = 2 GiB, avm_gpl.py:27):
-            # oversized payloads are dropped before parsing
+            # oversized payloads are dropped before parsing (the failed
+            # fetch is retried, then terminally logged, like any 5xx)
             .filter(F.length("html") <= F.lit(self.max_fetch_bytes))
             .withColumn("parsed", parse_page_udf()(F.col("html")))
             .persist()  # html column retained: FTP rules parse JSON bodies
@@ -243,42 +311,83 @@ class CrawlEngine:
         misses = dequeued.join(
             F.broadcast(ok.select("url_hash")), "url_hash", "left_anti"
         )
+        # T3 retry split: a miss whose URL exists in the corpus failed with
+        # a retryable error (simulated 5xx / oversize) — scrapy retries those
+        # RETRY_TIMES=2 times; a miss absent from the corpus is a 404, which
+        # scrapy does NOT retry (404 not in RETRY_HTTP_CODES) — terminal.
+        if self._has_fail_col or self.max_fetch_bytes < 2_147_483_648:
+            # key-only corpus scan, broadcast-semi-filtered by the (small)
+            # miss set — the corpus is stream side in both joins, never
+            # shuffled or broadcast
+            present = self.spark.read.parquet(self.pages_path).select(
+                F.col("url").alias("fetch_key")
+            ).join(F.broadcast(misses.select("fetch_key")), "fetch_key", "left_semi")
+            retryable = (
+                misses.filter(F.col("retry_count") < F.lit(self.max_retries))
+                .join(F.broadcast(present), "fetch_key", "left_semi")
+                .withColumn("retry_count", F.col("retry_count") + 1)
+                .persist()
+            )
+            terminal = misses.join(
+                F.broadcast(retryable.select("url_hash")), "url_hash", "left_anti"
+            )
+        else:
+            # no fault injection possible: every miss is a 404 — keep the
+            # plan free of the extra corpus-key scan
+            retryable = None
+            terminal = misses
 
         # per-partition lineage + fetch metrics (T4 / north_rule)
-        def _grp(df, fetched_expr, bytes_expr, errors_expr):
+        def _grp(df, fetched_expr, bytes_expr, errors_expr, retries_expr):
             return df.groupBy(
                 F.spark_partition_id().alias("partition_id"), "host"
             ).agg(
                 fetched_expr.alias("fetched"),
                 bytes_expr.alias("bytes"),
                 errors_expr.alias("errors"),
+                retries_expr.alias("retries"),
             )
 
-        metrics = _grp(ok, F.count("*"), F.sum("page_bytes"),
-                       F.lit(0).cast("long"))
+        zero = F.lit(0).cast("long")
+        metrics = _grp(ok, F.count("*"), F.sum("page_bytes"), zero, zero)
+        # terminal failures are logged (as errors) exactly once
         metrics = metrics.unionByName(
-            _grp(misses, F.lit(0).cast("long"), F.lit(0).cast("long"), F.count("*"))
+            _grp(terminal, zero, zero, F.count("*"), zero)
         )
+        if retryable is not None:
+            metrics = metrics.unionByName(
+                _grp(retryable, zero, zero, zero, F.count("*"))
+            )
         if blocked is not None:
             metrics = metrics.unionByName(
-                _grp(blocked, F.lit(0).cast("long"), F.lit(0).cast("long"), F.count("*"))
+                _grp(blocked, zero, zero, F.count("*"), zero)
             )
 
         # apply every registered rule pack — non-present rules reduce to a
         # filter over the cached `ok` inside the same DAG (no extra driver
-        # round-trip to discover which rules are present)
-        all_children, all_items = [], []
+        # round-trip to discover which rules are present). A rule may return
+        # an optional third element: quarantine rows (J3 class-map misses —
+        # the reference raises UnknownDeviceClassException; the engine keeps
+        # the offending rows auditable instead).
+        all_children, all_items, all_quar = [], [], []
         for rule, fn in RP.RULES.items():
             subset = ok.filter(F.col("rule") == rule)
-            children, items = fn(subset)
+            res = fn(subset)
+            children, items = res[0], res[1]
             if children is not None:
                 all_children.append((children, RP.allowed_host_pattern(rule)))
             if items is not None:
                 all_items.append(items)
+            if len(res) > 2 and res[2] is not None:
+                all_quar.append(res[2])
 
-        # new seen rows: everything dequeued this round (+ robots-blocked,
-        # so they are not re-attempted — scrapy drops them permanently too)
-        seen_add = dequeued.select("url_hash", "fetch_key")
+        # new seen rows: every fetch resolved this round — successes,
+        # terminal failures, and robots-blocked rows (scrapy drops those
+        # permanently too). Retryable misses are NOT seen yet: they must
+        # pass the next round's anti-join to be re-attempted.
+        seen_add = ok.select("url_hash", "fetch_key").unionByName(
+            terminal.select("url_hash", "fetch_key")
+        )
         if blocked is not None:
             seen_add = seen_add.unionByName(blocked.select("url_hash", "fetch_key"))
 
@@ -305,24 +414,38 @@ class CrawlEngine:
                                 F.format_string("%06d", F.col("pos"))),
                 )
                 .withColumn("round_added", F.lit(rnd + 1))
+                .withColumn("retry_count", F.lit(0))
                 .select([f.name for f in FRONTIER_SCHEMA.fields])
             )
             new_frontiers.append(nf)
 
+        # frontier(r+1) = deferred ∪ retried misses ∪ fresh children
         next_frontier = deferred.select([f.name for f in FRONTIER_SCHEMA.fields])
+        if retryable is not None:
+            next_frontier = next_frontier.unionByName(
+                retryable.select([f.name for f in FRONTIER_SCHEMA.fields])
+            )
         if new_frontiers:
             fresh = new_frontiers[0]
             for nf in new_frontiers[1:]:
                 fresh = fresh.unionByName(nf)
             fresh = FR.dedup_new_children(fresh, seen_add.unionByName(
                 seen.select("url_hash", "fetch_key")))
+            # ADVICE r1: a URL that is deferred (or retried) this round and
+            # re-discovered as a child must not enter the frontier twice —
+            # scrapy's RFPDupeFilter dedups at enqueue time against ALL
+            # scheduled requests, and the earlier-scheduled row wins
+            fresh = fresh.join(
+                next_frontier.select("url_hash"), "url_hash", "left_anti"
+            )
             next_frontier = next_frontier.unionByName(fresh)
 
-        # the four state writes are independent given the cached working set
+        # the state writes are independent given the cached working set
         # (ok / dequeued / candidates are materialized) — run them as
         # concurrent Spark jobs so the round's wall time is parse + the
-        # slowest write, not their sum. Latency-bound small writes overlap
-        # with the UDF-heavy frontier job at every parallelism level.
+        # slowest write, not their sum. None of them is the commit point:
+        # the round-commit marker below is written only after every write
+        # has finished, and resume rolls back anything newer than it.
         from concurrent.futures import ThreadPoolExecutor
 
         writes = [
@@ -332,14 +455,35 @@ class CrawlEngine:
         ]
         if items_df is not None:
             writes.append(lambda: self._append(items_df, "items", rnd))
+        if all_quar:
+            quar = all_quar[0]
+            for q in all_quar[1:]:
+                quar = quar.unionByName(q)
+            writes.append(lambda: self._append(quar, "quarantine", rnd))
         with ThreadPoolExecutor(max_workers=len(writes)) as ex:
             for fut in [ex.submit(w) for w in writes]:
                 fut.result()
+        self._commit_round(rnd)
 
         dequeued.unpersist()
         ok.unpersist()
         candidates.unpersist()
+        if retryable is not None:
+            retryable.unpersist()
         return {"round": rnd}
+
+    # -- S7 feed export ----------------------------------------------------------
+    def export_feed(self, path: str) -> int:
+        """The reference's primary user-facing output: ``scrapy crawl
+        <spider> -o items.json`` (/root/reference/README.md:37-41; the FTP
+        walker writes dlink.json, ftp/dlink.py:110-118). Writes the items
+        table as a JSON-lines feed (scrapy's .jl feed format — one item
+        object per line, list-wrapped fields) and returns the item count.
+        Parquet remains the engine's columnar state format; this is the
+        export sink."""
+        items = self.items().drop("round")
+        items.write.mode("overwrite").json(path)
+        return items.count()
 
     # -- S6 file-download sink + F11 resume + A4 media dedup --------------------
     def collect_downloads(self) -> DataFrame:
@@ -370,13 +514,22 @@ class CrawlEngine:
             .select(F.col("url").alias("canon_url"), F.col("html").alias("blob")),
             "canon_url", "left",
         )
-        new_manifest = blobs.select(
+        # only successfully fetched blobs enter the manifest — a URL absent
+        # from the corpus this run must stay pending so a later run retries
+        # it (ADVICE r1: a null-blob manifest row would permanently mark the
+        # file downloaded). Misses are logged to their own table instead.
+        new_manifest = blobs.filter(F.col("blob").isNotNull()).select(
             F.col("canon_url").alias("url"),
             url_basename_col(F.col("url")).alias("path"),
             F.sha2(F.col("blob"), 256).alias("sha256"),
             F.length("blob").cast("long").alias("bytes"),
         )
         new_manifest.write.mode("append").parquet(manifest_path)
+        misses = blobs.filter(F.col("blob").isNull()).select(
+            F.col("canon_url").alias("url")
+        )
+        if not misses.isEmpty():
+            misses.write.mode("append").parquet(self._p("download_misses"))
         return self.spark.read.parquet(manifest_path)
 
     def run(self, seeds: list | None = None, max_rounds: int = 1000,
@@ -385,8 +538,12 @@ class CrawlEngine:
         from the latest frontier snapshot (T4 exactly-once resume)."""
         if fresh and os.path.exists(self.state_dir):
             shutil.rmtree(self.state_dir)
-        rnd = self.latest_round()
-        if rnd < 0:
+        # resume = first uncommitted round: a crash that left partial
+        # round-N writes (but no marker) re-runs round N from the last
+        # committed frontier; its leftover partitions are rolled back by
+        # the state readers and overwritten idempotently.
+        rnd = self.committed_round() + 1
+        if self.latest_round() < 0:
             assert seeds is not None, "first run needs seeds"
             self._write_frontier(self.seed_frontier(seeds), 0)
             rnd = 0

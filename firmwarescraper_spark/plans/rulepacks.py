@@ -227,13 +227,28 @@ def linksys_parse_versions(fetched: DataFrame):
         _class_case(LINKSYS_DEVICE_CLASSES, device).alias("device_class"),
         V.linksys_date_col(F.col("fw")).alias("release_date"),
         V.linksys_file_url_col(F.col("fw")).alias("file_url"),
-    ).filter(F.col("device_class").isNotNull())  # miss -> quarantine (J3)
+    )
+    # J3 class-map miss: the reference raises UnknownDeviceClassException
+    # (linksys.py:126-133), which scrapy logs and drops. The engine routes
+    # the offending rows to the auditable quarantine table instead of
+    # silently losing them (schema: CrawlEngine.quarantine()).
+    quarantine = (
+        meta.filter(F.col("device_class").isNull())
+        .select(
+            "url",
+            F.lit("linksys:parse_versions").alias("rule"),
+            F.lit("unknown_device_class").alias("reason"),
+            F.col("device_name").alias("detail"),
+        )
+        .dropDuplicates(["url", "detail"])
+    )
+    kept = meta.filter(F.col("device_class").isNotNull())
 
-    deduped = meta.dropDuplicates(
+    deduped = kept.dropDuplicates(
         ["url", "block_pos", "vendor", "device_name", "firmware_version",
          "device_class", "release_date", "file_url"]
     )
-    return None, _wrap_items(deduped)
+    return None, _wrap_items(deduped), quarantine
 
 
 # ---------------------------------------------------------------------------
