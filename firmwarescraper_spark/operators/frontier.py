@@ -154,6 +154,21 @@ def bloom_prefilter(frontier: DataFrame, seen: DataFrame,
     return frontier.withColumn("_maybe_seen", maybe_seen(F.col("url_hash")))
 
 
+def write_bucketed(df: DataFrame, table: str, buckets: int = 32,
+                   key: str = "url_hash"):
+    """Persist a state table bucketed+sorted by the join key — the layout
+    that makes the frontier⋈seen anti-join (and the frontier⋈pages fetch
+    join) shuffle-free PAST the broadcast threshold: co-bucketed scans feed
+    a SortMergeJoin with zero Exchange and zero Sort (captured plan:
+    PLANS.md §2b; pinned by tests/test_round2_fixes.py). On Iceberg the
+    same property comes from a ``bucket(N, url_hash)`` partition transform
+    via storage-partitioned joins; Spark's native bucketed parquet
+    exercises the identical planner rule without a catalog."""
+    (df.write.bucketBy(buckets, key).sortBy(key)
+       .mode("overwrite").saveAsTable(table))
+    return df.sparkSession.table(table)
+
+
 def politeness_dequeue(
     frontier: DataFrame,
     tokens_per_host: int = 64,

@@ -306,8 +306,16 @@ class CrawlEngine:
             .persist()  # html column retained: FTP rules parse JSON bodies
         )
         # materialize the round's working set NOW, in one pass — every later
-        # action reads the in-memory cache instead of re-parsing
-        ok.count()
+        # action reads the in-memory cache instead of re-parsing. The same
+        # action discovers which rule packs are present this round (<=23
+        # strings to the driver) so the rule loop below only builds plans
+        # for rules that exist: building all 23 unconditionally costs ~5 s
+        # of driver-side expression construction per round PLUS their
+        # Catalyst analysis inside every write job — measured 3-4x the
+        # whole per-round floor at local[1].
+        present_rules = set(
+            ok.agg(F.collect_set("rule")).first()[0]
+        )
         misses = dequeued.join(
             F.broadcast(ok.select("url_hash")), "url_hash", "left_anti"
         )
@@ -363,14 +371,14 @@ class CrawlEngine:
                 _grp(blocked, zero, zero, F.count("*"), zero)
             )
 
-        # apply every registered rule pack — non-present rules reduce to a
-        # filter over the cached `ok` inside the same DAG (no extra driver
-        # round-trip to discover which rules are present). A rule may return
-        # an optional third element: quarantine rows (J3 class-map misses —
-        # the reference raises UnknownDeviceClassException; the engine keeps
-        # the offending rows auditable instead).
+        # apply only the rule packs present this round. A rule may return an
+        # optional third element: quarantine rows (J3 class-map misses —
+        # the reference raises UnknownDeviceClassException; the engine
+        # keeps the offending rows auditable instead).
         all_children, all_items, all_quar = [], [], []
         for rule, fn in RP.RULES.items():
+            if rule not in present_rules:
+                continue
             subset = ok.filter(F.col("rule") == rule)
             res = fn(subset)
             children, items = res[0], res[1]

@@ -281,6 +281,34 @@ def test_embedding_lsh_equals_bruteforce(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_bucketed_antijoin_no_shuffle(spark):
+    """Past broadcast scale: with both state tables bucketed by url_hash,
+    the seen anti-join must plan with NO Exchange on either side even when
+    broadcasting is impossible (PLANS.md 2b)."""
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        seen = spark.range(0, 100_000).select(
+            F.xxhash64("id").alias("url_hash"),
+            F.concat(F.lit("k"), F.col("id")).alias("fetch_key"))
+        frontier = spark.range(80_000, 130_000).select(
+            F.xxhash64("id").alias("url_hash"),
+            F.concat(F.lit("http://h/"), F.col("id")).alias("url"))
+        sb = FR.write_bucketed(seen, "t_seen_b", buckets=8)
+        fb = FR.write_bucketed(frontier, "t_frontier_b", buckets=8)
+        anti = FR.anti_join_seen(fb, sb)
+        plan = anti._jdf.queryExecution().sparkPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+        expect = {r["url_hash"]
+                  for r in FR.anti_join_seen(frontier, seen).collect()}
+        assert {r["url_hash"] for r in anti.collect()} == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_seen_b")
+        spark.sql("DROP TABLE IF EXISTS t_frontier_b")
+
+
 def test_bloom_prefilter_parity(spark):
     """anti_join_seen(bloom=True) must return exactly the plain anti-join's
     rows — Bloom false positives cost a shuffled row, never a lost URL."""
