@@ -1,12 +1,18 @@
 """Multimodal (image/audio/video) column plumbing.
 
 Media payloads are opaque ``binary`` columns with typed metadata structs —
-the training-data-pipeline pattern for 100 TB multimodal corpora: the
-Spark-side plumbing (schemas, partitioning, Arrow batch shape, UDF
-signatures) is real and tested; the *decode* kernels are STUBBED behind
-deterministic fakes because this container ships no image/audio libs
-(clearly marked below — swap `_decode_stub` for PIL/ffmpeg at deployment;
-the mapInPandas batch contract does not change).
+the training-data-pipeline pattern for 100 TB multimodal corpora.
+
+Decode status (honest inventory):
+  * **REAL** (pure numpy/stdlib, multimodal/codecs.py): BMP (24-bit),
+    PNG (8-bit gray/RGB/RGBA, non-interlaced, all five scanline filters),
+    WAV (PCM16) — decode, nearest-neighbor resize, re-encode, image and
+    audio feature extraction all operate on actual pixels/samples.
+  * **STUBBED**: JPEG and MP4 kernels (this container ships no
+    libjpeg/ffmpeg); those payloads fall through to ``_decode_stub`` and
+    are tagged ``codec = "stub"`` per row so downstream consumers can tell.
+    At deployment, swap the stub for the native lib; every schema and
+    mapInPandas batch contract stays identical.
 
 Scale notes: decode/feature-extract run via ``mapInPandas`` so each Arrow
 batch amortizes the Python crossing; batch size is governed by
@@ -47,6 +53,7 @@ MEDIA_META_SCHEMA = StructType([
 _MAGIC = [
     (b"\x89PNG", "image", "png"),
     (b"\xff\xd8\xff", "image", "jpeg"),
+    (b"BM", "image", "bmp"),
     (b"RIFF", "audio", "riff"),
     (b"\x00\x00\x00", "video", "mp4"),
 ]
@@ -56,6 +63,8 @@ def sniff_media_type(payload: bytes) -> tuple:
     """(media_type, container) from magic bytes — pure function, no decode."""
     if payload is None:
         return ("unknown", None)
+    if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+        return ("audio", "wav")
     for magic, mtype, container in _MAGIC:
         if payload.startswith(magic):
             return (mtype, container)
@@ -77,10 +86,12 @@ def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
     @pandas_udf(MEDIA_META_SCHEMA)
     def _meta(payload: pd.Series) -> pd.DataFrame:
+        from firmwarescraper_spark.multimodal.codecs import bmp_dims
+
         rows = []
         for p in payload:
             mtype, container = sniff_media_type(p)
-            w, h = _png_dims(p)
+            w, h = _png_dims(p) if container == "png" else bmp_dims(p)
             rows.append({
                 "media_type": mtype, "container": container,
                 "bytes": len(p) if p is not None else 0,
@@ -93,16 +104,17 @@ def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# decode / transform kernels — STUBBED (no image/audio libs in container)
+# decode / transform kernels — REAL for BMP/PNG/WAV (multimodal/codecs.py),
+# STUBBED for JPEG/MP4 (no libjpeg/ffmpeg in container)
 # ---------------------------------------------------------------------------
 
 def _decode_stub(payload: bytes, op: str, params: str = "") -> bytes:
-    """*** STUB DECODER ***
-    Deterministic fake standing in for PIL/libvips/ffmpeg: output = 32-byte
-    digest of (op, params, payload). At deployment, replace with the real
-    kernel; every schema/batch contract around it stays identical. A real
-    implementation that is unavailable must raise NotImplementedError — the
-    fake is used so the plumbing is testable end-to-end."""
+    """*** STUB DECODER (compressed codecs only) ***
+    Deterministic fake standing in for libjpeg/ffmpeg: output = 32-byte
+    digest of (op, params, payload). Rows through this path carry
+    ``codec = "stub"`` so they are distinguishable from real decodes. At
+    deployment, replace with the native kernel; every schema/batch
+    contract around it stays identical."""
     h = hashlib.sha256()
     h.update(op.encode())
     h.update(params.encode())
@@ -110,61 +122,153 @@ def _decode_stub(payload: bytes, op: str, params: str = "") -> bytes:
     return h.digest()
 
 
+def _try_decode_image(payload: bytes):
+    """(array, container) for decodable containers, else (None, None)."""
+    from firmwarescraper_spark.multimodal import codecs as CX
+
+    _, container = sniff_media_type(payload)
+    try:
+        if container == "png":
+            return CX.decode_png(payload), "png"
+        if container == "bmp":
+            return CX.decode_bmp(payload), "bmp"
+    except Exception:
+        pass  # malformed/unsupported variant -> stub path, tagged below
+    return None, None
+
+
 _DECODED_SCHEMA = StructType([
     StructField("id", LongType()),
-    StructField("decoded", BinaryType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("pixels", BinaryType()),
+    StructField("codec", StringType()),
     StructField("n_in_batch", IntegerType()),
 ])
 
 
 def decode_image_batches(df: DataFrame, id_col: str = "id",
                          payload_col: str = "payload") -> DataFrame:
-    """mapInPandas decode stage: demonstrates the batch contract (one Arrow
-    batch in -> one DataFrame out, batch size observable via n_in_batch)."""
+    """mapInPandas decode stage. PNG/BMP payloads decode for real (pixels =
+    raw H*W*C uint8 buffer + dims); anything else gets the stub digest with
+    ``codec = "stub"``. One Arrow batch in -> one DataFrame out; batch size
+    observable via n_in_batch."""
     def gen(batches):
         for pdf in batches:
-            n = len(pdf)
-            yield pd.DataFrame({
-                "id": pdf[id_col],
-                "decoded": [_decode_stub(p, "decode") for p in pdf[payload_col]],
-                "n_in_batch": [n] * n,
-            })
+            n, rows = len(pdf), []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                arr, container = _try_decode_image(p)
+                if arr is not None:
+                    h, w = arr.shape[:2]
+                    c = 1 if arr.ndim == 2 else arr.shape[2]
+                    rows.append((i, w, h, c, arr.tobytes(),
+                                 f"numpy-{container}", n))
+                else:
+                    rows.append((i, None, None, None,
+                                 _decode_stub(p, "decode"), "stub", n))
+            yield pd.DataFrame(rows, columns=[
+                "id", "width", "height", "channels", "pixels", "codec",
+                "n_in_batch"])
 
     return df.mapInPandas(gen, _DECODED_SCHEMA)
 
 
+_RESIZED_SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("resized", BinaryType()),
+    StructField("codec", StringType()),
+])
+
+
 def resize_images(df: DataFrame, width: int, height: int,
                   id_col: str = "id", payload_col: str = "payload") -> DataFrame:
-    """Resize kernel plumbing (stubbed): params travel into the kernel,
-    output schema is (id, resized binary)."""
-    from pyspark.sql.functions import pandas_udf
+    """Resize stage: PNG/BMP decode -> nearest-neighbor resample ->
+    re-encode in the SAME container (a real thumbnailer); other payloads
+    get the stub digest, tagged."""
+    from firmwarescraper_spark.multimodal import codecs as CX
 
-    @pandas_udf(BinaryType())
-    def _resize(payload: pd.Series) -> pd.Series:
-        return payload.map(lambda p: _decode_stub(p, "resize", f"{width}x{height}"))
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                arr, container = _try_decode_image(p)
+                if arr is not None:
+                    small = CX.resize_nearest(arr, width, height)
+                    enc = (CX.encode_png(small) if container == "png"
+                           else CX.encode_bmp(small))
+                    rows.append((i, enc, f"numpy-{container}"))
+                else:
+                    rows.append((i, _decode_stub(p, "resize", f"{width}x{height}"),
+                                 "stub"))
+            yield pd.DataFrame(rows, columns=["id", "resized", "codec"])
 
-    return df.select(F.col(id_col), _resize(F.col(payload_col)).alias("resized"))
+    return df.mapInPandas(gen, _RESIZED_SCHEMA)
 
 
 def extract_image_features(df: DataFrame, dim: int = 16,
                            id_col: str = "id", payload_col: str = "payload") -> DataFrame:
-    """Feature-extraction plumbing: binary -> array<double> embedding.
-    The stub derives a deterministic pseudo-embedding from crc32 chunks of
-    the payload (so dedup/similarity operators can be tested end-to-end on
-    'image features' without a real model)."""
+    """binary -> array<double> embedding. Decodable images produce REAL
+    features (per-channel mean/std + grayscale histogram, codecs.py);
+    non-decodable payloads fall back to a deterministic crc32
+    pseudo-embedding (same length) so dedup/similarity pipelines stay
+    testable end-to-end over mixed corpora."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(ArrayType(DoubleType()))
     def _feat(payload: pd.Series) -> pd.Series:
+        from firmwarescraper_spark.multimodal import codecs as CX
+
         def feat(p):
             if p is None:
                 return [0.0] * dim
+            arr, _ = _try_decode_image(p)
+            if arr is not None:
+                v = CX.image_feature_vec(arr, dim)
+                return v + [0.0] * (dim - len(v))
             return [
                 (zlib.crc32(p + bytes([i])) % 10_000) / 10_000.0 for i in range(dim)
             ]
         return payload.map(feat)
 
     return df.select(F.col(id_col), _feat(F.col(payload_col)).alias("features"))
+
+
+_AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("duration_sec", DoubleType()),
+    StructField("rms", DoubleType()),
+    StructField("zero_crossing_rate", DoubleType()),
+    StructField("dominant_hz", DoubleType()),
+    StructField("codec", StringType()),
+])
+
+
+def extract_audio_features(df: DataFrame, id_col: str = "id",
+                           payload_col: str = "payload") -> DataFrame:
+    """REAL audio features for PCM16 WAV payloads (duration, RMS,
+    zero-crossing rate, dominant frequency via numpy rFFT —
+    codecs.audio_feature_vec); non-WAV rows yield nulls with
+    ``codec = "stub"``."""
+    from firmwarescraper_spark.multimodal import codecs as CX
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    samples, rate = CX.decode_wav(p)
+                    fv = CX.audio_feature_vec(samples, rate)
+                    rows.append((i, fv["duration_sec"], fv["rms"],
+                                 fv["zero_crossing_rate"], fv["dominant_hz"],
+                                 "numpy-wav"))
+                except Exception:
+                    rows.append((i, None, None, None, None, "stub"))
+            yield pd.DataFrame(rows, columns=[
+                "id", "duration_sec", "rms", "zero_crossing_rate",
+                "dominant_hz", "codec"])
+
+    return df.mapInPandas(gen, _AUDIO_FEATURES_SCHEMA)
 
 
 _FRAME_SCHEMA = StructType([

@@ -38,9 +38,13 @@ def test_media_meta(spark, media_df):
 
 
 def test_decode_batch_contract(spark, media_df):
+    # every fixture payload here is UNdecodable (header-only fake PNG,
+    # jpeg-ish bytes, bare RIFF, garbage) -> all rows take the stub path,
+    # explicitly tagged
     out = MM.decode_image_batches(media_df).collect()
     assert len(out) == 4
-    assert all(len(r["decoded"]) == 32 for r in out)  # stub digest shape
+    assert all(r["codec"] == "stub" and len(r["pixels"]) == 32 for r in out)
+    assert all(r["width"] is None for r in out)
 
 
 def test_resize_and_features_deterministic(spark, media_df):
@@ -53,7 +57,7 @@ def test_resize_and_features_deterministic(spark, media_df):
              MM.extract_image_features(media_df, dim=8).collect()}
     assert len(feats[0]) == 8
     assert all(0.0 <= x <= 1.0 for x in feats[0])
-    # deterministic pseudo-embedding: reproducible from payload
+    # non-decodable payload -> deterministic pseudo-embedding from payload
     expected0 = [(zlib.crc32(_png(640, 480) + bytes([i])) % 10_000) / 10_000.0
                  for i in range(8)]
     assert feats[0] == expected0
@@ -63,6 +67,125 @@ def test_frame_sampling_fanout(spark, media_df):
     frames = MM.frame_sample_video(media_df, every_n=5, max_frames=3).collect()
     assert len(frames) == 4 * 3
     assert sorted({r["frame_no"] for r in frames}) == [0, 5, 10]
+
+
+# --- real codecs (BMP/PNG/WAV, multimodal/codecs.py) --------------------------
+
+def _checker(h, w):
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    arr = np.zeros((h, w, 3), dtype=np.uint8)
+    arr[:, :, 0] = ((x + y) % 2) * 255
+    arr[:, :, 1] = (x * 7) % 256
+    arr[:, :, 2] = (y * 13) % 256
+    return arr
+
+
+def test_bmp_png_roundtrip():
+    import numpy as np
+
+    from firmwarescraper_spark.multimodal import codecs as CX
+
+    arr = _checker(13, 9)  # odd width exercises BMP row padding
+    assert np.array_equal(CX.decode_bmp(CX.encode_bmp(arr)), arr)
+    assert np.array_equal(CX.decode_png(CX.encode_png(arr)), arr)
+    gray = arr[:, :, 0]
+    assert np.array_equal(CX.decode_png(CX.encode_png(gray))[:, :, 0], gray)
+
+
+def test_png_all_filters_decode():
+    """The decoder must handle filters 1-4, which our encoder never emits:
+    hand-build a PNG using each filter type and check the reconstruction."""
+    import numpy as np
+    import struct as st
+
+    from firmwarescraper_spark.multimodal import codecs as CX
+
+    arr = _checker(5, 4)
+    h, w, c = arr.shape
+    bpp = c
+    lines = []
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y, ftype in zip(range(h), [0, 1, 2, 3, 4]):
+        recon = arr[y].reshape(-1).astype(np.int32)
+        filt = np.zeros_like(recon)
+        for x in range(len(recon)):
+            a = recon[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            cc = prev[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                filt[x] = recon[x]
+            elif ftype == 1:
+                filt[x] = (recon[x] - a) & 0xFF
+            elif ftype == 2:
+                filt[x] = (recon[x] - b) & 0xFF
+            elif ftype == 3:
+                filt[x] = (recon[x] - (a + b) // 2) & 0xFF
+            else:
+                filt[x] = (recon[x] - CX._paeth(a, b, cc)) & 0xFF
+        lines.append(bytes([ftype]) + bytes(filt.astype(np.uint8)))
+        prev = recon
+    ihdr = st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + CX._png_chunk(b"IHDR", ihdr)
+           + CX._png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+           + CX._png_chunk(b"IEND", b""))
+    assert np.array_equal(CX.decode_png(png), arr)
+
+
+def test_real_decode_resize_features(spark):
+    import numpy as np
+
+    from firmwarescraper_spark.multimodal import codecs as CX
+
+    arr = _checker(8, 8)
+    rows = [(10, CX.encode_bmp(arr)), (11, CX.encode_png(arr)),
+            (12, b"\xff\xd8\xffjpeg-ish" + b"\x00" * 32)]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+
+    dec = {r["id"]: r for r in MM.decode_image_batches(df).collect()}
+    for i, codec in ((10, "numpy-bmp"), (11, "numpy-png")):
+        assert dec[i]["codec"] == codec
+        assert (dec[i]["width"], dec[i]["height"], dec[i]["channels"]) == (8, 8, 3)
+        got = np.frombuffer(dec[i]["pixels"], dtype=np.uint8).reshape(8, 8, 3)
+        assert np.array_equal(got, arr)
+    assert dec[12]["codec"] == "stub"
+
+    # resize: 8x8 -> 4x4 nearest == every other pixel, re-encoded per container
+    rs = {r["id"]: r for r in MM.resize_images(df, 4, 4).collect()}
+    expected = arr[::2, ::2]
+    assert np.array_equal(CX.decode_bmp(bytes(rs[10]["resized"])), expected)
+    assert np.array_equal(CX.decode_png(bytes(rs[11]["resized"])), expected)
+    assert rs[12]["codec"] == "stub"
+
+    # real features: first three = per-channel means / 255
+    feats = {r["id"]: r["features"] for r in
+             MM.extract_image_features(df, dim=8).collect()}
+    means = arr.astype(float).mean(axis=(0, 1)) / 255.0
+    assert feats[11][:3] == pytest.approx(list(means), abs=1e-5)
+    assert feats[10] == feats[11]  # same pixels via either container
+
+
+def test_wav_audio_features(spark):
+    import numpy as np
+
+    from firmwarescraper_spark.multimodal import codecs as CX
+
+    rate, freq, secs = 8000, 440.0, 1.0
+    t = np.arange(int(rate * secs)) / rate
+    tone = (np.sin(2 * np.pi * freq * t) * 20000).astype(np.int16)
+    rows = [(0, CX.encode_wav(tone, rate)), (1, b"not audio at all")]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r["id"]: r for r in MM.extract_audio_features(df).collect()}
+    assert out[0]["codec"] == "numpy-wav"
+    assert out[0]["duration_sec"] == pytest.approx(secs, abs=1e-6)
+    assert out[0]["dominant_hz"] == pytest.approx(freq, abs=1.0)
+    assert out[0]["rms"] == pytest.approx(20000 / 32768 / np.sqrt(2), rel=1e-3)
+    assert out[1]["codec"] == "stub" and out[1]["duration_sec"] is None
+    # meta sniff distinguishes WAV from generic RIFF
+    meta = {r["id"]: r["media_meta"] for r in
+            MM.attach_media_meta(df).collect()}
+    assert meta[0]["container"] == "wav" and meta[0]["media_type"] == "audio"
 
 
 # --- streaming ---------------------------------------------------------------
