@@ -13,16 +13,20 @@ pair precisely because 8 workers could not get 8 cores). The measured job
 is the STEADY-STATE ROUND (one full crawl round over the whole corpus as
 frontier — the 10^10-URL regime, where the per-round serial floor
 amortizes out); it runs as BEST_OF back-to-back (4N, N) pairs and the
-least-interference pair is reported, because ambient contention slows a
-4-core run ~4x harder than a 1-core run, corrupting any cross-window
-estimator. Every run, every pair efficiency, and a per-pair hardware
-probe ship in the JSON (`crawl.pairs`, `crawl.hw_envelope`) so the
-measurement conditions are auditable.
+MEDIAN pair efficiency is the headline (pairs defeat cross-window load
+drift — ambient contention slows a 4-core run ~4x harder than a 1-core
+run — and the median is robust to a single contended arm, where the max
+is not). Every run, every pair efficiency, and a per-pair hardware probe
+ship in BENCH/audit_latest.json so the measurement conditions are
+auditable.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (hard-capped < 1800 chars so the driver's
+stdout tail always parses it; the full audit object goes to
+BENCH/audit_latest.json):
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec}, "sf": ...,
-   "crawl": {..., "scaling_pair": [1, 4], "scaling_efficiency": ...}}
+   "crawl": {..., "scaling_pair": [1, 4], "scaling_efficiency": <median>,
+             "scaling_efficiency_best": ...}}
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_AVM/LINKSYS corpus scale,
@@ -272,35 +276,80 @@ def main():
         import statistics
 
         best_pair = max(pairs, key=lambda p: p["efficiency"])
+        median_pair = sorted(pairs, key=lambda p: p["efficiency"])[len(pairs) // 2]
         eff_median = round(statistics.median(p["efficiency"] for p in pairs), 3)
-        crawl = {
+        # Headline = MEDIAN pair efficiency (noise-robust; a ratio
+        # estimator's max selects contended denominators — an "efficiency"
+        # > 1.0 means the 1-core arm was slowed, not that the engine is
+        # super-linear). Best/worst stay in the audit file.
+        crawl_full = {
             "corpus_pages": n_pages,
             "fixpoint_n4": fixpoint,
             "scaling_job": "steady-state round: one full crawl round over "
                            "the whole corpus as frontier (the 10^10-URL "
                            "regime, where the per-round serial floor "
                            "amortizes out); back-to-back (4N, N) pairs, "
-                           "least-interference pair reported",
-            f"run_n{n_lo}": best_pair["run_lo"],
-            f"run_n{n_hi}": best_pair["run_hi"],
+                           "MEDIAN pair efficiency reported",
+            f"run_n{n_lo}": median_pair["run_lo"],
+            f"run_n{n_hi}": median_pair["run_hi"],
             "pairs": pairs,
             "pair_efficiencies": [p["efficiency"] for p in pairs],
             "scaling_pair": [n_lo, n_hi],
-            "scaling_efficiency": best_pair["efficiency"],
-            "scaling_efficiency_median": eff_median,
+            "scaling_efficiency": eff_median,
+            "scaling_efficiency_best": best_pair["efficiency"],
             "hw_envelope": probes,
         }
 
         total = round(time.monotonic() - total_t0, 2)
-        out = {
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+        audit = {
             "metric": "frontier-dequeue->fetch->extract crawl + query suite",
             "value": total,
             "unit": "sec",
             "queries": qtimes,
-            "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
-            "crawl": crawl,
+            "sf": sf,
+            "crawl": crawl_full,
         }
-        print(json.dumps(out))
+        # Full audit (every run, every pair, per-pair hw probes) goes to a
+        # file; the r2 driver record had parsed=null because this object
+        # inlined on stdout outgrew the driver's 2000-char tail.
+        audit_dir = os.path.join(REPO, "BENCH")
+        os.makedirs(audit_dir, exist_ok=True)
+        audit_path = os.path.join(audit_dir, "audit_latest.json")
+        with open(audit_path, "w") as fh:
+            json.dump(audit, fh, indent=1)
+
+        # Compact summary — the ONE JSON line the driver parses. Hard
+        # budget: stay well under the driver's 2000-char stdout tail.
+        crawl_compact = {
+            "corpus_pages": n_pages,
+            "fixpoint_n4_urls_per_sec": fixpoint["urls_per_sec"],
+            "fixpoint_n4_sec": fixpoint["seconds"],
+            "scaling_pair": [n_lo, n_hi],
+            "scaling_efficiency": eff_median,
+            "scaling_efficiency_best": best_pair["efficiency"],
+            "pair_efficiencies": [p["efficiency"] for p in pairs],
+            f"urls_per_sec_n{n_lo}": median_pair["run_lo"]["urls_per_sec"],
+            f"urls_per_sec_n{n_hi}": median_pair["run_hi"]["urls_per_sec"],
+            "audit": "BENCH/audit_latest.json",
+        }
+        out = {
+            "metric": "frontier-dequeue->fetch->extract crawl + query suite",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in qtimes.items()},
+            "sf": sf,
+            "crawl": crawl_compact,
+        }
+        line = json.dumps(out)
+        if len(line) > 1800:  # never again feed the driver an unparseable tail
+            out["queries"] = {
+                k: round(v, 2)
+                for k, v in sorted(qtimes.items(), key=lambda kv: -kv[1])[:20]
+            }
+            out["queries_truncated_see_audit"] = True
+            line = json.dumps(out)
+        print(line)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 

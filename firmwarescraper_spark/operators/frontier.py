@@ -38,13 +38,14 @@ from pyspark.sql import functions as F
 
 def anti_join_seen(frontier: DataFrame, seen: DataFrame,
                    bloom: bool = False,
-                   expected_items: int = 1_000_000, fpp: float = 0.03) -> DataFrame:
+                   expected_items: int | None = None, fpp: float = 0.03,
+                   buckets: int = 64, probe: str = "auto") -> DataFrame:
     """Drop frontier rows whose ``url_hash`` is in the seen set — the
     scrapy RFPDupeFilter equivalent, placed BEFORE the fetch stage (the
     reference's key hand-optimization, SURVEY.md §4).
 
-    With ``bloom=True`` the frontier is split by an explicit broadcast
-    Bloom membership test first: definite non-members (the overwhelming
+    With ``bloom=True`` the frontier is split by a partitioned-Bloom
+    membership test first: definite non-members (the overwhelming
     majority of a fresh crawl's candidates) bypass the seen-check shuffle
     entirely and only the "maybe seen" rows go through the exact
     anti-join. Bloom false positives therefore cost one extra shuffled row
@@ -54,7 +55,8 @@ def anti_join_seen(frontier: DataFrame, seen: DataFrame,
     ``bloom_anti_join`` driver oracle."""
     if not bloom:
         return frontier.join(seen.select("url_hash"), "url_hash", "left_anti")
-    flagged = bloom_prefilter(frontier, seen, expected_items, fpp)
+    flagged = bloom_prefilter(frontier, seen, expected_items, fpp,
+                              buckets=buckets, probe=probe)
     fresh = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     maybes = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     return fresh.unionByName(
@@ -75,83 +77,167 @@ def _bloom_geometry(expected_items: int, fpp: float) -> tuple:
 _BLOOM_MIX = 0x9E3779B97F4A7C15  # 64-bit golden-ratio odd multiplier
 
 
-def build_bloom(seen: DataFrame, key: str = "url_hash",
-                expected_items: int = 1_000_000, fpp: float = 0.03) -> tuple:
-    """Build a Bloom bitmap over ``seen[key]`` from scratch (north_star:
-    "partitioned Bloom/cuckoo-filter URL-seen set") — no driver-side
-    per-row collect: each partition builds its own numpy bitmap inside one
-    Arrow-batched ``mapInPandas`` pass, and the driver ORs the (one per
-    partition, fixed-size) partials — the same merge shape Spark's own
-    sketch aggregates use.
-
-    Hashing: the key is already a 64-bit xxhash64 fingerprint, so the k
-    probe positions come from Kirsch–Mitzenmacher double hashing
-    (h1 + i*h2 mod m, h2 forced odd) — no re-hashing of the URL bytes.
-
-    Returns (bitmap bytes, m_bits, k)."""
+def _bloom_set_bits(bm, h1_i64, m_bits: int, k: int):
+    """Set the k Kirsch–Mitzenmacher probe bits for each 64-bit key in
+    ``h1_i64`` (int64 ndarray) into bitmap ``bm`` (uint64 ndarray)."""
     import numpy as np
 
-    m_bits, k = _bloom_geometry(expected_items, fpp)
+    h1 = h1_i64.view(np.uint64)
+    h2 = (h1 * np.uint64(_BLOOM_MIX)) | np.uint64(1)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        np.bitwise_or.at(
+            bm, (idx >> np.uint64(6)).astype(np.int64),
+            np.left_shift(np.uint64(1), idx & np.uint64(63)),
+        )
+
+
+def _bloom_test_bits(bm, h1_i64, m_bits: int, k: int):
+    """Vectorized membership test; returns a bool ndarray."""
+    import numpy as np
+
+    h1 = h1_i64.view(np.uint64)
+    h2 = (h1 * np.uint64(_BLOOM_MIX)) | np.uint64(1)
+    res = np.ones(len(h1), dtype=bool)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        bit = np.left_shift(np.uint64(1), idx & np.uint64(63))
+        res &= (bm[(idx >> np.uint64(6)).astype(np.int64)] & bit) != 0
+    return res
+
+
+def build_bloom_buckets(seen: DataFrame, key: str = "url_hash",
+                        buckets: int = 64,
+                        expected_items: int | None = None,
+                        fpp: float = 0.03):
+    """Build a PARTITIONED Bloom filter over ``seen[key]`` (north_star:
+    "partitioned Bloom/cuckoo-filter URL-seen set"): the key space is
+    bucketed by ``pmod(key, buckets)`` and each bucket gets its own
+    independent bitmap, built completely inside one ``applyInPandas`` task
+    — no driver-side merge at all, and no single structure that has to fit
+    one node. At 10^10 keys / fpp=0.03 (~7.3 bits/key ≈ 9 GB total),
+    buckets=4096 keeps every bitmap ≈ 2.2 MB: broadcastable per-bucket,
+    shippable as ordinary rows, and rebuildable per-bucket on change.
+
+    Sizing: ``expected_items=None`` sizes from a ``seen.count()`` (ADVICE
+    r2: a fixed 1M default silently degrades fpp toward 1 as the seen set
+    grows). Keys are already 64-bit xxhash64 fingerprints, so per-bucket
+    occupancy is uniform (n/buckets) and probe positions come from
+    Kirsch–Mitzenmacher double hashing — no re-hashing of URL bytes.
+
+    Returns (bitmaps DataFrame ``(bucket int, bm binary)``, m_bits, k)
+    where m_bits/k are the per-bucket geometry."""
+    import math
+
+    import numpy as np
+
+    n = seen.count() if expected_items is None else expected_items
+    per_bucket = max(64, math.ceil(max(n, 1) / buckets))
+    m_bits, k = _bloom_geometry(per_bucket, fpp)
     words = m_bits // 64
 
-    def _partial(batches):
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         bm = np.zeros(words, dtype=np.uint64)
-        seen_any = False
-        for pdf in batches:
-            h1 = pdf[key].to_numpy(dtype=np.int64).view(np.uint64)
-            h2 = (h1 * np.uint64(_BLOOM_MIX)) | np.uint64(1)
-            for i in range(k):
-                idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
-                np.bitwise_or.at(
-                    bm, (idx >> np.uint64(6)).astype(np.int64),
-                    np.left_shift(np.uint64(1), idx & np.uint64(63)),
-                )
-            seen_any = True
-        if seen_any:
-            yield pd.DataFrame({"bm": [bm.tobytes()]})
+        _bloom_set_bits(bm, pdf[key].to_numpy(dtype=np.int64), m_bits, k)
+        return pd.DataFrame(
+            {"bucket": [int(pdf["_bucket"].iloc[0])], "bm": [bm.tobytes()]}
+        )
 
-    partials = seen.select(key).mapInPandas(_partial, "bm binary").collect()
-    out = np.zeros(words, dtype=np.uint64)
-    for row in partials:
-        out |= np.frombuffer(row["bm"], dtype=np.uint64)
-    return out.tobytes(), m_bits, k
+    bitmaps = (
+        seen.select(key)
+        .withColumn("_bucket", F.pmod(F.col(key), F.lit(buckets)).cast("int"))
+        .groupBy("_bucket")
+        .applyInPandas(_build, "bucket int, bm binary")
+    )
+    return bitmaps, m_bits, k
+
+
+# total-bitmap-bytes ceiling for the broadcast probe path; past it the
+# cogroup path keeps every bitmap executor-side
+_BLOOM_BROADCAST_CAP = 64 << 20
 
 
 def bloom_prefilter(frontier: DataFrame, seen: DataFrame,
-                    expected_items: int = 1_000_000, fpp: float = 0.03) -> DataFrame:
-    """Tag each frontier row with ``_maybe_seen``: a broadcast Bloom
-    membership test over the seen-set's ``url_hash``. Consumed by
-    ``anti_join_seen(..., bloom=True)``, which anti-joins only the maybes
-    and unions the definite-unseen rows back.
+                    expected_items: int | None = None, fpp: float = 0.03,
+                    buckets: int = 64, probe: str = "auto") -> DataFrame:
+    """Tag each frontier row with ``_maybe_seen``: a membership test
+    against the partitioned Bloom filter of the seen-set's ``url_hash``.
+    Consumed by ``anti_join_seen(..., bloom=True)``, which anti-joins only
+    the maybes and unions the definite-unseen rows back.
 
-    Cost model: building the filter is one scan + fixed-size-per-partition
-    merge over ``seen`` (~``1.44 * expected_items * log2(1/fpp)`` bits
-    total). Worth it when |seen| >> |frontier-candidates| and the seen side
-    exceeds the broadcast threshold — exactly the 10^10-URL steady state.
-    The membership test is a vectorized Arrow-batched pandas UDF over the
-    broadcast bitmap (numpy bit ops, no per-row Python)."""
+    Two probe strategies (``probe="auto"`` picks by total bitmap size):
+
+    * ``"broadcast"`` — collect the (fixed-size, per-bucket) bitmaps into
+      a dict and broadcast; the test is a vectorized pandas UDF indexing
+      its bucket's bitmap per batch. No shuffle of the frontier. Right
+      while the whole filter fits comfortably in executor memory.
+    * ``"cogroup"`` — group BOTH sides by bucket and probe inside
+      ``cogroup(...).applyInPandas``: each task sees one bucket's frontier
+      rows plus that one bucket's bitmap row. The driver never
+      materializes a single bitmap; total filter size is unbounded by any
+      one node. Costs one hash-partition of the frontier by bucket — the
+      10^10-key path.
+
+    Either way, false positives cost one extra shuffled row in the exact
+    anti-join, never a dropped URL."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import BooleanType
+    from pyspark.sql import types as T
 
-    bm_bytes, m_bits, k = build_bloom(seen, "url_hash", expected_items, fpp)
-    spark = frontier.sparkSession
-    bf_b = spark.sparkContext.broadcast((bm_bytes, m_bits, k))
+    bitmaps, m_bits, k = build_bloom_buckets(
+        seen, "url_hash", buckets, expected_items, fpp)
+    total_bytes = buckets * (m_bits // 8)
+    if probe == "auto":
+        probe = "broadcast" if total_bytes <= _BLOOM_BROADCAST_CAP else "cogroup"
 
-    @pandas_udf(BooleanType())
-    def maybe_seen(hashes: pd.Series) -> pd.Series:
-        raw, m, kk = bf_b.value
-        bm = np.frombuffer(raw, dtype=np.uint64)
-        h1 = hashes.to_numpy(dtype=np.int64).view(np.uint64)
-        h2 = (h1 * np.uint64(_BLOOM_MIX)) | np.uint64(1)
-        res = np.ones(len(h1), dtype=bool)
-        for i in range(kk):
-            idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
-            bit = np.left_shift(np.uint64(1), idx & np.uint64(63))
-            res &= (bm[(idx >> np.uint64(6)).astype(np.int64)] & bit) != 0
-        return pd.Series(res, index=hashes.index)
+    bucket_col = F.pmod(F.col("url_hash"), F.lit(buckets)).cast("int")
 
-    return frontier.withColumn("_maybe_seen", maybe_seen(F.col("url_hash")))
+    if probe == "broadcast":
+        bm_by_bucket = {r["bucket"]: r["bm"] for r in bitmaps.collect()}
+        spark = frontier.sparkSession
+        bf_b = spark.sparkContext.broadcast((bm_by_bucket, m_bits, k, buckets))
+
+        @pandas_udf(T.BooleanType())
+        def maybe_seen(hashes: pd.Series) -> pd.Series:
+            table, m, kk, nb = bf_b.value
+            h1 = hashes.to_numpy(dtype=np.int64)
+            bkt = np.mod(h1, np.int64(nb))  # numpy % == floored == pmod
+            res = np.zeros(len(h1), dtype=bool)
+            for b in np.unique(bkt):
+                raw = table.get(int(b))
+                if raw is None:  # bucket empty in seen => definitely unseen
+                    continue
+                sel = bkt == b
+                bm = np.frombuffer(raw, dtype=np.uint64)
+                res[sel] = _bloom_test_bits(bm, h1[sel], m, kk)
+            return pd.Series(res, index=hashes.index)
+
+        return frontier.withColumn("_maybe_seen", maybe_seen(F.col("url_hash")))
+
+    # cogroup path: one bucket's frontier rows + that bucket's single
+    # bitmap row per task; nothing ever sits on the driver
+    tagged = frontier.withColumn("_bucket", bucket_col)
+    out_schema = T.StructType(
+        list(tagged.schema.fields) + [T.StructField("_maybe_seen", T.BooleanType())]
+    )
+
+    def _probe(fr_pdf: pd.DataFrame, bm_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(fr_pdf) == 0:
+            return fr_pdf.assign(_maybe_seen=pd.Series([], dtype=bool))
+        if len(bm_pdf) == 0:
+            res = np.zeros(len(fr_pdf), dtype=bool)
+        else:
+            bm = np.frombuffer(bm_pdf["bm"].iloc[0], dtype=np.uint64)
+            res = _bloom_test_bits(
+                bm, fr_pdf["url_hash"].to_numpy(dtype=np.int64), m_bits, k)
+        return fr_pdf.assign(_maybe_seen=res)
+
+    return (
+        tagged.groupBy("_bucket")
+        .cogroup(bitmaps.groupBy("bucket"))
+        .applyInPandas(_probe, out_schema)
+        .drop("_bucket")
+    )
 
 
 def write_bucketed(df: DataFrame, table: str, buckets: int = 32,

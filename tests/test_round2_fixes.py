@@ -311,30 +311,75 @@ def test_bucketed_antijoin_no_shuffle(spark):
 
 def test_bloom_prefilter_parity(spark):
     """anti_join_seen(bloom=True) must return exactly the plain anti-join's
-    rows — Bloom false positives cost a shuffled row, never a lost URL."""
+    rows — Bloom false positives cost a shuffled row, never a lost URL.
+    Pinned across BOTH probe strategies and multiple bucket counts (the
+    filter is partitioned: one independent bitmap per pmod(url_hash, B)
+    bucket), and with sizing derived from seen.count() (no expected_items
+    hint)."""
     frontier = spark.range(0, 5000).select(
         F.col("id"), F.xxhash64("id").alias("url_hash"))
     seen = spark.range(0, 5000, 3).select(F.xxhash64("id").alias("url_hash"))
     plain = {r["id"] for r in FR.anti_join_seen(frontier, seen).collect()}
-    bloom = {r["id"] for r in FR.anti_join_seen(
-        frontier, seen, bloom=True, expected_items=2000, fpp=0.05).collect()}
-    assert plain == bloom
+    for probe in ("broadcast", "cogroup"):
+        for buckets in (2, 64):
+            bloom = {r["id"] for r in FR.anti_join_seen(
+                frontier, seen, bloom=True, expected_items=2000, fpp=0.05,
+                buckets=buckets, probe=probe).collect()}
+            assert plain == bloom, (probe, buckets)
+    auto = {r["id"] for r in FR.anti_join_seen(
+        frontier, seen, bloom=True).collect()}  # sizing from seen.count()
+    assert plain == auto
+
+
+def test_bloom_buckets_geometry(spark):
+    """Per-bucket bitmaps are independent and sized for n/buckets keys:
+    build_bloom_buckets returns one row per non-empty bucket, every key
+    tests positive in its own bucket's bitmap, and the per-bucket geometry
+    shrinks as buckets grow (the property that keeps any single bitmap
+    ~MBs at 10^10 keys)."""
+    import numpy as np
+
+    seen = spark.range(0, 3000).select(F.xxhash64("id").alias("url_hash"))
+    bm4, m4, k4 = FR.build_bloom_buckets(seen, buckets=4, fpp=0.03)
+    bm16, m16, k16 = FR.build_bloom_buckets(seen, buckets=16, fpp=0.03)
+    assert m16 < m4  # 4x more buckets => smaller per-bucket bitmap
+    rows = {r["bucket"]: r["bm"] for r in bm4.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    hashes = [r["url_hash"] for r in seen.collect()]
+    for h in hashes[:200]:
+        b = h % 4  # python % == pmod for positive modulus
+        bm = np.frombuffer(rows[b], dtype=np.uint64)
+        assert FR._bloom_test_bits(
+            bm, np.array([h], dtype=np.int64), m4, k4)[0]
 
 
 def test_ngram_jaccard_cap_consistency(spark):
     """When df_cap binds, doc sizes and intersections must use the SAME
-    (capped) shingle space — jaccard of two identical docs stays 1.0 even
-    if some of their shingles are boilerplate-pruned."""
-    rows = [(i, "alpha beta gamma delta common common2 common3") for i in range(5)]
-    rows += [(100, "unique one two three alpha beta gamma")]
+    (capped) shingle space. Construction (2-grams, df_cap=4): all six docs
+    end with the boilerplate "zz yy xx ww", whose shingles have df=6 > cap
+    and are pruned; docs 1 and 2 share the below-cap shingles a-b and b-c.
+    Capped space:   doc1 = {a-b, b-c, c-d, d-zz}, doc2 = {a-b, b-c, c-e,
+    e-zz} => jaccard = 2/6 = 0.3333 exactly.
+    Uncapped space would give 5/9 = 0.5556 (boilerplate in both sets) and
+    the r2 pre-fix bug (uncapped sizes, capped intersections) would give
+    2/12 = 0.1667 — so this value pins the capped-both-sides semantics."""
+    boiler = "zz yy xx ww"
+    rows = [
+        (1, "a b c d " + boiler),
+        (2, "a b c e " + boiler),
+        (3, "f g h i " + boiler),
+        (4, "j k l m " + boiler),
+        (5, "n o p q " + boiler),
+        (6, "r s t u " + boiler),
+    ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    # df_cap=4 prunes shingles shared by the 5 identical docs
     out = DD.ngram_jaccard_pairs(docs, n=2, threshold=0.0, df_cap=4).collect()
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
-    # identical docs must still be jaccard 1.0 in the capped space
-    for (a, b), j in pairs.items():
-        if a < 5 and b < 5:
-            assert j == pytest.approx(1.0)
+    assert len(pairs) > 0, "cap pruned every shared shingle — test is vacuous"
+    # only docs 1,2 share a kept shingle; every other pair overlaps solely
+    # in pruned boilerplate, so (1,2) is the single emitted pair
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] == pytest.approx(2 / 6, abs=1e-4)
 
 
 # ---------------------------------------------------------------------------
