@@ -429,6 +429,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         return docs.select("doc_id", TX.fingerprint_md5(F.col("text")).alias("fp"))
 
+    def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Multimodal metadata extraction (multimodal/binary.py
+        attach_media_meta): magic-byte sniff + real header dims (BMP info
+        header / PNG IHDR / JPEG SOF) + sha256, over the deterministic
+        demo payload set (sources/generate.demo_media_payloads)."""
+        from firmwarescraper_spark.multimodal import binary as MM
+        from firmwarescraper_spark.sources.generate import demo_media_payloads
+
+        rows = [(i, bytearray(p)) for i, p in demo_media_payloads()]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        return MM.attach_media_meta(df).select(
+            "id",
+            F.col("media_meta.media_type").alias("media_type"),
+            F.col("media_meta.container").alias("container"),
+            F.col("media_meta.bytes").alias("bytes"),
+            F.col("media_meta.width").alias("width"),
+            F.col("media_meta.height").alias("height"),
+            F.col("media_meta.sha256").alias("sha256"),
+        )
+
     return {
         "anti_join_seen": q_anti_join_seen,
         "bloom_anti_join": q_bloom_anti_join,
@@ -464,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
+        "media_meta": q_media_meta,
     }
 
 
@@ -573,6 +594,43 @@ _LANGID_SQL = (
     "WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es' "
     "ELSE 'fr' END AS lang_pred FROM s"
 )
+
+
+def _media_meta_sql() -> str:
+    """Expected ``media_meta`` values as a VALUES literal: dims are the
+    KNOWN construction parameters of demo_media_payloads (12x7 RGB, 16x9
+    gray, ...), sha256/bytes come from hashlib/len over the deterministic
+    payload bytes — independent of the Spark-side pandas UDF under test."""
+    import hashlib
+
+    from firmwarescraper_spark.sources.generate import demo_media_payloads
+
+    expected_meta = {
+        0: ("image", "bmp", 12, 7),
+        1: ("image", "png", 16, 9),
+        2: ("image", "jpeg", 12, 7),
+        3: ("audio", "wav", None, None),
+        4: ("unknown", None, None, None),
+    }
+
+    def lit(x):
+        if x is None:
+            return "NULL"
+        return f"'{x}'" if isinstance(x, str) else str(x)
+
+    rows = []
+    for i, p in demo_media_payloads():
+        mt, c, w, h = expected_meta[i]
+        sha = hashlib.sha256(p).hexdigest()
+        rows.append(
+            f"({i}, {lit(mt)}, {lit(c)}, {len(p)}, {lit(w)}, {lit(h)}, '{sha}')"
+        )
+    return (
+        "SELECT id::BIGINT AS id, media_type, container, bytes::BIGINT AS bytes, "
+        "width::INT AS width, height::INT AS height, sha256 FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(id, media_type, container, bytes, width, height, sha256)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -760,4 +818,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
             FROM documents
         """,
+        "media_meta": _media_meta_sql(),
     }

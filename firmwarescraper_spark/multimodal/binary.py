@@ -4,14 +4,18 @@ Media payloads are opaque ``binary`` columns with typed metadata structs —
 the training-data-pipeline pattern for 100 TB multimodal corpora.
 
 Decode status (honest inventory):
-  * **REAL** (pure numpy/stdlib, multimodal/codecs.py): BMP (24-bit),
-    PNG (8-bit gray/RGB/RGBA, non-interlaced, all five scanline filters),
-    WAV (PCM16) — decode, nearest-neighbor resize, re-encode, image and
-    audio feature extraction all operate on actual pixels/samples.
-  * **STUBBED**: JPEG and MP4 kernels (this container ships no
-    libjpeg/ffmpeg); those payloads fall through to ``_decode_stub`` and
-    are tagged ``codec = "stub"`` per row so downstream consumers can tell.
-    At deployment, swap the stub for the native lib; every schema and
+  * **REAL** (pure numpy/stdlib): BMP (24-bit), PNG (8-bit gray/RGB/RGBA,
+    non-interlaced, all five scanline filters), WAV (PCM16) in
+    multimodal/codecs.py, and baseline JFIF **JPEG** (SOF0, Huffman,
+    4:4:4/4:2:2/4:2:0/gray, restart intervals; encoder at 4:4:4) in
+    multimodal/jpeg.py — decode, nearest-neighbor resize, re-encode,
+    image and audio feature extraction all operate on actual
+    pixels/samples.
+  * **STUBBED**: MP4 kernels (no ffmpeg in this container) and
+    non-baseline JPEG profiles (progressive/arithmetic/12-bit); those
+    payloads fall through to ``_decode_stub`` and are tagged
+    ``codec = "stub"`` per row so downstream consumers can tell. At
+    deployment, swap the stub for the native lib; every schema and
     mapInPandas batch contract stays identical.
 
 Scale notes: decode/feature-extract run via ``mapInPandas`` so each Arrow
@@ -87,11 +91,17 @@ def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     @pandas_udf(MEDIA_META_SCHEMA)
     def _meta(payload: pd.Series) -> pd.DataFrame:
         from firmwarescraper_spark.multimodal.codecs import bmp_dims
+        from firmwarescraper_spark.multimodal.jpeg import jpeg_dims
 
         rows = []
         for p in payload:
             mtype, container = sniff_media_type(p)
-            w, h = _png_dims(p) if container == "png" else bmp_dims(p)
+            if container == "png":
+                w, h = _png_dims(p)
+            elif container == "jpeg":
+                w, h = jpeg_dims(p)
+            else:
+                w, h = bmp_dims(p)
             rows.append({
                 "media_type": mtype, "container": container,
                 "bytes": len(p) if p is not None else 0,
@@ -132,6 +142,10 @@ def _try_decode_image(payload: bytes):
             return CX.decode_png(payload), "png"
         if container == "bmp":
             return CX.decode_bmp(payload), "bmp"
+        if container == "jpeg":
+            from firmwarescraper_spark.multimodal import jpeg as JX
+
+            return JX.decode_jpeg(payload), "jpeg"
     except Exception:
         pass  # malformed/unsupported variant -> stub path, tagged below
     return None, None
@@ -195,8 +209,14 @@ def resize_images(df: DataFrame, width: int, height: int,
                 arr, container = _try_decode_image(p)
                 if arr is not None:
                     small = CX.resize_nearest(arr, width, height)
-                    enc = (CX.encode_png(small) if container == "png"
-                           else CX.encode_bmp(small))
+                    if container == "png":
+                        enc = CX.encode_png(small)
+                    elif container == "jpeg":
+                        from firmwarescraper_spark.multimodal import jpeg as JX
+
+                        enc = JX.encode_jpeg(small)
+                    else:
+                        enc = CX.encode_bmp(small)
                     rows.append((i, enc, f"numpy-{container}"))
                 else:
                     rows.append((i, _decode_stub(p, "resize", f"{width}x{height}"),

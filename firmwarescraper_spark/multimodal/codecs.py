@@ -10,10 +10,10 @@ implementations from the public format specs, not stubs:
             §9); encode writes filter 0 with one zlib stream.
   * WAV   — PCM16 via the stdlib ``wave`` module + numpy frombuffer.
 
-Compressed codecs (JPEG/MP4) remain stubbed in ``binary.py`` — implementing
-a DCT entropy decoder here would be slow and pointless when deployment
-swaps in the native libs; the dispatch in binary.py keeps the stub path
-clearly marked per payload (``codec = "stub"``).
+Baseline JPEG lives in the sibling ``multimodal/jpeg.py`` (real SOF0
+decoder + 4:4:4 encoder from the T.81 spec); MP4 remains stubbed in
+``binary.py`` — the dispatch there keeps the stub path clearly marked per
+payload (``codec = "stub"``).
 
 The per-scanline Python loop in the PNG unfilter is fine for the
 thumbnail-scale assets these kernels target; bulk decode of large media

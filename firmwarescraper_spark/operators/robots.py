@@ -66,7 +66,7 @@ def parse_robots_txt(body: str) -> tuple:
     return rules, delay
 
 
-def build_robots_rules(pages: DataFrame) -> tuple:
+def build_robots_rules(pages: DataFrame, persist: bool = False) -> tuple:
     """From the pages corpus, build (rules_df, delay_df) — fully
     distributed, no driver-side ``.collect()``: at 10^7 hosts the robots
     rows scale with host count and must stay a DataFrame.
@@ -77,6 +77,11 @@ def build_robots_rules(pages: DataFrame) -> tuple:
     robots scan (the pure-Python ``parse_robots_txt`` is shared with the
     simulator oracle); consumers broadcast-join the result while it fits
     and shuffle-join past the broadcast threshold — Spark picks per plan.
+
+    ``persist=True`` caches the parsed table that BOTH outputs derive from
+    (ADVICE r2: rules_df and delay_df are two filters over the same
+    mapInPandas output — uncached, the robots scan + Python parse would
+    execute once per derived view).
     """
     import pandas as pd
 
@@ -106,6 +111,8 @@ def build_robots_rules(pages: DataFrame) -> tuple:
         schema="host string, is_allow boolean, rule_regex string, "
                "rule_len int, crawl_delay double",
     )
+    if persist:
+        parsed = parsed.persist()
     rules_df = parsed.filter(F.col("is_allow").isNotNull()).select(
         "host", "is_allow", "rule_regex", "rule_len"
     )
@@ -120,9 +127,11 @@ def robots_filter(frontier: DataFrame, rules_df: DataFrame) -> tuple:
     a URL is blocked iff its longest matching Disallow rule is strictly
     longer than its longest matching Allow rule."""
     path = F.regexp_replace("canon_url", r"^[a-z]+://[^/]*", "")
-    candidates = frontier.withColumn("_path", path).join(
-        F.broadcast(rules_df), "host", "left"
-    )
+    # no forced broadcast hint (VERDICT r2): the rules table scales with
+    # host count — at 10^7 hosts a forced broadcast is a driver OOM. Under
+    # the broadcast threshold Spark/AQE still picks BroadcastHashJoin on
+    # its own; past it the join degrades gracefully to a shuffle join.
+    candidates = frontier.withColumn("_path", path).join(rules_df, "host", "left")
     matched_len = F.when(
         F.col("rule_regex").isNotNull()
         & F.expr("regexp_like(_path, rule_regex)"),

@@ -144,7 +144,18 @@ class CrawlEngine:
     def fetch_log(self) -> DataFrame:
         path = self._p("fetch_log")
         if os.path.exists(path):
-            return self._rollback(self.spark.read.parquet(path))
+            # explicit schema (ADVICE r2): a state dir mixing files written
+            # before/after the `retries` column existed must not depend on
+            # which footer the reader samples; missing columns read null
+            df = self.spark.read.schema(
+                "partition_id int, host string, fetched long, bytes long, "
+                "errors long, retries long, round int"
+            ).parquet(path)
+            return self._rollback(
+                df.withColumn(
+                    "retries", F.coalesce(F.col("retries"), F.lit(0).cast("long"))
+                )
+            )
         return self.spark.createDataFrame(
             [], "round int, partition_id int, host string, fetched long, "
                 "bytes long, errors long, retries long"
@@ -168,7 +179,7 @@ class CrawlEngine:
         rows = []
         for i, seed in enumerate(seeds):
             url, rule, form = seed if len(seed) == 3 else (*seed, None)
-            rows.append((url, rule, f"{i:06d}", form or {}))
+            rows.append((url, rule, f"{i:09d}", form or {}))
         df = self.spark.createDataFrame(
             rows, "url string, rule string, seq string, form_data map<string,string>"
         )
@@ -190,8 +201,15 @@ class CrawlEngine:
         df.write.mode("overwrite").parquet(self._p("frontier", f"round={rnd}"))
 
     def _read_frontier(self, rnd: int) -> DataFrame:
-        return self.spark.read.schema(FRONTIER_SCHEMA).parquet(
+        df = self.spark.read.schema(FRONTIER_SCHEMA).parquet(
             self._p("frontier", f"round={rnd}")
+        )
+        # state-dir forward compat (ADVICE r2): a frontier snapshot written
+        # before retry_count existed reads as null under the explicit
+        # schema, and null < max_retries would silently drop those rows
+        # from the retry path — coalesce to 0 so old state resumes intact
+        return df.withColumn(
+            "retry_count", F.coalesce(F.col("retry_count"), F.lit(0))
         )
 
     def latest_round(self) -> int:
@@ -233,11 +251,13 @@ class CrawlEngine:
     # -- the round job -----------------------------------------------------------
     def _robots(self):
         if self._robots_rules is None:
+            # persist=True caches the shared parsed table, so the robots
+            # scan + Python parse runs once per crawl — the rule/budget
+            # views derived below are then re-joined every round; persisting
+            # them too keeps the per-round filters off the parse path
             rules, delay = RB.build_robots_rules(
-                self.spark.read.parquet(self.pages_path)
+                self.spark.read.parquet(self.pages_path), persist=True
             )
-            # persisted: the rule/budget tables are re-joined every round;
-            # the robots scan + parse must run once per crawl, not per use
             self._robots_rules = rules.persist()
             self._host_budget = RB.host_budget_from_delay(
                 delay, self.round_seconds, self.tokens_per_host
@@ -303,7 +323,16 @@ class CrawlEngine:
             # fetch is retried, then terminally logged, like any 5xx)
             .filter(F.length("html") <= F.lit(self.max_fetch_bytes))
             .withColumn("parsed", parse_page_udf()(F.col("html")))
-            .persist()  # html column retained: FTP rules parse JSON bodies
+            # the cached round working set holds PAGE_STRUCT only, per the
+            # parse-once doctrine — raw bodies are nulled except for FTP
+            # rules, whose "pages" are JSON listings consumed via from_json
+            # downstream (rulepacks_vendors._ftp_entries_col). At scale this
+            # keeps full page bodies out of executor cache memory.
+            .withColumn(
+                "html",
+                F.when(F.col("rule").contains("ftp"), F.col("html")),
+            )
+            .persist()
         )
         # materialize the round's working set NOW, in one pass — every later
         # action reads the in-memory cache instead of re-parsing. The same
@@ -416,10 +445,13 @@ class CrawlEngine:
                 .withColumn("host", U.url_host_udf()(F.col("url")))
                 .filter(F.col("host").rlike(allowed_pattern))  # F8 offsite filter
                 .withColumn("priority", FR.priority_score(F.col("url")))
+                # seq is a lexicographically-ordered DFS path key: the pad
+                # width bounds links-per-page (and seeds); %09d holds to
+                # 10^9 per page — must match simulator._pad exactly
                 .withColumn(
                     "seq",
                     F.concat_ws(".", F.col("parent_seq"),
-                                F.format_string("%06d", F.col("pos"))),
+                                F.format_string("%09d", F.col("pos"))),
                 )
                 .withColumn("round_added", F.lit(rnd + 1))
                 .withColumn("retry_count", F.lit(0))
@@ -481,15 +513,70 @@ class CrawlEngine:
         return {"round": rnd}
 
     # -- S7 feed export ----------------------------------------------------------
+    _FILES_TYPE = "array<struct<url:string, path:string, checksum:string>>"
+
     def export_feed(self, path: str) -> int:
         """The reference's primary user-facing output: ``scrapy crawl
         <spider> -o items.json`` (/root/reference/README.md:37-41; the FTP
         walker writes dlink.json, ftp/dlink.py:110-118). Writes the items
         table as a JSON-lines feed (scrapy's .jl feed format — one item
         object per line, list-wrapped fields) and returns the item count.
+
+        Each item also carries the post-pipeline ``files`` field scrapy's
+        FilesPipeline fills in (/root/reference/firmware/items.py:11,
+        firmware/pipelines.py:4-6): one {url, path, checksum} entry per
+        file URL that was actually downloaded (joined back from the
+        downloads manifest, in file_urls order); never-downloaded URLs do
+        not appear, matching FilesPipeline semantics.
+
         Parquet remains the engine's columnar state format; this is the
         export sink."""
         items = self.items().drop("round")
+        manifest_path = self._p("downloads")
+        if os.path.exists(manifest_path):
+            manifest = self.spark.read.parquet(manifest_path).select(
+                F.col("url").alias("_m_url"), "path",
+                F.col("sha256").alias("checksum"),
+            )
+            # _iid is computed once (items is persisted) so the exploded
+            # side and the join-back side agree on row identity
+            items = items.withColumn(
+                "_iid", F.monotonically_increasing_id()
+            ).persist()
+            per_file = (
+                items.select(
+                    "_iid", F.posexplode("file_urls").alias("_pos", "_furl")
+                )
+                .withColumn("_fcanon", U.canonicalize_url_udf()(F.col("_furl")))
+                .join(manifest, F.col("_fcanon") == F.col("_m_url"), "inner")
+            )
+            files = per_file.groupBy("_iid").agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(
+                            "_pos", F.col("_furl").alias("url"),
+                            "path", "checksum",
+                        ))
+                    ),
+                    lambda s: F.struct(
+                        s["url"].alias("url"), s["path"].alias("path"),
+                        s["checksum"].alias("checksum"),
+                    ),
+                ).alias("files")
+            )
+            items = (
+                items.join(files, "_iid", "left")
+                .withColumn(
+                    "files",
+                    F.coalesce(F.col("files"),
+                               F.array().cast(self._FILES_TYPE)),
+                )
+                .drop("_iid")
+            )
+        else:
+            items = items.withColumn(
+                "files", F.array().cast(self._FILES_TYPE)
+            )
         items.write.mode("overwrite").json(path)
         return items.count()
 

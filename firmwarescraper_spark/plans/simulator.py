@@ -48,7 +48,10 @@ class SimResult:
 
 
 def _pad(i: int) -> str:
-    return f"{i:06d}"
+    # lexicographic DFS order invariant: width must cover the largest
+    # possible link position on a page — %09d == the engine's pad width
+    # (plans/crawl.py child seq); diverging widths break ordering parity
+    return f"{i:09d}"
 
 
 # ---------------------------------------------------------------------------

@@ -376,3 +376,34 @@ def write_corpus(spark, out_dir: str, n_avm: int = 8, n_linksys: int = 6,
     full = avm_df.unionByName(small_df)
     full.repartition(partitions, "url").write.mode("overwrite").parquet(out_dir)
     return spark.read.parquet(out_dir).count()
+
+
+# ---------------------------------------------------------------------------
+# deterministic multimodal payloads (media_meta oracle + multimodal tests)
+# ---------------------------------------------------------------------------
+
+def demo_media_payloads() -> list:
+    """[(id, payload_bytes)] — fully deterministic media blobs covering
+    every container the sniffer knows: BMP, PNG, baseline JPEG, PCM16 WAV,
+    and one garbage payload. Built from fixed arrays (no RNG), so expected
+    metadata (dims, sha256) is computable ahead of time for the
+    ``media_meta`` DuckDB oracle."""
+    import numpy as np
+
+    from firmwarescraper_spark.multimodal import codecs as CX
+    from firmwarescraper_spark.multimodal import jpeg as JX
+
+    yy, xx = np.mgrid[0:7, 0:12]
+    rgb = np.stack([
+        (xx * 21) % 256, (yy * 36) % 256, ((xx + yy) * 17) % 256,
+    ], axis=2).astype(np.uint8)
+    gray16 = ((np.arange(16 * 9).reshape(9, 16) * 5) % 256).astype(np.uint8)
+    t = np.arange(800)
+    sine = (np.sin(2 * np.pi * 440 * t / 8000) * 12000).astype(np.int16)
+    return [
+        (0, CX.encode_bmp(rgb)),                      # 12x7 BMP
+        (1, CX.encode_png(gray16)),                   # 16x9 gray PNG
+        (2, JX.encode_jpeg(rgb, quality=90)),         # 12x7 baseline JPEG
+        (3, CX.encode_wav(sine, rate=8000)),          # 0.1 s WAV
+        (4, b"not-a-media-payload"),                  # unknown
+    ]

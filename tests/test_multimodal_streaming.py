@@ -133,6 +133,80 @@ def test_png_all_filters_decode():
     assert np.array_equal(CX.decode_png(png), arr)
 
 
+def _gradient_rgb(h, w):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([
+        xx * 255 // max(w - 1, 1),
+        yy * 255 // max(h - 1, 1),
+        (xx + yy) * 255 // max(h + w - 2, 1),
+    ], axis=2).astype(np.uint8)
+
+
+def test_jpeg_roundtrip():
+    """Real baseline JFIF codec (multimodal/jpeg.py): encode a smooth RGB
+    image, decode it back — dimensions exact, pixels within quantization
+    error. Also: grayscale round-trip, header-only dims, quality knob."""
+    import numpy as np
+
+    from firmwarescraper_spark.multimodal import jpeg as J
+
+    img = _gradient_rgb(40, 56)
+    enc = J.encode_jpeg(img, quality=90)
+    assert enc[:3] == b"\xff\xd8\xff" and enc[-2:] == b"\xff\xd9"
+    assert J.jpeg_dims(enc) == (56, 40)
+    dec = J.decode_jpeg(enc)
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 4.0 and err.max() <= 20
+
+    gray = img[:, :, 0]
+    decg = J.decode_jpeg(J.encode_jpeg(gray, quality=90))
+    assert decg.shape == (40, 56, 1)
+    assert np.abs(decg[:, :, 0].astype(int) - gray.astype(int)).mean() < 3.0
+
+    # lower quality -> coarser quant tables -> smaller stream
+    assert len(J.encode_jpeg(img, quality=30)) < len(enc)
+
+
+def test_jpeg_rejects_non_baseline():
+    import pytest as pt
+
+    from firmwarescraper_spark.multimodal import jpeg as J
+
+    enc = bytearray(J.encode_jpeg(_gradient_rgb(8, 8)))
+    sof = enc.find(b"\xff\xc0")
+    enc[sof + 1] = 0xC2  # rebrand SOF0 as progressive SOF2
+    with pt.raises(ValueError):
+        J.decode_jpeg(bytes(enc))
+
+
+def test_jpeg_spark_pipeline(spark):
+    """JPEG payloads flow the REAL path end-to-end: media_meta dims from
+    the SOF header, decode_image_batches tags codec=numpy-jpeg with true
+    dims/pixels, resize re-encodes to a decodable JPEG of target size."""
+    import numpy as np
+
+    from firmwarescraper_spark.multimodal import jpeg as J
+
+    img = _gradient_rgb(32, 48)
+    df = spark.createDataFrame(
+        [(20, bytearray(J.encode_jpeg(img, quality=90)))],
+        "id long, payload binary")
+    meta = MM.attach_media_meta(df).collect()[0]["media_meta"]
+    assert meta["container"] == "jpeg"
+    assert (meta["width"], meta["height"]) == (48, 32)
+    dec = MM.decode_image_batches(df).collect()[0]
+    assert dec["codec"] == "numpy-jpeg"
+    assert (dec["width"], dec["height"], dec["channels"]) == (48, 32, 3)
+    pix = np.frombuffer(bytes(dec["pixels"]), dtype=np.uint8).reshape(32, 48, 3)
+    assert np.abs(pix.astype(int) - img.astype(int)).mean() < 4.0
+    rs = MM.resize_images(df, 16, 12).collect()[0]
+    assert rs["codec"] == "numpy-jpeg"
+    assert J.decode_jpeg(bytes(rs["resized"])).shape == (12, 16, 3)
+
+
 def test_real_decode_resize_features(spark):
     import numpy as np
 

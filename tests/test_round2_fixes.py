@@ -181,11 +181,26 @@ def test_json_feed_matches_items(spark, tmp_path):
     G.write_corpus(spark, corpus, n_avm=2, n_linksys=2, partitions=2)
     eng = CrawlEngine(spark, corpus, str(tmp_path / "state"))
     eng.run(G.seeds(), fresh=True)
+    # downloads first, so the feed can join FilesPipeline results back
+    manifest = {r["url"]: r for r in eng.collect_downloads().collect()}
     n = eng.export_feed(str(tmp_path / "feed"))
     fed = spark.read.json(str(tmp_path / "feed"))
     assert fed.count() == n == eng.items().count()
     assert set(fed.columns) == {"vendor", "device_name", "firmware_version",
-                                "device_class", "release_date", "file_urls"}
+                                "device_class", "release_date", "file_urls",
+                                "files"}
+    # scrapy post-pipeline shape (items.py:11 / pipelines.py:4-6): every
+    # downloaded file URL appears as a {url, path, checksum} files entry
+    got_any = False
+    for row in fed.collect():
+        files = {f["url"]: f for f in (row["files"] or [])}
+        for furl in row["file_urls"] or []:
+            if furl in manifest:
+                got_any = True
+                assert furl in files
+                assert files[furl]["path"] == manifest[furl]["path"]
+                assert files[furl]["checksum"] == manifest[furl]["sha256"]
+    assert got_any, "no downloaded file URL found in any feed item"
 
 
 def test_download_misses_not_marked_done(spark, tmp_path):
