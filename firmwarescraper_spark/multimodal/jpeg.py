@@ -473,53 +473,83 @@ def _encode_block(bw, block, qtbl, dc_codes, ac_codes, pred):
     return pred
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
+def _pad_to(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate pad a plane to (ph, pw)."""
+    h, w = p.shape
+    pad = np.empty((ph, pw), dtype=np.float64)
+    pad[:h, :w] = p
+    pad[h:, :w] = p[h - 1:h, :]
+    pad[:, w:] = pad[:, w - 1:w]
+    return pad
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85,
+                subsampling: str = "444") -> bytes:
     """(H, W, 3) uint8 RGB or (H, W[, 1]) gray -> baseline JFIF bytes
-    (4:4:4, Annex K Huffman tables, IJG-scaled Annex K quant tables)."""
+    (Annex K Huffman tables, IJG-scaled Annex K quant tables).
+
+    ``subsampling``: "444" (one 8x8 block per component per MCU) or "420"
+    (2x2-sampled luma, box-averaged chroma — the common camera/web
+    profile; also how the decoder's upsampling path gets test coverage).
+    """
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 3 and arr.shape[2] == 1:
         arr = arr[:, :, 0]
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
 
     lum_q = _quality_scale(STD_LUM_QT, quality)
     chr_q = _quality_scale(STD_CHR_QT, quality)
 
+    dc_l, ac_l = _build_codes(*DC_LUM), _build_codes(*AC_LUM)
+    dc_c, ac_c = _build_codes(*DC_CHR), _build_codes(*AC_CHR)
+
+    # components: (plane, hs, vs, qtbl, dc_codes, ac_codes)
     if gray:
-        planes = [arr.astype(np.float64)]
-        qts = [lum_q]
+        comps = [(arr.astype(np.float64), 1, 1, lum_q, dc_l, ac_l)]
     else:
         rgb = arr.astype(np.float64)
         r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        planes = [y, cb, cr]
-        qts = [lum_q, chr_q, chr_q]
+        if subsampling == "420":
+            # box-average 2x2 chroma downsample (pad odd dims first)
+            ch, cw = -(-h // 2) * 2, -(-w // 2) * 2
+            cbp, crp = _pad_to(cb, ch, cw), _pad_to(cr, ch, cw)
+            cb = cbp.reshape(ch // 2, 2, cw // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(ch // 2, 2, cw // 2, 2).mean(axis=(1, 3))
+            comps = [(y, 2, 2, lum_q, dc_l, ac_l),
+                     (cb, 1, 1, chr_q, dc_c, ac_c),
+                     (cr, 1, 1, chr_q, dc_c, ac_c)]
+        else:
+            comps = [(y, 1, 1, lum_q, dc_l, ac_l),
+                     (cb, 1, 1, chr_q, dc_c, ac_c),
+                     (cr, 1, 1, chr_q, dc_c, ac_c)]
 
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = []
-    for p in planes:
-        pad = np.empty((ph, pw), dtype=np.float64)
-        pad[:h, :w] = p
-        pad[h:, :w] = p[-1:, :]
-        pad[:, w:] = pad[:, w - 1:w]
-        padded.append(pad)
-
-    dc_l, ac_l = _build_codes(*DC_LUM), _build_codes(*AC_LUM)
-    dc_c, ac_c = _build_codes(*DC_CHR), _build_codes(*AC_CHR)
-    comp_tables = ([(dc_l, ac_l)] if gray
-                   else [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)])
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    padded = [
+        (_pad_to(p, mcus_y * vs * 8, mcus_x * hs * 8), hs, vs, qt, dc, ac)
+        for p, hs, vs, qt, dc, ac in comps
+    ]
 
     bw = _BitWriter()
-    preds = [0] * len(planes)
-    for my in range(ph // 8):
-        for mx in range(pw // 8):
-            for ci, plane in enumerate(padded):
-                block = plane[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8]
-                dc_codes, ac_codes = comp_tables[ci]
-                preds[ci] = _encode_block(
-                    bw, block, qts[ci], dc_codes, ac_codes, preds[ci])
+    preds = [0] * len(comps)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (plane, hs, vs, qt, dc, ac) in enumerate(padded):
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        block = plane[y0:y0 + 8, x0:x0 + 8]
+                        preds[ci] = _encode_block(
+                            bw, block, qt, dc, ac, preds[ci])
     bw.flush()
 
     def seg(marker, body):
@@ -532,8 +562,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
         out += seg(0xDB, bytes([0x01]) + bytes(chr_q[ZIGZAG].astype(np.uint8)))
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for i in range(ncomp):
-        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+    for i, (_, hs, vs, *_rest) in enumerate(comps):
+        sof += bytes([i + 1, (hs << 4) | vs, 0 if i == 0 else 1])
     out += seg(0xC0, sof)
     for tc_th, (bits, vals) in ((0x00, DC_LUM), (0x10, AC_LUM)) if gray else (
             (0x00, DC_LUM), (0x10, AC_LUM), (0x01, DC_CHR), (0x11, AC_CHR)):

@@ -170,6 +170,27 @@ def test_jpeg_roundtrip():
     assert len(J.encode_jpeg(img, quality=30)) < len(enc)
 
 
+def test_jpeg_420_subsampling_roundtrip():
+    """4:2:0 encode exercises the decoder's multi-block-MCU + chroma
+    upsampling path: odd dimensions force edge MCU padding, and the
+    subsampled stream must still reconstruct within chroma-loss error."""
+    import numpy as np
+
+    from firmwarescraper_spark.multimodal import jpeg as J
+
+    img = _gradient_rgb(41, 55)  # odd dims: partial MCUs on both edges
+    enc = J.encode_jpeg(img, quality=90, subsampling="420")
+    assert len(enc) < len(J.encode_jpeg(img, quality=90, subsampling="444"))
+    dec = J.decode_jpeg(enc)
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 6.0  # chroma is 2x2-averaged; luma stays tight
+    # luma-only comparison must stay near the 4:4:4 error level
+    ly = 0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+    dy = 0.299 * dec[:, :, 0] + 0.587 * dec[:, :, 1] + 0.114 * dec[:, :, 2]
+    assert np.abs(ly - dy).mean() < 3.0
+
+
 def test_jpeg_rejects_non_baseline():
     import pytest as pt
 
