@@ -152,6 +152,46 @@ def build_bloom_buckets(seen: DataFrame, key: str = "url_hash",
     return bitmaps, m_bits, k
 
 
+def merge_bloom_buckets(bitmaps: DataFrame, new_seen: DataFrame,
+                        m_bits: int, k: int, key: str = "url_hash",
+                        buckets: int = 64) -> DataFrame:
+    """Incremental filter maintenance (the 10^10-URL steady state): OR the
+    new keys' probe bits into the existing per-bucket bitmaps instead of
+    rebuilding the whole filter. Implemented as a full-outer cogroup on
+    bucket — a bucket with no new keys passes through untouched, a bucket
+    with no prior bitmap starts from zeros, and only the touched buckets'
+    fixed-size bitmaps move. Bit-OR is associative/idempotent, so
+    ``merge(build(A), B) == build(A ∪ B)`` byte-for-byte at equal geometry
+    (pinned by tests/test_round3_fixes.py).
+
+    ``m_bits``/``k`` must be the geometry the bitmaps were built with
+    (returned by build_bloom_buckets)."""
+    import numpy as np
+
+    words = m_bits // 64
+
+    def _merge(bm_pdf: pd.DataFrame, keys_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(bm_pdf):
+            bm = np.frombuffer(bm_pdf["bm"].iloc[0], dtype=np.uint64).copy()
+            bucket = int(bm_pdf["bucket"].iloc[0])
+        else:
+            bm = np.zeros(words, dtype=np.uint64)
+            bucket = int(keys_pdf["_bucket"].iloc[0])
+        if len(keys_pdf):
+            _bloom_set_bits(
+                bm, keys_pdf[key].to_numpy(dtype=np.int64), m_bits, k)
+        return pd.DataFrame({"bucket": [bucket], "bm": [bm.tobytes()]})
+
+    tagged = new_seen.select(key).withColumn(
+        "_bucket", F.pmod(F.col(key), F.lit(buckets)).cast("int")
+    )
+    return (
+        bitmaps.groupBy("bucket")
+        .cogroup(tagged.groupBy("_bucket"))
+        .applyInPandas(_merge, "bucket int, bm binary")
+    )
+
+
 # total-bitmap-bytes ceiling for the broadcast probe path; past it the
 # cogroup path keeps every bitmap executor-side
 _BLOOM_BROADCAST_CAP = 64 << 20
