@@ -611,6 +611,7 @@ def _media_meta_sql() -> str:
         2: ("image", "jpeg", 12, 7),
         3: ("audio", "wav", None, None),
         4: ("unknown", None, None, None),
+        5: ("image", "jpeg", 12, 7),   # progressive (SOF2) — same dims
     }
 
     def lit(x):

@@ -6,17 +6,18 @@ the training-data-pipeline pattern for 100 TB multimodal corpora.
 Decode status (honest inventory):
   * **REAL** (pure numpy/stdlib): BMP (24-bit), PNG (8-bit gray/RGB/RGBA,
     non-interlaced, all five scanline filters), WAV (PCM16) in
-    multimodal/codecs.py, and baseline JFIF **JPEG** (SOF0, Huffman,
-    4:4:4/4:2:2/4:2:0/gray, restart intervals; encoder at 4:4:4) in
-    multimodal/jpeg.py — decode, nearest-neighbor resize, re-encode,
-    image and audio feature extraction all operate on actual
-    pixels/samples.
-  * **STUBBED**: MP4 kernels (no ffmpeg in this container) and
-    non-baseline JPEG profiles (progressive/arithmetic/12-bit); those
-    payloads fall through to ``_decode_stub`` and are tagged
-    ``codec = "stub"`` per row so downstream consumers can tell. At
-    deployment, swap the stub for the native lib; every schema and
-    mapInPandas batch contract stays identical.
+    multimodal/codecs.py, and **JPEG** — both baseline (SOF0) and
+    progressive (SOF2 with spectral selection + successive approximation
+    + EOBRUN) — in multimodal/jpeg.py (4:4:4/4:2:2/4:2:0/gray, restart
+    intervals; encoders at 4:4:4 and 4:2:0, baseline and progressive) —
+    decode, nearest-neighbor resize, re-encode, image and audio feature
+    extraction all operate on actual pixels/samples.
+  * **STUBBED**: MP4 kernels (no ffmpeg in this container) and the exotic
+    JPEG profiles (arithmetic coding/12-bit/hierarchical); those payloads
+    fall through to ``_decode_stub`` and are tagged ``codec = "stub"``
+    per row so downstream consumers can tell. At deployment, swap the
+    stub for the native lib; every schema and mapInPandas batch contract
+    stays identical.
 
 Scale notes: decode/feature-extract run via ``mapInPandas`` so each Arrow
 batch amortizes the Python crossing; batch size is governed by

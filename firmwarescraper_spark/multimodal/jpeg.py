@@ -1,17 +1,22 @@
-"""Baseline JFIF (JPEG) codec in pure numpy/stdlib — a REAL decoder and
-encoder for the most common interchange format, written from the public
+"""JFIF (JPEG) codec in pure numpy/stdlib — a REAL decoder and encoder
+for the web's dominant interchange format, written from the public
 ITU-T T.81 spec (no libjpeg in this container).
 
-Scope (the baseline-sequential profile that covers ordinary JFIF files):
+Scope:
 
-  * decode — SOF0 (baseline DCT, 8-bit), 1 or 3 components, any sampling
-    factors up to 2x2 (4:4:4, 4:2:2, 4:2:0, grayscale), byte-stuffed
-    entropy stream, restart intervals (DRI/RSTn), multiple DQT/DHT
-    segments. Progressive (SOF2), arithmetic coding, and 12-bit depth are
-    rejected with a ValueError (those payloads fall back to the tagged
-    stub path in binary.py).
-  * encode — baseline 4:4:4 (or grayscale), standard Annex K quantization
-    tables scaled by a quality factor and the Annex K Huffman tables.
+  * decode — baseline (SOF0) AND progressive (SOF2, both spectral
+    selection and successive approximation, EOBRUN end-of-band runs),
+    8-bit, 1 or 3 components, any sampling factors up to 2x2
+    (4:4:4, 4:2:2, 4:2:0, grayscale), byte-stuffed entropy stream,
+    restart intervals (DRI/RSTn), multiple DQT/DHT segments, DHT
+    redefinition between scans. Arithmetic coding, 12-bit depth, and
+    hierarchical/lossless SOF markers are rejected with a ValueError
+    (those payloads fall back to the tagged stub path in binary.py).
+  * encode — baseline (``encode_jpeg``) and progressive
+    (``encode_jpeg_progressive``), 4:4:4 or 4:2:0 or grayscale, Annex K
+    quantization tables scaled by an IJG quality factor. Both encoders
+    quantize identically, so a progressive stream decodes pixel-identical
+    to its baseline twin — the invariant the tests pin.
 
 The 8x8 transforms are orthonormal-DCT matrix products (numpy); the
 per-block Huffman loop is Python, which is fine at the thumbnail scale
@@ -248,13 +253,18 @@ def jpeg_dims(payload: bytes):
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (H, W, 3) uint8 RGB (or (H, W, 1) for
-    grayscale streams). Raises ValueError on non-baseline profiles."""
+    """JFIF bytes -> (H, W, 3) uint8 RGB (or (H, W, 1) for grayscale
+    streams). Baseline (SOF0) decodes block-streaming; progressive (SOF2,
+    spectral selection AND successive approximation) accumulates the
+    coefficient store across scans and reconstructs at EOI. Arithmetic
+    coding / 12-bit / hierarchical profiles raise ValueError."""
     if not payload or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt = {}                 # id -> 64 int32 (natural order)
     huff_dc, huff_ac = {}, {}
     frame = None            # (h, w, [(cid, hs, vs, qid)])
+    progressive = False
+    coeffs = None           # progressive: cid -> (bh, bw, 64) int32 (zigzag)
     restart_interval = 0
     pos = 2
     n = len(payload)
@@ -290,10 +300,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 table = _build_decode_map(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 bpos += 17 + nv
-        elif marker == 0xC0:        # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec = body[0]
             if prec != 8:
-                raise ValueError("only 8-bit baseline supported")
+                raise ValueError("only 8-bit depth supported")
+            progressive = marker == 0xC2
             h, w = struct.unpack_from(">HH", body, 1)
             ncomp = body[5]
             comps = []
@@ -302,9 +313,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 hv = body[7 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * i]))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            if progressive:
+                geo = _comp_geometry(frame)
+                coeffs = {
+                    cid: np.zeros((bh_pad, bw_pad, 64), dtype=np.int32)
+                    for cid, (_, _, bw_pad, bh_pad, _, _) in geo[2].items()
+                }
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(f"non-baseline SOF marker 0xFF{marker:02X}")
+            raise ValueError(f"unsupported SOF marker 0xFF{marker:02X}")
         elif marker == 0xDD:        # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:        # SOS -> entropy data follows
@@ -317,11 +334,223 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 tt = body[2 + 2 * i]
                 scan.append((cs, tt >> 4, tt & 0x0F))
             data_start = pos + length
-            return _decode_scan(
-                payload, data_start, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval)
+            if not progressive:
+                return _decode_scan(
+                    payload, data_start, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            pos = _decode_progressive_scan(
+                payload, data_start, frame, scan, ss, se,
+                ahal >> 4, ahal & 0x0F, huff_dc, huff_ac,
+                restart_interval, coeffs)
+            continue
         pos += length
+    if progressive and coeffs is not None:
+        return _reconstruct_from_coeffs(frame, coeffs, qt)
     raise ValueError("no SOS marker found")
+
+
+def _comp_geometry(frame):
+    """(hmax/vmax MCU grid, per-comp block dims). Returns (mcus_x, mcus_y,
+    {cid: (hs, vs, bw_pad, bh_pad, bw_used, bh_used)}) where *_pad is the
+    MCU-padded block grid (interleaved scans) and *_used the component's
+    own ceil grid (non-interleaved scans, T.81 A.2.2)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    geo = {}
+    for cid, hs, vs, _qid in comps:
+        cw = -(-w * hs // hmax)
+        ch = -(-h * vs // vmax)
+        geo[cid] = (hs, vs, mcus_x * hs, mcus_y * vs, -(-cw // 8), -(-ch // 8))
+    return mcus_x, mcus_y, geo
+
+
+def _find_next_marker(payload: bytes, pos: int) -> int:
+    """Scan forward to the next non-stuffed, non-RST marker boundary."""
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] == 0xFF and payload[pos + 1] != 0x00 \
+                and not (0xD0 <= payload[pos + 1] <= 0xD7):
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_progressive_scan(payload, data_start, frame, scan, ss, se,
+                             ah, al, huff_dc, huff_ac, restart_interval,
+                             coeffs):
+    """Decode one progressive scan (T.81 G.2) into the coefficient store;
+    returns the stream position of the next marker. Handles all four scan
+    kinds: DC first / DC refine / AC first / AC refine, interleaved and
+    non-interleaved, with restart intervals."""
+    h, w, comps = frame
+    mcus_x, mcus_y, geo = _comp_geometry(frame)
+    by_id = {c[0]: c for c in comps}
+    reader = _BitReader(payload, data_start)
+    state = {"eobrun": 0, "pred": {cid: 0 for cid, *_ in comps}}
+
+    def restart():
+        reader.align_to_restart()
+        state["eobrun"] = 0
+        state["pred"] = {cid: 0 for cid in state["pred"]}
+
+    if ss == 0:
+        # ---- DC scan (always covers only coefficient 0) ----
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        interleaved = len(scan) > 1
+        if interleaved:
+            units = []
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    blocks = []
+                    for cid, td, _ta in scan:
+                        hs, vs = geo[cid][0], geo[cid][1]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                blocks.append(
+                                    (cid, td, my * vs + by, mx * hs + bx))
+                    units.append(blocks)
+        else:
+            cid, td, _ta = scan[0]
+            _, _, _, _, bw_u, bh_u = geo[cid]
+            units = [[(cid, td, by, bx)]
+                     for by in range(bh_u) for bx in range(bw_u)]
+        for i, unit in enumerate(units):
+            if restart_interval and i and i % restart_interval == 0:
+                restart()
+            for cid, td, by, bx in unit:
+                block = coeffs[cid][by, bx]
+                if ah == 0:
+                    t = _huff_decode(reader, huff_dc[td])
+                    diff = _extend(reader.receive(t), t)
+                    state["pred"][cid] += diff
+                    block[0] = state["pred"][cid] << al
+                else:
+                    if reader.read_bit():
+                        block[0] |= (1 << al)
+    else:
+        # ---- AC scan: single component, non-interleaved (T.81 G.1.1.1.1)
+        if len(scan) != 1:
+            raise ValueError("interleaved AC scan is illegal in progressive")
+        cid, _td, ta = scan[0]
+        ac_tbl = huff_ac[ta]
+        _, _, _, _, bw_u, bh_u = geo[cid]
+        p1, m1 = 1 << al, -1 << al
+        unit_i = 0
+        for by in range(bh_u):
+            for bx in range(bw_u):
+                if restart_interval and unit_i and \
+                        unit_i % restart_interval == 0:
+                    restart()
+                unit_i += 1
+                block = coeffs[cid][by, bx]
+                if ah == 0:
+                    # AC first pass
+                    if state["eobrun"] > 0:
+                        state["eobrun"] -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _huff_decode(reader, ac_tbl)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r < 15:
+                                state["eobrun"] = (1 << r) - 1
+                                if r:
+                                    state["eobrun"] += reader.receive(r)
+                                break
+                            k += 16        # ZRL
+                            continue
+                        k += r
+                        if k > se:
+                            raise ValueError("AC band overflow")
+                        block[k] = _extend(reader.receive(s), s) << al
+                        k += 1
+                else:
+                    # AC refinement (T.81 G.1.2.3 / figure G.7)
+                    k = ss
+                    if state["eobrun"] == 0:
+                        while k <= se:
+                            rs = _huff_decode(reader, ac_tbl)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r < 15:
+                                    state["eobrun"] = 1 << r
+                                    if r:
+                                        state["eobrun"] += reader.receive(r)
+                                    break
+                                # ZRL: skip 16 zero-history positions
+                                newval = 0
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "bad refinement magnitude")
+                                newval = p1 if reader.read_bit() else m1
+                            while k <= se:
+                                cur = int(block[k])
+                                if cur != 0:
+                                    if reader.read_bit():
+                                        if (cur & p1) == 0:
+                                            block[k] = cur + (
+                                                p1 if cur >= 0 else m1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if s and k <= se:
+                                block[k] = newval
+                            k += 1
+                    if state["eobrun"] > 0:
+                        while k <= se:
+                            cur = int(block[k])
+                            if cur != 0:
+                                if reader.read_bit():
+                                    if (cur & p1) == 0:
+                                        block[k] = cur + (
+                                            p1 if cur >= 0 else m1)
+                            k += 1
+                        state["eobrun"] -= 1
+    return _find_next_marker(payload, reader.pos)
+
+
+def _reconstruct_from_coeffs(frame, coeffs, qt):
+    """Dequantize + IDCT the accumulated progressive coefficient store,
+    then upsample/color-convert exactly like the baseline path."""
+    h, w, comps = frame
+    mcus_x, mcus_y, geo = _comp_geometry(frame)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    Tt = _T.T
+    out = []
+    for cid, hs, vs, qid in comps:
+        _, _, bw_pad, bh_pad, _, _ = geo[cid]
+        qtbl = qt[qid].astype(np.float64)
+        plane = np.zeros((bh_pad * 8, bw_pad * 8), dtype=np.float64)
+        store = coeffs[cid]
+        for by in range(bh_pad):
+            for bx in range(bw_pad):
+                block = np.zeros(64, dtype=np.float64)
+                block[ZIGZAG] = store[by, bx] * qtbl[ZIGZAG]
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                    Tt @ block.reshape(8, 8) @ _T + 128.0)
+        if hs != hmax or vs != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
+        out.append(plane[:h, :w])
+    if len(out) == 1:
+        return (np.clip(out[0], 0, 255) + 0.5).astype(np.uint8)[:, :, None]
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return (np.clip(rgb, 0, 255) + 0.5).astype(np.uint8)
 
 
 def _decode_scan(payload, data_start, frame, scan, qt, huff_dc, huff_ac,
@@ -377,7 +606,10 @@ def _decode_scan(payload, data_start, frame, scan, qt, huff_dc, huff_ac,
                             coeffs[k] = _extend(reader.receive(s), s)
                             k += 1
                         block = np.zeros(64, dtype=np.float64)
-                        block[ZIGZAG] = coeffs * qtbl
+                        # coeffs is zigzag-ordered; pair each with the
+                        # quant value of its NATURAL position (qtbl is
+                        # natural-order, so index it through ZIGZAG)
+                        block[ZIGZAG] = coeffs * qtbl[ZIGZAG]
                         spatial = Tt @ block.reshape(8, 8) @ _T + 128.0
                         y0 = (my * vs + by) * 8
                         x0 = (mx * hs + bx) * 8
@@ -483,22 +715,17 @@ def _pad_to(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
     return pad
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 85,
-                subsampling: str = "444") -> bytes:
-    """(H, W, 3) uint8 RGB or (H, W[, 1]) gray -> baseline JFIF bytes
-    (Annex K Huffman tables, IJG-scaled Annex K quant tables).
-
-    ``subsampling``: "444" (one 8x8 block per component per MCU) or "420"
-    (2x2-sampled luma, box-averaged chroma — the common camera/web
-    profile; also how the decoder's upsampling path gets test coverage).
-    """
+def _encode_prep(arr: np.ndarray, quality: int, subsampling: str):
+    """Shared encoder front half: color convert, subsample, MCU-pad.
+    Returns (gray, h, w, lum_q, chr_q, padded, mcus_x, mcus_y) where
+    padded = [(plane, hs, vs, qtbl, dc_codes, ac_codes)]."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 3 and arr.shape[2] == 1:
         arr = arr[:, :, 0]
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError("subsampling must be '444', '422' or '420'")
 
     lum_q = _quality_scale(STD_LUM_QT, quality)
     chr_q = _quality_scale(STD_CHR_QT, quality)
@@ -515,13 +742,15 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        if subsampling == "420":
-            # box-average 2x2 chroma downsample (pad odd dims first)
-            ch, cw = -(-h // 2) * 2, -(-w // 2) * 2
+        if subsampling in ("420", "422"):
+            # box-average chroma downsample: 2x2 for 4:2:0, 1x2 for 4:2:2
+            # (pad odd dims first)
+            fy = 2 if subsampling == "420" else 1
+            ch, cw = -(-h // fy) * fy, -(-w // 2) * 2
             cbp, crp = _pad_to(cb, ch, cw), _pad_to(cr, ch, cw)
-            cb = cbp.reshape(ch // 2, 2, cw // 2, 2).mean(axis=(1, 3))
-            cr = crp.reshape(ch // 2, 2, cw // 2, 2).mean(axis=(1, 3))
-            comps = [(y, 2, 2, lum_q, dc_l, ac_l),
+            cb = cbp.reshape(ch // fy, fy, cw // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(ch // fy, fy, cw // 2, 2).mean(axis=(1, 3))
+            comps = [(y, 2, fy, lum_q, dc_l, ac_l),
                      (cb, 1, 1, chr_q, dc_c, ac_c),
                      (cr, 1, 1, chr_q, dc_c, ac_c)]
         else:
@@ -537,11 +766,41 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
         (_pad_to(p, mcus_y * vs * 8, mcus_x * hs * 8), hs, vs, qt, dc, ac)
         for p, hs, vs, qt, dc, ac in comps
     ]
+    return gray, h, w, lum_q, chr_q, padded, mcus_x, mcus_y
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85,
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """(H, W, 3) uint8 RGB or (H, W[, 1]) gray -> baseline JFIF bytes
+    (Annex K Huffman tables, IJG-scaled Annex K quant tables).
+
+    ``subsampling``: "444" (one 8x8 block per component per MCU), "422"
+    (2x1-sampled luma) or "420" (2x2-sampled luma, box-averaged chroma —
+    the common camera/web profile; also how the decoder's upsampling path
+    gets test coverage).
+
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker every
+    N MCUs (DC predictors reset, bit stream byte-aligned) — the
+    error-resilience structure real encoders emit, and the coverage for
+    the decoder's restart path."""
+    gray, h, w, lum_q, chr_q, padded, mcus_x, mcus_y = _encode_prep(
+        arr, quality, subsampling)
+    comps = padded
 
     bw = _BitWriter()
     preds = [0] * len(comps)
+    mcu_count = 0
+    rst_n = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                bw.flush()                     # byte-align (1-padded)
+                bw.out += bytes([0xFF, 0xD0 + rst_n])   # RSTn, not stuffed
+                rst_n = (rst_n + 1) & 7
+                preds = [0] * len(comps)
+            mcu_count += 1
             for ci, (plane, hs, vs, qt, dc, ac) in enumerate(padded):
                 for by in range(vs):
                     for bx in range(hs):
@@ -568,6 +827,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
     for tc_th, (bits, vals) in ((0x00, DC_LUM), (0x10, AC_LUM)) if gray else (
             (0x00, DC_LUM), (0x10, AC_LUM), (0x01, DC_CHR), (0x11, AC_CHR)):
         out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for i in range(ncomp):
         sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
@@ -575,4 +836,253 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
     out += seg(0xDA, sos)
     out += bw.out
     out += b"\xff\xd9"                                # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (SOF2: spectral selection + successive approximation)
+# ---------------------------------------------------------------------------
+
+def _quantize_store(padded):
+    """DCT + quantize every padded plane into a zigzag-ordered coefficient
+    store: list of (bh, bw, 64) int32 per component."""
+    stores = []
+    for plane, hs, vs, qtbl, _dc, _ac in padded:
+        ph, pw = plane.shape
+        bh, bw_ = ph // 8, pw // 8
+        store = np.zeros((bh, bw_, 64), dtype=np.int32)
+        qf = qtbl.astype(np.float64)
+        for by in range(bh):
+            for bx in range(bw_):
+                block = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                coeffs = _T @ (block - 128.0) @ _T.T
+                q = np.round(coeffs.ravel() / qf).astype(np.int32)
+                store[by, bx] = q[ZIGZAG]
+        stores.append(store)
+    return stores
+
+
+# Progressive AC Huffman table: the Annex K baseline AC tables contain no
+# EOBn (end-of-band-run) symbols and their 16-bit level is too full to add
+# them, so progressive scans carry their own table — every symbol the
+# progressive entropy coder can produce (EOB0..EOB14, ZRL, (r,s) for
+# s=1..10) at a flat 8-bit code length (176 <= 256 leaves: valid canonical
+# Huffman, deliberately simple rather than optimal).
+_AC_PROG_VALS = ([r << 4 for r in range(15)] + [0xF0]
+                 + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+AC_PROG = ([0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0], _AC_PROG_VALS)
+
+
+class _ProgACWriter:
+    """Scan-level progressive AC entropy coder with real EOBRUN
+    accumulation (T.81 G.1.2.2-3, mirroring libjpeg's jcphuff): EOBs are
+    counted across blocks and emitted as one EOBn symbol; refinement
+    correction bits buffer across the covered blocks and flush right after
+    the symbol, in the exact positional order the decoder re-reads them."""
+
+    def __init__(self, bw: _BitWriter, ac_codes: dict):
+        self.bw = bw
+        self.codes = ac_codes
+        self.eobrun = 0
+        self.be = []       # correction bits owed across EOB-run'd blocks
+
+    def _sym(self, symbol: int):
+        code, ln = self.codes[symbol]
+        self.bw.write(code, ln)
+
+    def emit_eobrun(self):
+        if self.eobrun:
+            nbits = self.eobrun.bit_length() - 1
+            self._sym(nbits << 4)
+            if nbits:
+                self.bw.write(self.eobrun - (1 << nbits), nbits)
+            for b in self.be:
+                self.bw.write(b, 1)
+            self.be.clear()
+            self.eobrun = 0
+
+    def _count_eob(self, pending_bits):
+        self.eobrun += 1
+        self.be.extend(pending_bits)
+        if self.eobrun == 0x7FFF:     # EOBn maxes out at n=14
+            self.emit_eobrun()
+
+    def first_block(self, zz, ss, se, al):
+        """AC first pass: point transform truncates toward zero."""
+        r = 0
+        emitted = False
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            t = (v >> al) if v >= 0 else -((-v) >> al)
+            if t == 0:
+                r += 1
+                continue
+            self.emit_eobrun()
+            while r > 15:
+                self._sym(0xF0)       # ZRL
+                r -= 16
+            s = abs(t).bit_length()
+            self._sym((r << 4) | s)
+            mv = t if t > 0 else t + (1 << s) - 1
+            self.bw.write(mv, s)
+            r = 0
+            emitted = True
+        if r > 0 or not emitted:
+            self._count_eob(())
+
+    def refine_block(self, zz, ss, se, al):
+        """AC refinement Ah=al+1 -> Al=al."""
+        absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        eob = -1                      # last newly-significant index
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i
+        r, pending = 0, []
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            # ZRLs that cannot fold into the trailing EOB run
+            while r > 15 and i <= eob:
+                self.emit_eobrun()
+                self._sym(0xF0)
+                r -= 16
+                for b in pending:
+                    self.bw.write(b, 1)
+                pending = []
+            if t > 1:                 # previously nonzero: correction bit
+                pending.append(t & 1)
+                continue
+            self.emit_eobrun()
+            self._sym((r << 4) | 1)
+            self.bw.write(1 if int(zz[ss + i]) > 0 else 0, 1)
+            for b in pending:
+                self.bw.write(b, 1)
+            pending = []
+            r = 0
+        if r > 0 or pending:
+            self._count_eob(pending)
+
+    def finish(self):
+        self.emit_eobrun()
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85,
+                            subsampling: str = "444") -> bytes:
+    """(H, W, 3) uint8 RGB or (H, W[, 1]) gray -> progressive JFIF (SOF2)
+    bytes. The scan script exercises both progressive mechanisms:
+
+      1. DC, all components interleaved, successive approximation Al=1
+      2. DC refinement (Ah=1 -> Al=0, raw bits)
+      3. per component: AC bands (1,5) then (6,63) at Al=1
+      4. per component: AC refinement of both bands (Ah=1 -> Al=0)
+
+    The quantized coefficients are identical to the baseline encoder's, so
+    `decode_jpeg(encode_jpeg_progressive(x)) ==
+    decode_jpeg(encode_jpeg(x))` pixel-for-pixel — progressive is a
+    lossless reorganization of the same data (pinned by test)."""
+    gray, h, w, lum_q, chr_q, padded, mcus_x, mcus_y = _encode_prep(
+        arr, quality, subsampling)
+    stores = _quantize_store(padded)
+    ncomp = len(padded)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(lum_q[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, bytes([0x01]) + bytes(chr_q[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i, (_, hs, vs, *_rest) in enumerate(padded):
+        sof += bytes([i + 1, (hs << 4) | vs, 0 if i == 0 else 1])
+    out += seg(0xC2, sof)                              # SOF2: progressive
+    # DC tables: Annex K. AC table: the progressive table (id 0, shared by
+    # all components — baseline Annex K AC tables lack the EOBn symbols).
+    dht = [(0x00, DC_LUM), (0x10, AC_PROG)]
+    if not gray:
+        dht.append((0x01, DC_CHR))
+    for tc_th, (bits, vals) in dht:
+        out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+
+    def sos_header(comp_idxs, ss, se, ah, al):
+        body = bytes([len(comp_idxs)])
+        for ci in comp_idxs:
+            td = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (td << 4) | 0])   # AC table 0 for all
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    hmax = max(p[1] for p in padded)
+    vmax = max(p[2] for p in padded)
+
+    # --- scan 1: interleaved DC first pass, Al=1 (point transform = >> 1,
+    # arithmetic shift per T.81 — negatives shift toward -inf)
+    out += sos_header(list(range(ncomp)), 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (_, hs, vs, _qt, dc_codes, _ac) in enumerate(padded):
+                for by in range(vs):
+                    for bx in range(hs):
+                        dc = int(stores[ci][my * vs + by, mx * hs + bx, 0]) >> 1
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        t = abs(diff).bit_length() if diff else 0
+                        code, ln = dc_codes[t]
+                        bw.write(code, ln)
+                        if t:
+                            mv = diff if diff > 0 else diff + (1 << t) - 1
+                            bw.write(mv, t)
+    bw.flush()
+    out += bw.out
+
+    # --- scan 2: DC refinement Ah=1 -> Al=0 (one raw bit per block)
+    out += sos_header(list(range(ncomp)), 0, 0, 1, 0)
+    bw = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (_, hs, vs, *_rest) in enumerate(padded):
+                for by in range(vs):
+                    for bx in range(hs):
+                        bw.write(int(stores[ci][my * vs + by, mx * hs + bx, 0]) & 1, 1)
+    bw.flush()
+    out += bw.out
+
+    # --- AC scans: per component, non-interleaved over the USED block grid
+    def used_grid(ci):
+        hs, vs = padded[ci][1], padded[ci][2]
+        cw = -(-w * hs // hmax)
+        ch = -(-h * vs // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    ac_prog_codes = _build_codes(*AC_PROG)
+    bands = [(1, 5), (6, 63)]
+    for ci in range(ncomp):          # first passes, Al=1
+        bh_u, bw_u = used_grid(ci)
+        for ss, se in bands:
+            out += sos_header([ci], ss, se, 0, 1)
+            bw = _BitWriter()
+            ac = _ProgACWriter(bw, ac_prog_codes)
+            for by in range(bh_u):
+                for bx in range(bw_u):
+                    ac.first_block(stores[ci][by, bx], ss, se, 1)
+            ac.finish()
+            bw.flush()
+            out += bw.out
+    for ci in range(ncomp):          # refinement passes, Ah=1 -> Al=0
+        bh_u, bw_u = used_grid(ci)
+        for ss, se in bands:
+            out += sos_header([ci], ss, se, 1, 0)
+            bw = _BitWriter()
+            ac = _ProgACWriter(bw, ac_prog_codes)
+            for by in range(bh_u):
+                for bx in range(bw_u):
+                    ac.refine_block(stores[ci][by, bx], ss, se, 0)
+            ac.finish()
+            bw.flush()
+            out += bw.out
+
+    out += b"\xff\xd9"
     return bytes(out)

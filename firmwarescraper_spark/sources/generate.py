@@ -406,4 +406,5 @@ def demo_media_payloads() -> list:
         (2, JX.encode_jpeg(rgb, quality=90)),         # 12x7 baseline JPEG
         (3, CX.encode_wav(sine, rate=8000)),          # 0.1 s WAV
         (4, b"not-a-media-payload"),                  # unknown
+        (5, JX.encode_jpeg_progressive(rgb, quality=90)),  # 12x7 SOF2 JPEG
     ]

@@ -159,12 +159,15 @@ def test_jpeg_roundtrip():
     dec = J.decode_jpeg(enc)
     assert dec.shape == img.shape
     err = np.abs(dec.astype(int) - img.astype(int))
-    assert err.mean() < 4.0 and err.max() <= 20
+    # tight bounds pin the r3 dequant fix (zigzag coeffs must pair with
+    # the quant value of their NATURAL position): q90 on a smooth
+    # gradient measures mean ~0.7 / max 3
+    assert err.mean() < 1.5 and err.max() <= 6
 
     gray = img[:, :, 0]
     decg = J.decode_jpeg(J.encode_jpeg(gray, quality=90))
     assert decg.shape == (40, 56, 1)
-    assert np.abs(decg[:, :, 0].astype(int) - gray.astype(int)).mean() < 3.0
+    assert np.abs(decg[:, :, 0].astype(int) - gray.astype(int)).mean() < 1.5
 
     # lower quality -> coarser quant tables -> smaller stream
     assert len(J.encode_jpeg(img, quality=30)) < len(enc)
@@ -191,14 +194,72 @@ def test_jpeg_420_subsampling_roundtrip():
     assert np.abs(ly - dy).mean() < 3.0
 
 
-def test_jpeg_rejects_non_baseline():
+def test_jpeg_progressive_equals_baseline():
+    """Progressive (SOF2) is a lossless reorganization of the same
+    quantized coefficients, so the progressive stream must decode
+    PIXEL-IDENTICAL to its baseline twin. The fixture set covers every
+    progressive mechanism: successive approximation (DC and AC),
+    spectral-selection bands, EOBRUN runs spanning blocks (flat image =
+    maximal run), ZRL + refinement interleave (sparse dots), dense
+    coefficients (noise), chroma subsampling, and grayscale."""
+    import numpy as np
+
+    from firmwarescraper_spark.multimodal import jpeg as J
+
+    grad = _gradient_rgb(41, 55)
+    noise = np.random.default_rng(3).integers(0, 256, (33, 47, 3),
+                                              dtype=np.uint8)
+    dots = np.zeros((48, 48, 3), dtype=np.uint8)
+    dots[::7, ::11] = 255
+    flat = np.full((64, 80, 3), 127, dtype=np.uint8)
+    cases = [
+        (grad, 85, "444"), (grad, 85, "420"), (noise, 60, "444"),
+        (dots, 70, "444"), (flat, 85, "444"),
+    ]
+    for img, q, sub in cases:
+        base = J.decode_jpeg(J.encode_jpeg(img, quality=q, subsampling=sub))
+        pb = J.encode_jpeg_progressive(img, quality=q, subsampling=sub)
+        assert pb[2:4] != b"\xff\xc0" and b"\xff\xc2" in pb[:200]
+        assert np.array_equal(base, J.decode_jpeg(pb)), (q, sub)
+    g = grad[:, :, 1]
+    assert np.array_equal(
+        J.decode_jpeg(J.encode_jpeg(g, quality=85)),
+        J.decode_jpeg(J.encode_jpeg_progressive(g, quality=85)))
+
+
+def test_jpeg_422_and_restart_intervals():
+    """4:2:2 subsampling round-trips (the remaining sampling geometry),
+    and restart intervals are decode-transparent: a stream carrying DRI +
+    RSTn markers every N MCUs must decode pixel-identical to the plain
+    stream (predictor reset + byte alignment exactly mirrored)."""
+    import numpy as np
+
+    from firmwarescraper_spark.multimodal import jpeg as J
+
+    img = _gradient_rgb(41, 55)
+    dec = J.decode_jpeg(J.encode_jpeg(img, quality=90, subsampling="422"))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 5.0
+
+    for ri in (1, 3):
+        for sub in ("444", "420", "422"):
+            enc = J.encode_jpeg(img, quality=90, subsampling=sub,
+                                restart_interval=ri)
+            assert b"\xff\xdd" in enc          # DRI segment present
+            assert b"\xff\xd0" in enc          # at least one RST0 marker
+            base = J.decode_jpeg(J.encode_jpeg(img, quality=90,
+                                               subsampling=sub))
+            assert np.array_equal(J.decode_jpeg(enc), base), (ri, sub)
+
+
+def test_jpeg_rejects_unsupported_profiles():
     import pytest as pt
 
     from firmwarescraper_spark.multimodal import jpeg as J
 
     enc = bytearray(J.encode_jpeg(_gradient_rgb(8, 8)))
     sof = enc.find(b"\xff\xc0")
-    enc[sof + 1] = 0xC2  # rebrand SOF0 as progressive SOF2
+    enc[sof + 1] = 0xC9  # rebrand as arithmetic-coded sequential SOF9
     with pt.raises(ValueError):
         J.decode_jpeg(bytes(enc))
 
@@ -213,16 +274,26 @@ def test_jpeg_spark_pipeline(spark):
 
     img = _gradient_rgb(32, 48)
     df = spark.createDataFrame(
-        [(20, bytearray(J.encode_jpeg(img, quality=90)))],
+        [(20, bytearray(J.encode_jpeg(img, quality=90))),
+         (21, bytearray(J.encode_jpeg_progressive(img, quality=90)))],
         "id long, payload binary")
-    meta = MM.attach_media_meta(df).collect()[0]["media_meta"]
-    assert meta["container"] == "jpeg"
-    assert (meta["width"], meta["height"]) == (48, 32)
-    dec = MM.decode_image_batches(df).collect()[0]
-    assert dec["codec"] == "numpy-jpeg"
-    assert (dec["width"], dec["height"], dec["channels"]) == (48, 32, 3)
+    metas = {r["id"]: r["media_meta"]
+             for r in MM.attach_media_meta(df).collect()}
+    for i in (20, 21):   # SOF header dims work for baseline AND SOF2
+        assert metas[i]["container"] == "jpeg"
+        assert (metas[i]["width"], metas[i]["height"]) == (48, 32)
+    decs = {r["id"]: r for r in MM.decode_image_batches(df).collect()}
+    for i in (20, 21):
+        dec = decs[i]
+        assert dec["codec"] == "numpy-jpeg"
+        assert (dec["width"], dec["height"], dec["channels"]) == (48, 32, 3)
+        pix = np.frombuffer(
+            bytes(dec["pixels"]), dtype=np.uint8).reshape(32, 48, 3)
+        assert np.abs(pix.astype(int) - img.astype(int)).mean() < 4.0
+    # baseline and progressive rows decode pixel-identically
+    assert bytes(decs[20]["pixels"]) == bytes(decs[21]["pixels"])
+    dec = decs[20]
     pix = np.frombuffer(bytes(dec["pixels"]), dtype=np.uint8).reshape(32, 48, 3)
-    assert np.abs(pix.astype(int) - img.astype(int)).mean() < 4.0
     rs = MM.resize_images(df, 16, 12).collect()[0]
     assert rs["codec"] == "numpy-jpeg"
     assert J.decode_jpeg(bytes(rs["resized"])).shape == (12, 16, 3)
