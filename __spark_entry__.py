@@ -449,6 +449,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("media_meta.sha256").alias("sha256"),
         )
 
+    def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Gopher-style repetition quality signals (textops.py
+        repetition_signals): top-bigram coverage + duplicate-trigram
+        fraction — the standard web-text pretraining filters."""
+        from firmwarescraper_spark.operators import textops as TX
+
+        docs = _t(spark, sf_dir, "documents")
+        return TX.repetition_signals(docs)
+
     return {
         "anti_join_seen": q_anti_join_seen,
         "bloom_anti_join": q_bloom_anti_join,
@@ -485,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "media_meta": q_media_meta,
+        "repetition": q_repetition,
     }
 
 
@@ -820,4 +830,36 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "media_meta": _media_meta_sql(),
+        "repetition": r"""
+            WITH d AS (
+                SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id, len(w) AS n_words,
+                       CASE WHEN len(w) >= 2 THEN
+                         [array_to_string(w[i:i+1], ' ')
+                          FOR i IN generate_series(1, len(w)-1)]
+                       ELSE [] END AS bi,
+                       CASE WHEN len(w) >= 3 THEN
+                         [array_to_string(w[i:i+2], ' ')
+                          FOR i IN generate_series(1, len(w)-2)]
+                       ELSE [] END AS tri
+                FROM d
+            ),
+            top AS (
+                SELECT doc_id, max(cnt) AS top_cnt FROM (
+                    SELECT doc_id, g, count(*) AS cnt
+                    FROM (SELECT doc_id, unnest(bi) AS g FROM b)
+                    GROUP BY doc_id, g
+                ) GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   round(coalesce(top.top_cnt * 2.0 / greatest(b.n_words, 1),
+                                  0), 4) AS top_bigram_frac,
+                   round(CASE WHEN len(tri) > 0
+                         THEN 1.0 - len(list_distinct(tri)) * 1.0 / len(tri)
+                         ELSE 0 END, 4) AS dup_trigram_frac
+            FROM b LEFT JOIN top USING (doc_id)
+        """,
     }

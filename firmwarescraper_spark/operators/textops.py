@@ -115,3 +115,70 @@ def fingerprint_rolling(text: Column, window: int = 8) -> Column:
     )
     hashes = F.transform(shingles, lambda s: F.crc32(s.cast("binary")))
     return F.array_min(hashes)
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality filters for web text)
+# ---------------------------------------------------------------------------
+
+def _word_ngrams(words: Column, n: int) -> Column:
+    """Array of word n-grams via transform over an index sequence — pure
+    column exprs, no explode. Empty array when the doc has < n words
+    (guarded: ANSI sequence(0, -1) would count DOWN)."""
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       top_n: int = 2, dup_n: int = 3) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1 —
+    the standard web-text pretraining filters) per document:
+
+    * ``top_bigram_frac`` — fraction of words covered by occurrences of
+      the single most frequent word ``top_n``-gram (overlaps ignored):
+      boilerplate and SEO spam push this up.
+    * ``dup_trigram_frac`` — fraction of word ``dup_n``-gram slots that
+      are repeats of an earlier gram (1 - distinct/total): template/
+      looping text pushes this up.
+
+    Scale shape: the dup fraction is pure per-row column algebra
+    (array_distinct — no shuffle at all); the top-gram mode needs one
+    explode + two-level hash aggregation keyed by (doc, gram) — partial
+    aggregation map-side, no skew risk beyond document length itself."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col),
+        F.size(words).alias("_n_words"),
+        _word_ngrams(words, top_n).alias("_top_g"),
+        _word_ngrams(words, dup_n).alias("_dup_g"),
+    )
+    per_row = base.select(
+        F.col(id_col), "_n_words",
+        F.size("_dup_g").alias("_n_dup"),
+        F.size(F.array_distinct("_dup_g")).alias("_n_dup_d"),
+    )
+    top = (
+        base.select(F.col(id_col), F.explode("_top_g").alias("_g"))
+        .groupBy(id_col, "_g").count()
+        .groupBy(id_col).agg(F.max("count").alias("_top_cnt"))
+    )
+    return per_row.join(top, id_col, "left").select(
+        F.col(id_col),
+        F.round(
+            F.coalesce(F.col("_top_cnt") * top_n /
+                       F.greatest(F.col("_n_words"), F.lit(1)), F.lit(0.0)),
+            4,
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.when(F.col("_n_dup") > 0,
+                   1.0 - F.col("_n_dup_d") / F.col("_n_dup"))
+            .otherwise(F.lit(0.0)),
+            4,
+        ).alias("dup_trigram_frac"),
+    )

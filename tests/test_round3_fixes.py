@@ -117,6 +117,24 @@ def test_bloom_incremental_merge_equals_rebuild(spark):
     assert full_rows == merged_rows
 
 
+def test_repetition_signals_hand_values(spark):
+    """Gopher-style repetition signals against hand-computed values:
+    'a b a b a b' -> top bigram 'a b' occurs 3x => 3*2/6 = 1.0 coverage;
+    trigrams (aba, bab, aba, bab) => 1 - 2/4 = 0.5 duplicate fraction."""
+    from firmwarescraper_spark.operators import textops as TX
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y z w"), (3, "solo"), (4, "")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in TX.repetition_signals(docs).collect()}
+    assert rows[1]["top_bigram_frac"] == pytest.approx(1.0)
+    assert rows[1]["dup_trigram_frac"] == pytest.approx(0.5)
+    assert rows[2]["top_bigram_frac"] == pytest.approx(0.5)  # 1*2/4
+    assert rows[2]["dup_trigram_frac"] == pytest.approx(0.0)
+    assert rows[3]["top_bigram_frac"] == pytest.approx(0.0)  # < n words
+    assert rows[4]["dup_trigram_frac"] == pytest.approx(0.0)
+
+
 def test_bench_summary_line_fits_driver_tail():
     """The final bench stdout line must stay under the driver's 2000-char
     tail (BENCH_r02 parsed=null post-mortem). Emulate the compact-summary
