@@ -150,3 +150,25 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         )
         .drop("session_id")
     )
+
+
+def dedup_stream(events: DataFrame, keys=("event_id",),
+                 ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once-per-key filter — the URL-seen set
+    (north_star: "partitioned Bloom/cuckoo-filter URL-seen set") in its
+    continuous-deployment form: a state-store-backed
+    ``dropDuplicatesWithinWatermark`` keeps one state row per key and
+    BOUNDS state to the watermark horizon, so a crawl frontier consumed as
+    a stream dedups without unbounded memory. State is hash-partitioned by
+    key across executors (the same partitioning discipline as the batch
+    anti-join's shuffle). Batch twin for oracle parity:
+    ``dropDuplicates(keys)`` over the static frame."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
+    )
+
+
+def dedup_batch(events: DataFrame, keys=("event_id",)) -> DataFrame:
+    """Batch twin of dedup_stream (same keys, no watermark state)."""
+    return events.dropDuplicates(list(keys))

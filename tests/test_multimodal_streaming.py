@@ -450,3 +450,39 @@ def test_collect_downloads(spark, tmp_path):
     # F11 resume: second run adds nothing
     manifest2 = eng.collect_downloads()
     assert manifest2.count() == n1
+
+
+def test_dedup_stream_matches_batch(spark, tmp_path):
+    """Streaming URL-seen dedup (dropDuplicatesWithinWatermark): the
+    stream must emit exactly one row per key, matching the batch twin's
+    key set — including when the duplicate arrives in a LATER file
+    (separate micro-batch), which exercises the state store."""
+    import shutil
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    stream_dir = tmp_path / "events_dedup"
+    stream_dir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet",
+                stream_dir / "part-0.parquet")
+    # second micro-batch: a pure duplicate of the first file — every row
+    # must be suppressed by state, not by intra-batch dedup
+    shutil.copy("/root/testdata/sf0.001/events.parquet",
+                stream_dir / "part-1.parquet")
+    keys = ("user_id", "event_type")
+    stream = ST.stream_events(spark, str(stream_dir))
+    q = (
+        ST.dedup_stream(stream, keys=keys)
+        .writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select * from dedup_out").collect()
+    finally:
+        q.stop()
+    expect = ST.dedup_batch(events, keys=keys).collect()
+    keyf = lambda r: (r["user_id"], r["event_type"])  # noqa: E731
+    assert sorted(map(keyf, got)) == sorted(map(keyf, expect))
+    assert len(got) == len({keyf(r) for r in got})  # one row per key
