@@ -149,3 +149,35 @@ def test_text_invariant(spark, corpus):
         (extract_text_udf()(F.col("html").cast("string")) == F.col("text")).alias("ok"),
     ).filter(~F.col("ok"))
     assert mismatches.isEmpty()
+
+
+def test_cli_crawl_and_feed(spark, tmp_path):
+    """The reference's user surface (`scrapy crawl avm -o items.json`,
+    README.md:37-41) through the CLI: gen-corpus -> crawl avm+linksys
+    -> feed written, state resumable, spider name validation."""
+    import json
+
+    import pytest as pt
+
+    from firmwarescraper_spark.__main__ import main, spider_seeds
+
+    corpus = str(tmp_path / "pages")
+    out = main(["gen-corpus", "--out", corpus, "--avm", "2",
+                "--linksys", "2", "--vendor-scale", "0"], spark=spark)
+    assert out["pages"] > 0
+    state = str(tmp_path / "state")
+    feed = str(tmp_path / "feed")
+    res = main(["crawl", "avm", "linksys", "--pages", corpus,
+                "--state", state, "-o", feed, "--fresh"], spark=spark)
+    assert res["items"] > 0 and res["feed_items"] == res["items"]
+    fed = spark.read.json(feed)
+    assert fed.count() == res["items"]
+    assert "files" in fed.columns
+    # resume on completed state: no new rounds, same counts
+    res2 = main(["crawl", "avm", "linksys", "--pages", corpus,
+                 "--state", state], spark=spark)
+    assert res2["items"] == res["items"]
+    # all == the full 10-spider seed list; bad names rejected
+    assert len(spider_seeds(["all"])) > len(spider_seeds(["avm"]))
+    with pt.raises(SystemExit):
+        spider_seeds(["nope"])
