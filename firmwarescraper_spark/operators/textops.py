@@ -122,14 +122,19 @@ def fingerprint_rolling(text: Column, window: int = 8) -> Column:
 # ---------------------------------------------------------------------------
 
 def _word_ngrams(words: Column, n: int) -> Column:
-    """Array of word n-grams via transform over an index sequence — pure
-    column exprs, no explode. Empty array when the doc has < n words
-    (guarded: ANSI sequence(0, -1) would count DOWN)."""
-    idx = F.sequence(F.lit(0), F.size(words) - n)
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
-    )
-    return F.when(F.size(words) >= n, grams).otherwise(
+    """Array of word n-grams as a zip_with over n shifted slices — pure
+    column exprs, no explode, and O(words) expression evaluation. (The
+    obvious transform-over-index-sequence with a per-element slice is
+    O(words²): Catalyst re-evaluates the slice for every lambda element —
+    measured 18 s vs <2 s on 5k docs.) Empty array when the doc has < n
+    words."""
+    ln = F.size(words)
+    span = F.greatest(ln - (n - 1), F.lit(0))
+    parts = [F.slice(words, k + 1, span) for k in range(n)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(ln >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
 
