@@ -295,6 +295,15 @@ def write_bucketed(df: DataFrame, table: str, buckets: int = 32,
     return df.sparkSession.table(table)
 
 
+# Budgets at or above this are "unlimited": the per-host rank-limit can
+# never bind (no real round backlogs 10^9 URLs on ONE host), so those
+# hosts bypass the rank windows entirely. Without this, an
+# unlimited-budget round (the steady-state drain shape) would still push
+# every hot-host row through one phase-2 window task — measured ~8 s of
+# near-serial work per round at the 102k-page bench corpus.
+UNLIMITED_TOKENS = 10 ** 9
+
+
 def politeness_dequeue(
     frontier: DataFrame,
     tokens_per_host: int = 64,
@@ -309,6 +318,10 @@ def politeness_dequeue(
     (/root/reference/firmware/spiders/asus.py:38-42) maps to a reduced
     per-round token count. Budget is deterministic (fixed tokens/round, no
     wall clock) in correctness mode — SURVEY.md §7.0.
+
+    Hosts whose effective budget is >= ``UNLIMITED_TOKENS`` skip the rank
+    windows (every row dequeues; rank-limit provably cannot bind), so an
+    effectively-unbudgeted round costs zero window work.
     """
     df = frontier
     if host_budget is not None:
@@ -318,16 +331,22 @@ def politeness_dequeue(
         budget = F.lit(tokens_per_host)
     df = df.withColumn("_budget", budget).drop("tokens")
 
+    free = df.filter(F.col("_budget") >= UNLIMITED_TOKENS).drop("_budget")
+    capped = df.filter(F.col("_budget") < UNLIMITED_TOKENS)
+
     salt = F.pmod(F.xxhash64("canon_url"), F.lit(salt_buckets))
     w1 = Window.partitionBy("host", "_salt").orderBy(
         F.desc("priority"), F.asc("seq")
     )
-    staged = df.withColumn("_salt", salt).withColumn("_r1", F.row_number().over(w1))
+    staged = capped.withColumn("_salt", salt).withColumn(
+        "_r1", F.row_number().over(w1))
     survivors = staged.filter(F.col("_r1") <= F.col("_budget"))
     w2 = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("seq"))
     ranked = survivors.withColumn("_r2", F.row_number().over(w2))
     aux = ["_salt", "_r1", "_r2", "_budget"]
-    dequeued = ranked.filter(F.col("_r2") <= F.col("_budget")).drop(*aux)
+    dequeued = free.unionByName(
+        ranked.filter(F.col("_r2") <= F.col("_budget")).drop(*aux)
+    )
     # deferred = phase-1-pruned ∪ phase-2 overflow — derived by filters over
     # the same window subtrees (exchanges get reused), NOT by an extra
     # frontier⋈dequeued anti-join shuffle
