@@ -341,10 +341,21 @@ def politeness_dequeue(
     staged = capped.withColumn("_salt", salt).withColumn(
         "_r1", F.row_number().over(w1))
     survivors = staged.filter(F.col("_r1") <= F.col("_budget"))
+    # phase-2 (exact per-host rank) funnels each host through ONE window
+    # task, so run it ONLY for hosts where it can actually bind: a
+    # parallel count decides, and the common case (survivors <= budget:
+    # the whole backlog dequeues) bypasses the sort entirely. The hot
+    # host still pays it when contended, but on a bounded input
+    # (<= salt_buckets * budget rows, phase 1's guarantee).
+    cnts = survivors.groupBy("host").agg(F.count("*").alias("_cnt"))
+    survivors = survivors.join(cnts, "host")
+    aux = ["_salt", "_r1", "_r2", "_budget", "_cnt"]
+    easy = survivors.filter(F.col("_cnt") <= F.col("_budget")).drop(
+        "_salt", "_r1", "_budget", "_cnt")
+    hard = survivors.filter(F.col("_cnt") > F.col("_budget"))
     w2 = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("seq"))
-    ranked = survivors.withColumn("_r2", F.row_number().over(w2))
-    aux = ["_salt", "_r1", "_r2", "_budget"]
-    dequeued = free.unionByName(
+    ranked = hard.withColumn("_r2", F.row_number().over(w2))
+    dequeued = free.unionByName(easy).unionByName(
         ranked.filter(F.col("_r2") <= F.col("_budget")).drop(*aux)
     )
     # deferred = phase-1-pruned ∪ phase-2 overflow — derived by filters over
