@@ -855,8 +855,9 @@ def oracle_sql() -> dict[str, str]:
                 ) GROUP BY doc_id
             )
             SELECT b.doc_id,
-                   round(coalesce(top.top_cnt * 2.0 / greatest(b.n_words, 1),
-                                  0), 4) AS top_bigram_frac,
+                   round(least(1.0,
+                               coalesce(top.top_cnt * 2.0 / greatest(b.n_words, 1),
+                                        0)), 4) AS top_bigram_frac,
                    round(CASE WHEN len(tri) > 0
                          THEN 1.0 - len(list_distinct(tri)) * 1.0 / len(tri)
                          ELSE 0 END, 4) AS dup_trigram_frac

@@ -273,11 +273,15 @@ def main():
                 (hi["urls_per_sec"] / lo["urls_per_sec"]) / (n_hi / n_lo), 3
             )
             pairs.append({"run_hi": hi, "run_lo": lo, "efficiency": eff})
-        import statistics
-
         best_pair = max(pairs, key=lambda p: p["efficiency"])
-        median_pair = sorted(pairs, key=lambda p: p["efficiency"])[len(pairs) // 2]
-        eff_median = round(statistics.median(p["efficiency"] for p in pairs), 3)
+        # median_low selection so the headline efficiency and the reported
+        # run_n{lo}/run_n{hi}/urls_per_sec rows all come from the SAME pair
+        # (ADVICE r3: sorted[len//2] vs statistics.median disagreed for
+        # even pair counts)
+        median_pair = sorted(pairs, key=lambda p: p["efficiency"])[
+            (len(pairs) - 1) // 2
+        ]
+        eff_median = median_pair["efficiency"]
         # Headline = MEDIAN pair efficiency (noise-robust; a ratio
         # estimator's max selects contended denominators — an "efficiency"
         # > 1.0 means the 1-core arm was slowed, not that the engine is

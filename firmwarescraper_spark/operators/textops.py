@@ -175,9 +175,15 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     )
     return per_row.join(top, id_col, "left").select(
         F.col(id_col),
+        # clamp to 1.0: occurrences overlap, so count*top_n can exceed
+        # n_words on degenerate docs ("a a a a" -> 3*2/4 = 1.5) and Gopher
+        # thresholds treat this as a [0,1] fraction (ADVICE r3)
         F.round(
-            F.coalesce(F.col("_top_cnt") * top_n /
-                       F.greatest(F.col("_n_words"), F.lit(1)), F.lit(0.0)),
+            F.least(
+                F.lit(1.0),
+                F.coalesce(F.col("_top_cnt") * top_n /
+                           F.greatest(F.col("_n_words"), F.lit(1)), F.lit(0.0)),
+            ),
             4,
         ).alias("top_bigram_frac"),
         F.round(

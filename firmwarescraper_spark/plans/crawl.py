@@ -208,8 +208,25 @@ class CrawlEngine:
         # before retry_count existed reads as null under the explicit
         # schema, and null < max_retries would silently drop those rows
         # from the retry path — coalesce to 0 so old state resumes intact
-        return df.withColumn(
+        df = df.withColumn(
             "retry_count", F.coalesce(F.col("retry_count"), F.lit(0))
+        )
+        # seq-width migration (ADVICE r3): snapshots written by the %06d-era
+        # engine mix pad widths with new %09d rows on resume, breaking the
+        # lexicographic==numeric DFS-order invariant ('000123' > '000000456').
+        # Left-pad every short all-digit dot-component to 9; non-numeric
+        # components (e.g. bench frontiers seeded with seq=url) pass through.
+        return df.withColumn(
+            "seq",
+            F.array_join(
+                F.transform(
+                    F.split(F.col("seq"), r"\."),
+                    lambda c: F.when(
+                        c.rlike("^[0-9]{1,8}$"), F.lpad(c, 9, "0")
+                    ).otherwise(c),
+                ),
+                ".",
+            ),
         )
 
     def latest_round(self) -> int:
@@ -538,13 +555,18 @@ class CrawlEngine:
                 F.col("url").alias("_m_url"), "path",
                 F.col("sha256").alias("checksum"),
             )
-            # _iid is computed once (items is persisted) so the exploded
-            # side and the join-back side agree on row identity
-            items = items.withColumn(
-                "_iid", F.monotonically_increasing_id()
-            ).persist()
+            # The files field is a pure function of file_urls, so the
+            # join-back key is content-derived (xxhash64 of the serialized
+            # list) — deterministic under recomputation, unlike
+            # monotonically_increasing_id over a lazily cached DF whose ids
+            # shift if cache partitions are evicted (ADVICE r3). Items
+            # sharing a file_urls list share one files row, which is the
+            # correct (identical) value for each of them.
+            fid = F.xxhash64(F.to_json(F.col("file_urls")))
+            items = items.withColumn("_iid", fid)
+            distinct_fu = items.select("_iid", "file_urls").dropDuplicates(["_iid"])
             per_file = (
-                items.select(
+                distinct_fu.select(
                     "_iid", F.posexplode("file_urls").alias("_pos", "_furl")
                 )
                 .withColumn("_fcanon", U.canonicalize_url_udf()(F.col("_furl")))
