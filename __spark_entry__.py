@@ -402,6 +402,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(10)
 
+    def q_cosine_topk_lsh(spark, sf):
+        """ANN scale path (operators/similarity.lsh_bucketed_topk): the
+        query probes only its own hyperplane-LSH bucket plus all
+        Hamming-1 neighbors; top-k cosine runs inside that candidate set.
+        The oracle replays the SAME deterministic bucketing (md5-derived
+        hyperplanes are reproducible in any engine — that is why they are
+        md5-derived) so candidate sets match exactly."""
+        from firmwarescraper_spark.operators import similarity as SIM
+
+        emb = _t(spark, sf, "embeddings")
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        return SIM.lsh_bucketed_topk(
+            emb, qv, k=10, planes=8, multiprobe_hamming=1
+        ).select("vec_id", "cos")
+
     def q_langid(spark, sf):
         docs = _t(spark, sf, "documents")
         return docs.select("doc_id", TX.langid_col(F.col("text")).alias("lang_pred"))
@@ -489,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "cosine_topk": q_cosine_topk,
+        "cosine_topk_lsh": q_cosine_topk_lsh,
         "langid": q_langid,
         "quality": q_quality,
         "token_counts": q_token_counts,
@@ -564,6 +581,33 @@ _EMBEDDING_LSH_SQL = """
            round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
     FROM aug a JOIN aug b ON a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.99
+"""
+
+# Replays lsh_bucketed_topk's deterministic hyperplane bucketing: component
+# j of plane p is +1 iff the first md5('p|j') byte is even (similarity.py
+# _hyperplane), signature bit p = sign(v . plane_p), probe set = query sig
+# plus all Hamming-1 flips, exact top-k cosine inside the candidate set.
+_COSINE_TOPK_LSH_SQL = """
+    WITH planes AS (
+      SELECT p, [CASE WHEN ('0x' || substr(md5(p::VARCHAR || '|' || (j-1)::VARCHAR), 1, 2))::INT % 2 = 0
+                      THEN 1.0 ELSE -1.0 END
+                 FOR j IN generate_series(1, 64)]::DOUBLE[] AS hp
+      FROM generate_series(0, 7) t(p)),
+    sigs AS (
+      SELECT e.vec_id,
+             sum(CASE WHEN list_inner_product(e.embedding::DOUBLE[], pl.hp) >= 0
+                      THEN (1 << pl.p) ELSE 0 END)::INT AS sig
+      FROM embeddings e, planes pl GROUP BY e.vec_id),
+    qsig AS (SELECT sig FROM sigs WHERE vec_id = 0),
+    probes AS (
+      SELECT xor(q.sig, CASE WHEN b = 8 THEN 0 ELSE (1 << b) END) AS psig
+      FROM qsig q, generate_series(0, 8) t(b)),
+    cand AS (SELECT vec_id FROM sigs WHERE sig IN (SELECT psig FROM probes))
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cos
+    FROM embeddings e JOIN cand USING (vec_id),
+         (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY cos DESC, e.vec_id ASC LIMIT 10
 """
 
 _NGRAM_JACCARD_SQL = """
@@ -800,6 +844,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
             ORDER BY cos DESC, e.vec_id ASC LIMIT 10
         """,
+        "cosine_topk_lsh": _COSINE_TOPK_LSH_SQL,
         "langid": _LANGID_SQL,
         "quality": r"""
             WITH f AS (SELECT doc_id,

@@ -73,12 +73,17 @@ def lsh_bucketed_topk(
     ``multiprobe_hamming`` bits of the query's signature. Recall/latency
     trade-off is (planes, multiprobe); at cluster scale the signature is a
     partition key so a query touches a handful of partitions."""
+    import itertools
+
     dim = len(query_vec)
     qsig_bits = _hyperplane_sig(query_vec, dim, planes)
     probe_sigs = {qsig_bits}
-    if multiprobe_hamming >= 1:
-        for b in range(planes):
-            probe_sigs.add(qsig_bits ^ (1 << b))
+    for r in range(1, multiprobe_hamming + 1):
+        for bits in itertools.combinations(range(planes), r):
+            flip = 0
+            for b in bits:
+                flip |= 1 << b
+            probe_sigs.add(qsig_bits ^ flip)
     sig = lsh_signature(F.col(vec_col), dim, planes)
     bucketed = emb.withColumn("_sig", sig).filter(
         F.col("_sig").isin(list(probe_sigs))

@@ -75,10 +75,12 @@ class CrawlEngine:
         salt_buckets: int = 8,
         obey_robots: bool = True,
         round_seconds: float = 60.0,
-        broadcast_fetch: bool = True,
+        broadcast_fetch: bool | str = "auto",
         max_fetch_bytes: int = 2_147_483_648,  # F12: 2 GiB download_maxsize
         max_retries: int = 2,  # T3: scrapy RETRY_TIMES default
         use_bloom_prefilter: bool = False,
+        broadcast_cap_bytes: int = 64 << 20,
+        pages_table: str | None = None,
     ):
         self.spark = spark
         self.pages_path = pages_path
@@ -91,6 +93,8 @@ class CrawlEngine:
         self.max_fetch_bytes = max_fetch_bytes
         self.max_retries = max_retries
         self.use_bloom_prefilter = use_bloom_prefilter
+        self.broadcast_cap_bytes = broadcast_cap_bytes
+        self.pages_table = pages_table
         self._pages = None
         self._robots_rules = None
         self._host_budget = None
@@ -100,9 +104,19 @@ class CrawlEngine:
     def _p(self, *parts) -> str:
         return os.path.join(self.state_dir, *parts)
 
+    def _raw_pages(self) -> DataFrame:
+        """The corpus relation. ``pages_table`` names a bucketed catalog
+        table (``write_bucketed`` layout / Iceberg ``bucket(N, url)`` at
+        deployment) so the non-broadcast fetch join plans as a co-bucketed
+        SortMergeJoin with no corpus Exchange (PLANS.md §2b); the plain
+        parquet path is the default sandbox corpus."""
+        if self.pages_table is not None:
+            return self.spark.table(self.pages_table)
+        return self.spark.read.parquet(self.pages_path)
+
     def pages(self) -> DataFrame:
         if self._pages is None:
-            raw = self.spark.read.parquet(self.pages_path)
+            raw = self._raw_pages()
             # optional fault-injection column: a corpus row "responds 5xx"
             # while retry_count < fail_times (T3 tests/simulated outages);
             # absent column = the common case, zero extra plan nodes
@@ -265,6 +279,43 @@ class CrawlEngine:
         # back as a `round` column at read time.
         df.write.mode("overwrite").parquet(self._p(table, f"round={rnd}"))
 
+    # -- fetch build-side gating -------------------------------------------------
+    def _frontier_bytes(self, rnd: int) -> int:
+        """On-disk size of the round's frontier snapshot — a free metadata
+        upper bound on the dequeued set (dequeued ⊆ frontier). On Iceberg
+        this is the snapshot's content-file size from the manifest."""
+        base = self._p("frontier", f"round={rnd}")
+        if not os.path.isdir(base):
+            return 0
+        return sum(
+            os.path.getsize(os.path.join(base, f))
+            for f in os.listdir(base)
+            if not f.startswith("_") and not f.startswith(".")
+        )
+
+    def _fetch_broadcast_choice(self, rnd: int) -> bool:
+        """Auto-gate the fetch join's build side (r3 verdict #1): broadcast
+        only while the frontier snapshot — an upper bound on this round's
+        dequeued set — is under ``broadcast_cap_bytes``. An unlimited-budget
+        round over a 10^10-URL frontier dequeues the whole frontier; forcing
+        that through a broadcast is a driver/executor OOM. Past the cap the
+        join runs unhinted: AQE picks broadcast at runtime if the *actual*
+        dequeued set turns out small (budget-capped round over a huge
+        frontier), else SMJ — shuffle-free when the corpus is a bucketed
+        table (``pages_table`` / Iceberg SPJ, PLANS.md §2b).
+        ``broadcast_fetch=True/False`` still forces either path."""
+        if self.broadcast_fetch == "auto":
+            return self._frontier_bytes(rnd) <= self.broadcast_cap_bytes
+        return bool(self.broadcast_fetch)
+
+    def _fetch_join(self, dequeued: DataFrame, use_bcast: bool) -> DataFrame:
+        """The fetch stage's corpus equi-join; build side per the gate."""
+        pages = self.pages().withColumnRenamed("url", "_page_url")
+        build = F.broadcast(dequeued) if use_bcast else dequeued
+        return pages.join(
+            build, F.col("_page_url") == build["fetch_key"], "inner"
+        ).drop("_page_url")
+
     # -- the round job -----------------------------------------------------------
     def _robots(self):
         if self._robots_rules is None:
@@ -272,9 +323,7 @@ class CrawlEngine:
             # scan + Python parse runs once per crawl — the rule/budget
             # views derived below are then re-joined every round; persisting
             # them too keeps the per-round filters off the parse path
-            rules, delay = RB.build_robots_rules(
-                self.spark.read.parquet(self.pages_path), persist=True
-            )
+            rules, delay = RB.build_robots_rules(self._raw_pages(), persist=True)
             self._robots_rules = rules.persist()
             self._host_budget = RB.host_budget_from_delay(
                 delay, self.round_seconds, self.tokens_per_host
@@ -307,25 +356,22 @@ class CrawlEngine:
 
         # the fetch: equi-join against the corpus on the canonical URL
         # (the corpus IS the web in this sandbox — SURVEY.md §2.1 S1).
-        # The dequeued side is bounded by the politeness budget, so it is
-        # the broadcast build side of an INNER hash join: the (huge) pages
-        # table is never shuffled — one streamed, column-pruned scan per
-        # round, with Spark's runtime bloom filter pruning the scan.
-        # Misses (404s) are recovered with a cheap anti-join against the
-        # (small) fetched key set. At real 10^10 scale the same join
-        # becomes an Iceberg storage-partitioned join (both sides bucketed
-        # by xxhash64(url)) — likewise no corpus shuffle.
-        pages = self.pages().withColumnRenamed("url", "_page_url")
-        build = F.broadcast(dequeued) if self.broadcast_fetch else dequeued
+        # Build side chosen by _fetch_broadcast_choice: a budget-bounded
+        # dequeued set broadcasts (the huge pages table is never shuffled —
+        # one streamed, column-pruned scan per round, Spark's runtime bloom
+        # filter pruning it); an unbounded one (unlimited-budget round over
+        # a huge frontier) runs unhinted so AQE / the bucketed-corpus SMJ
+        # (Iceberg storage-partitioned join at 10^10 scale) handles it.
+        # Misses (404s) are recovered with an anti-join against the fetched
+        # key set, gated the same way.
+        use_bcast = self._fetch_broadcast_choice(rnd)
         from firmwarescraper_spark.functions.html import parse_page_udf
 
         # parse-once: each fetched page's HTML crosses the Arrow boundary a
         # single time per round; the cached working set holds the extracted
         # PAGE_STRUCT, not the raw bytes, and every downstream action is
         # pure JVM column algebra over it.
-        hits = pages.join(
-            build, F.col("_page_url") == build["fetch_key"], "inner"
-        ).drop("_page_url")
+        hits = self._fetch_join(dequeued, use_bcast)
         if self._has_fail_col:
             # T3 fault injection: the row exists but this attempt "gets a
             # 5xx" while retry_count < fail_times
@@ -362,8 +408,12 @@ class CrawlEngine:
         present_rules = set(
             ok.agg(F.collect_set("rule")).first()[0]
         )
+        # miss recovery: ok ⊆ dequeued, so the same size gate applies — an
+        # unbounded dequeued set means an unbounded ok.url_hash set too
+        ok_keys = ok.select("url_hash")
         misses = dequeued.join(
-            F.broadcast(ok.select("url_hash")), "url_hash", "left_anti"
+            F.broadcast(ok_keys) if use_bcast else ok_keys,
+            "url_hash", "left_anti",
         )
         # T3 retry split: a miss whose URL exists in the corpus failed with
         # a retryable error (simulated 5xx / oversize) — scrapy retries those
@@ -373,17 +423,22 @@ class CrawlEngine:
             # key-only corpus scan, broadcast-semi-filtered by the (small)
             # miss set — the corpus is stream side in both joins, never
             # shuffled or broadcast
-            present = self.spark.read.parquet(self.pages_path).select(
+            miss_keys = misses.select("fetch_key")
+            present = self._raw_pages().select(
                 F.col("url").alias("fetch_key")
-            ).join(F.broadcast(misses.select("fetch_key")), "fetch_key", "left_semi")
+            ).join(F.broadcast(miss_keys) if use_bcast else miss_keys,
+                   "fetch_key", "left_semi")
             retryable = (
                 misses.filter(F.col("retry_count") < F.lit(self.max_retries))
-                .join(F.broadcast(present), "fetch_key", "left_semi")
+                .join(F.broadcast(present) if use_bcast else present,
+                      "fetch_key", "left_semi")
                 .withColumn("retry_count", F.col("retry_count") + 1)
                 .persist()
             )
+            retry_keys = retryable.select("url_hash")
             terminal = misses.join(
-                F.broadcast(retryable.select("url_hash")), "url_hash", "left_anti"
+                F.broadcast(retry_keys) if use_bcast else retry_keys,
+                "url_hash", "left_anti",
             )
         else:
             # no fault injection possible: every miss is a 404 — keep the
@@ -527,7 +582,7 @@ class CrawlEngine:
         candidates.unpersist()
         if retryable is not None:
             retryable.unpersist()
-        return {"round": rnd}
+        return {"round": rnd, "fetch_broadcast": use_bcast}
 
     # -- S7 feed export ----------------------------------------------------------
     _FILES_TYPE = "array<struct<url:string, path:string, checksum:string>>"
@@ -626,27 +681,44 @@ class CrawlEngine:
                 manifest.select(F.col("url").alias("canon_url")),
                 "canon_url", "left_anti",
             )
-        blobs = pending.join(
-            self.spark.read.parquet(self.pages_path)
-            .select(F.col("url").alias("canon_url"), F.col("html").alias("blob")),
-            "canon_url", "left",
-        )
+        # The fetch mirrors run_round's shape (r3 verdict #2): a left-outer
+        # join with pending on the left cannot broadcast its stream side, so
+        # it hash-shuffled the ENTIRE corpus to fetch a handful of blobs.
+        # Instead: broadcast-INNER join with the corpus streamed (never
+        # exchanged), then recover misses with a broadcast anti-join against
+        # the just-written manifest. pending is bounded by distinct item
+        # file URLs — orders of magnitude below the corpus — and the
+        # broadcast is size-gated on a cheap count over the (small) items
+        # table, falling back to an unhinted join AQE can re-plan.
+        pending = pending.persist()
+        small = pending.count() <= 5_000_000  # ~320 MB of URL strings, tops
+        build = F.broadcast(pending) if small else pending
+        blobs = self._raw_pages().select(
+            F.col("url").alias("canon_url"), F.col("html").alias("blob")
+        ).join(build, "canon_url", "inner")
         # only successfully fetched blobs enter the manifest — a URL absent
         # from the corpus this run must stay pending so a later run retries
         # it (ADVICE r1: a null-blob manifest row would permanently mark the
         # file downloaded). Misses are logged to their own table instead.
-        new_manifest = blobs.filter(F.col("blob").isNotNull()).select(
+        new_manifest = blobs.select(
             F.col("canon_url").alias("url"),
             url_basename_col(F.col("url")).alias("path"),
             F.sha2(F.col("blob"), 256).alias("sha256"),
             F.length("blob").cast("long").alias("bytes"),
         )
         new_manifest.write.mode("append").parquet(manifest_path)
-        misses = blobs.filter(F.col("blob").isNull()).select(
+        # misses = pending minus what just landed in the manifest (reading
+        # the manifest back avoids recomputing the corpus join; the manifest
+        # is small and broadcastable by Spark's own threshold)
+        done = self.spark.read.parquet(manifest_path).select(
+            F.col("url").alias("canon_url")
+        )
+        misses = pending.join(done, "canon_url", "left_anti").select(
             F.col("canon_url").alias("url")
         )
         if not misses.isEmpty():
             misses.write.mode("append").parquet(self._p("download_misses"))
+        pending.unpersist()
         return self.spark.read.parquet(manifest_path)
 
     def run(self, seeds: list | None = None, max_rounds: int = 1000,
