@@ -1,0 +1,112 @@
+"""Query-suite scaling datapoint (r3 verdict #6).
+
+The driver's per-query numbers are all sf0.1 and several driver queries
+cap their id range for DuckDB-oracle cost, so replaying them at a bigger
+SF would not exercise scaling. This probe instead runs the UNCAPPED
+operator implementations on deterministic synthetic corpora at N and 4N
+rows and reports the wall-time ratio per operator — near-linear means
+ratio ≈ 4 (modulo the fixed per-job floor, which deflates the ratio for
+sub-second ops).
+
+Corpus model: web-text-like growth — the vocabulary scales with corpus
+size (vocab = N/5), so shingle document-frequency stays roughly constant
+as N grows, exactly like a growing crawl (new pages bring new shingles).
+A fixed vocabulary would instead grow every shingle's df linearly and
+make ANY pairwise-join operator look quadratic — that would measure the
+corpus model, not the operator.
+
+Run:  python BENCH/scale_probe.py [N]   (default 25_000; measures N and 4N)
+Output: one JSON line {op: {"n_sec":…, "n4_sec":…, "ratio":…}, …}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def synth_docs(spark, n: int, words_per_doc: int = 40):
+    """Deterministic pseudo-text: word k of doc i = w<xxhash64(i,k) % vocab>,
+    vocab = n/5 so shingle df stays ~constant across scales."""
+    from pyspark.sql import functions as F
+
+    vocab = max(50, n // 5)
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
+                lambda k: F.concat(
+                    F.lit("w"),
+                    F.pmod(F.xxhash64(F.col("id"), k), F.lit(vocab)),
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+
+
+def synth_embeddings(spark, n: int, dim: int = 64):
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (F.pmod(F.xxhash64(F.col("id"), j), F.lit(2001)) - 1000)
+            / 1000.0,
+        ).cast("array<float>").alias("embedding"),
+    )
+
+
+def main():
+    n_lo = int(sys.argv[1]) if len(sys.argv) > 1 else 25_000
+    n_hi = 4 * n_lo
+    from firmwarescraper_spark.operators import dedup as DD
+    from firmwarescraper_spark.operators import textops as TX
+    from firmwarescraper_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe", master="local[32]",
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("FATAL")
+
+    def ops(docs):
+        return {
+            "minhash_lsh_pairs": lambda: DD.minhash_lsh_pairs(docs),
+            "simhash_pairs": lambda: DD.simhash_neardup_pairs(docs),
+            "ngram_jaccard": lambda: DD.ngram_jaccard_pairs(
+                docs, threshold=0.2, df_cap=1000),
+            "repetition": lambda: TX.repetition_signals(docs),
+            "langid": lambda: docs.select(
+                "doc_id", TX.langid_col(__import__(
+                    "pyspark.sql.functions", fromlist=["col"]).col("text"))),
+            "exact_dedup": lambda: DD.exact_dedup(docs),
+        }
+
+    out = {}
+    for label, n in (("n", n_lo), ("n4", n_hi)):
+        docs = synth_docs(spark, n).persist()
+        docs.count()  # materialize: measure the operator, not the generator
+        for name, fn in ops(docs).items():
+            best = None
+            for _ in range(2):  # best-of-2 defeats one-off stalls
+                t0 = time.monotonic()
+                fn().write.format("noop").mode("overwrite").save()
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            out.setdefault(name, {})[f"{label}_sec"] = round(best, 2)
+            out[name][f"{label}_rows"] = n
+        docs.unpersist()
+    for name, rec in out.items():
+        rec["ratio"] = round(rec["n4_sec"] / max(rec["n_sec"], 1e-9), 2)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

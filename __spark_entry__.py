@@ -666,6 +666,7 @@ def _media_meta_sql() -> str:
         3: ("audio", "wav", None, None),
         4: ("unknown", None, None, None),
         5: ("image", "jpeg", 12, 7),   # progressive (SOF2) — same dims
+        6: ("video", "mp4", 640, 360),  # ISO BMFF skeleton, real tkhd dims
     }
 
     def lit(x):

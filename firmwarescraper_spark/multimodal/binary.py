@@ -12,12 +12,15 @@ Decode status (honest inventory):
     intervals; encoders at 4:4:4 and 4:2:0, baseline and progressive) —
     decode, nearest-neighbor resize, re-encode, image and audio feature
     extraction all operate on actual pixels/samples.
-  * **STUBBED**: MP4 kernels (no ffmpeg in this container) and the exotic
-    JPEG profiles (arithmetic coding/12-bit/hierarchical); those payloads
-    fall through to ``_decode_stub`` and are tagged ``codec = "stub"``
-    per row so downstream consumers can tell. At deployment, swap the
-    stub for the native lib; every schema and mapInPandas batch contract
-    stays identical.
+  * **REAL metadata, stubbed frames**: MP4/ISO-BMFF container metadata
+    (track dims from tkhd, duration from mvhd, sample-entry fourcc) is a
+    real box-tree parse (multimodal/codecs.py ``mp4_meta``); the frame
+    DECODE kernels (no ffmpeg in this container) and the exotic JPEG
+    profiles (arithmetic coding/12-bit/hierarchical) fall through to
+    ``_decode_stub`` and are tagged ``codec = "stub"`` per row so
+    downstream consumers can tell. At deployment, swap the stub for the
+    native lib; every schema and mapInPandas batch contract stays
+    identical.
 
 Scale notes: decode/feature-extract run via ``mapInPandas`` so each Arrow
 batch amortizes the Python crossing; batch size is governed by
@@ -70,6 +73,8 @@ def sniff_media_type(payload: bytes) -> tuple:
         return ("unknown", None)
     if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
         return ("audio", "wav")
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return ("video", "mp4")  # ISO BMFF: size-prefixed ftyp box first
     for magic, mtype, container in _MAGIC:
         if payload.startswith(magic):
             return (mtype, container)
@@ -91,7 +96,7 @@ def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
     @pandas_udf(MEDIA_META_SCHEMA)
     def _meta(payload: pd.Series) -> pd.DataFrame:
-        from firmwarescraper_spark.multimodal.codecs import bmp_dims
+        from firmwarescraper_spark.multimodal.codecs import bmp_dims, mp4_dims
         from firmwarescraper_spark.multimodal.jpeg import jpeg_dims
 
         rows = []
@@ -101,6 +106,10 @@ def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 w, h = _png_dims(p)
             elif container == "jpeg":
                 w, h = jpeg_dims(p)
+            elif container == "mp4":
+                # real ISO BMFF box-tree parse (codecs.mp4_meta) — video
+                # FRAME decode stays stubbed, container metadata does not
+                w, h = mp4_dims(p)
             else:
                 w, h = bmp_dims(p)
             rows.append({

@@ -257,3 +257,146 @@ def audio_feature_vec(samples: np.ndarray, rate: int) -> dict:
         "zero_crossing_rate": round(zcr, 6),
         "dominant_hz": round(dom, 3),
     }
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF — REAL metadata parse (box tree walk; no codec decode).
+# Frame DECODE stays stubbed (no ffmpeg in container), but container
+# metadata — track dims, duration, sample-entry fourcc — is a pure byte
+# parse per ISO/IEC 14496-12 and runs for real.
+# ---------------------------------------------------------------------------
+
+def _walk_boxes(buf: bytes, start: int, end: int):
+    """Yield (box_type, payload_start, payload_end) for sibling boxes."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(buf[pos:pos + 4], "big")
+        btype = buf[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(buf[pos + 8:pos + 16], "big")
+            hdr = 16
+        elif size == 0:  # box extends to end of file
+            size = end - pos
+        if size < hdr or pos + size > end:
+            return  # malformed: stop, never raise on crawl payloads
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _find_box(buf: bytes, start: int, end: int, path: list):
+    """First box matching the type path, as (payload_start, payload_end)."""
+    if not path:
+        return start, end
+    for btype, s, e in _walk_boxes(buf, start, end):
+        if btype == path[0]:
+            return _find_box(buf, s, e, path[1:])
+    return None
+
+
+def mp4_meta(payload: bytes) -> dict:
+    """Real ISO BMFF metadata: mvhd duration/timescale, first video trak's
+    tkhd 16.16 width/height, first stsd sample-entry fourcc, track count.
+    Returns {} for non-BMFF input (caller falls back to nulls)."""
+    if payload is None or len(payload) < 12 or payload[4:8] != b"ftyp":
+        return {}
+    n = len(payload)
+    out = {"n_tracks": 0}
+    moov = _find_box(payload, 0, n, [b"moov"])
+    if moov is None:
+        return out
+    ms, me = moov
+    for btype, s, e in _walk_boxes(payload, ms, me):
+        if btype == b"mvhd" and e - s >= 20:
+            ver = payload[s]
+            if ver == 1 and e - s >= 28:
+                ts = int.from_bytes(payload[s + 20:s + 24], "big")
+                dur = int.from_bytes(payload[s + 24:s + 32], "big")
+            else:
+                ts = int.from_bytes(payload[s + 12:s + 16], "big")
+                dur = int.from_bytes(payload[s + 16:s + 20], "big")
+            if ts:
+                out["duration_sec"] = round(dur / ts, 6)
+        elif btype == b"trak":
+            out["n_tracks"] += 1
+            tkhd = _find_box(payload, s, e, [b"tkhd"])
+            if tkhd is not None:
+                ts_, te_ = tkhd
+                ver = payload[ts_]
+                off = ts_ + (88 if ver == 1 else 76)
+                if off + 8 <= te_:
+                    w = int.from_bytes(payload[off:off + 4], "big") >> 16
+                    h = int.from_bytes(payload[off + 4:off + 8], "big") >> 16
+                    if w and h and "width" not in out:
+                        out["width"], out["height"] = w, h
+            stsd = _find_box(payload, s, e,
+                             [b"mdia", b"minf", b"stbl", b"stsd"])
+            if stsd is not None and "codec" not in out:
+                ss, se = stsd
+                entries = _walk_boxes(payload, ss + 8, se)  # skip ver+count
+                for etype, _, _ in entries:
+                    out["codec"] = etype.decode("ascii", "replace")
+                    break
+    return out
+
+
+def mp4_dims(payload: bytes) -> tuple:
+    m = mp4_meta(payload)
+    return m.get("width"), m.get("height")
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return (len(payload) + 8).to_bytes(4, "big") + btype + payload
+
+
+def encode_mp4_skeleton(width: int, height: int, duration_ms: int,
+                        fourcc: bytes = b"avc1") -> bytes:
+    """Deterministic minimal ISO BMFF file: ftyp + moov(mvhd, trak(tkhd,
+    mdia(mdhd, hdlr, minf(stbl(stsd(<fourcc> sample entry)))))) — a REAL,
+    spec-shaped container for the metadata path (no media samples; frame
+    decode is out of scope in this container). Timescale fixed at 1000 so
+    duration_ms is exact."""
+    mvhd = _box(b"mvhd", bytes(4)                 # version/flags
+                + bytes(8)                        # ctime/mtime
+                + (1000).to_bytes(4, "big")       # timescale
+                + int(duration_ms).to_bytes(4, "big")
+                + b"\x00\x01\x00\x00" + b"\x01\x00" + bytes(10)
+                + _UNITY_MATRIX + bytes(24) + (2).to_bytes(4, "big"))
+    tkhd = _box(b"tkhd", b"\x00\x00\x00\x07"      # v0, enabled|in-movie
+                + bytes(8) + (1).to_bytes(4, "big") + bytes(4)
+                + int(duration_ms).to_bytes(4, "big") + bytes(8)
+                + bytes(2) + bytes(2) + bytes(2) + bytes(2)
+                + _UNITY_MATRIX
+                + (int(width) << 16).to_bytes(4, "big")
+                + (int(height) << 16).to_bytes(4, "big"))
+    mdhd = _box(b"mdhd", bytes(4) + bytes(8)
+                + (1000).to_bytes(4, "big")
+                + int(duration_ms).to_bytes(4, "big")
+                + b"\x55\xc4" + bytes(2))         # lang 'und'
+    hdlr = _box(b"hdlr", bytes(4) + bytes(4) + b"vide" + bytes(12) + b"\x00")
+    sample_entry = _box(fourcc, bytes(6) + (1).to_bytes(2, "big")
+                        + bytes(16)
+                        + int(width).to_bytes(2, "big")
+                        + int(height).to_bytes(2, "big")
+                        + b"\x00\x48\x00\x00" + b"\x00\x48\x00\x00"
+                        + bytes(4) + (1).to_bytes(2, "big")
+                        + bytes(32)               # compressorname
+                        + (24).to_bytes(2, "big") + b"\xff\xff")
+    stsd = _box(b"stsd", bytes(4) + (1).to_bytes(4, "big") + sample_entry)
+    stbl = _box(b"stbl", stsd)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    ftyp = _box(b"ftyp", b"isom" + (0x200).to_bytes(4, "big")
+                + b"isom" + b"iso2" + b"avc1" + b"mp41")
+    return ftyp + moov
+
+
+_UNITY_MATRIX = (
+    b"\x00\x01\x00\x00" + bytes(4) + bytes(4)
+    + bytes(4) + b"\x00\x01\x00\x00" + bytes(4)
+    + bytes(4) + bytes(4) + b"\x40\x00\x00\x00"
+)

@@ -81,6 +81,8 @@ class CrawlEngine:
         use_bloom_prefilter: bool = False,
         broadcast_cap_bytes: int = 64 << 20,
         pages_table: str | None = None,
+        compact_every: int | None = 64,
+        fetcher=None,
     ):
         self.spark = spark
         self.pages_path = pages_path
@@ -95,6 +97,16 @@ class CrawlEngine:
         self.use_bloom_prefilter = use_bloom_prefilter
         self.broadcast_cap_bytes = broadcast_cap_bytes
         self.pages_table = pages_table
+        self.compact_every = compact_every
+        # pluggable fetch stage (S1): CorpusFetcher joins the sandbox pages
+        # corpus; HttpFetcher (plans/fetchers.py) does real network GET/POST
+        # via mapInPandas at deployment
+        if fetcher is None:
+            from firmwarescraper_spark.plans.fetchers import CorpusFetcher
+
+            fetcher = CorpusFetcher()
+        fetcher.engine = self
+        self.fetcher = fetcher
         self._pages = None
         self._robots_rules = None
         self._host_budget = None
@@ -137,54 +149,126 @@ class CrawlEngine:
         round N's dequeued rows and the round would come back empty)."""
         return df.filter(F.col("round") <= F.lit(self.committed_round()))
 
+    # -- state reads: compacted snapshot + recent deltas ----------------------
+    # Every state table appends one round=N parquet directory per round; a
+    # 10^4-round crawl would otherwise make each read a 10^4-directory
+    # small-files scan (r3 verdict #4). compact_state() periodically folds
+    # all committed rounds into one snapshot (``<table>_compact/upto=C``);
+    # readers then see snapshot ∪ {round=N deltas: N > C}. Delta dirs with
+    # N <= C are IGNORED even if present, so a crash between the snapshot
+    # write and the delta cleanup can never double-count. On Iceberg this
+    # is a rewrite_data_files compaction; the snapshot keeps the ``round``
+    # column so the rollback protocol is unchanged.
+
+    def _latest_compact(self, table: str) -> int:
+        base = self._p(table + "_compact")
+        if not os.path.exists(base):
+            return -1
+        cands = [
+            int(d.split("=")[1]) for d in os.listdir(base)
+            if d.startswith("upto=")
+            and os.path.exists(os.path.join(base, d, "_SUCCESS"))
+        ]
+        return max(cands) if cands else -1
+
+    def _read_state(self, table: str, empty_schema: str,
+                    explicit_schema: str | None = None) -> DataFrame:
+        base = self._p(table)
+        c = self._latest_compact(table)
+        dfs = []
+        if c >= 0:
+            reader = self.spark.read
+            if explicit_schema:
+                reader = reader.schema(explicit_schema)
+            dfs.append(reader.parquet(self._p(table + "_compact", f"upto={c}")))
+        if os.path.exists(base):
+            deltas = [
+                os.path.join(base, d) for d in os.listdir(base)
+                if d.startswith("round=") and int(d.split("=")[1]) > c
+            ]
+            if deltas:
+                reader = self.spark.read.option("basePath", base)
+                if explicit_schema:
+                    reader = reader.schema(explicit_schema)
+                dfs.append(reader.parquet(*deltas))
+        if not dfs:
+            return self.spark.createDataFrame([], empty_schema)
+        df = dfs[0]
+        for d in dfs[1:]:
+            df = df.unionByName(d)
+        return self._rollback(df)
+
     def seen(self) -> DataFrame:
-        path = self._p("seen")
-        if os.path.exists(path):
-            return self._rollback(self.spark.read.parquet(path))
-        return self.spark.createDataFrame(
-            [], "url_hash long, fetch_key string, round int"
+        return self._read_state(
+            "seen", "url_hash long, fetch_key string, round int"
         )
 
     def items(self) -> DataFrame:
-        path = self._p("items")
-        if os.path.exists(path):
-            return self._rollback(self.spark.read.parquet(path))
-        return self.spark.createDataFrame(
-            [], "vendor array<string>, device_name array<string>, "
-                "firmware_version array<string>, device_class array<string>, "
-                "release_date array<string>, file_urls array<string>, round int"
+        return self._read_state(
+            "items",
+            "vendor array<string>, device_name array<string>, "
+            "firmware_version array<string>, device_class array<string>, "
+            "release_date array<string>, file_urls array<string>, round int",
         )
 
     def fetch_log(self) -> DataFrame:
-        path = self._p("fetch_log")
-        if os.path.exists(path):
-            # explicit schema (ADVICE r2): a state dir mixing files written
-            # before/after the `retries` column existed must not depend on
-            # which footer the reader samples; missing columns read null
-            df = self.spark.read.schema(
-                "partition_id int, host string, fetched long, bytes long, "
-                "errors long, retries long, round int"
-            ).parquet(path)
-            return self._rollback(
-                df.withColumn(
-                    "retries", F.coalesce(F.col("retries"), F.lit(0).cast("long"))
-                )
-            )
-        return self.spark.createDataFrame(
-            [], "round int, partition_id int, host string, fetched long, "
-                "bytes long, errors long, retries long"
+        # explicit schema (ADVICE r2): a state dir mixing files written
+        # before/after the `retries` column existed must not depend on
+        # which footer the reader samples; missing columns read null
+        schema = (
+            "partition_id int, host string, fetched long, bytes long, "
+            "errors long, retries long, round int"
+        )
+        df = self._read_state("fetch_log", schema, explicit_schema=schema)
+        return df.withColumn(
+            "retries", F.coalesce(F.col("retries"), F.lit(0).cast("long"))
         )
 
     def quarantine(self) -> DataFrame:
         """J3 class-map misses (the reference raises
         UnknownDeviceClassException, linksys.py:126-133; the engine routes
         the offending rows here so they are auditable, not silently lost)."""
-        path = self._p("quarantine")
-        if os.path.exists(path):
-            return self._rollback(self.spark.read.parquet(path))
-        return self.spark.createDataFrame(
-            [], "url string, rule string, reason string, detail string, round int"
+        return self._read_state(
+            "quarantine",
+            "url string, rule string, reason string, detail string, round int",
         )
+
+    _STATE_TABLES = ("seen", "items", "fetch_log", "quarantine")
+
+    def compact_state(self, buckets: int = 32):
+        """Fold every committed round's delta directories into one compact
+        snapshot per state table. The seen snapshot is hash-distributed and
+        sorted by ``url_hash`` (the anti-join key) so the per-round
+        frontier⋈seen anti-join scans few, large, sorted files instead of
+        one directory per round; the other tables just coalesce. Crash-safe
+        by construction: the snapshot write commits via parquet _SUCCESS,
+        readers ignore delta dirs the latest snapshot covers, and cleanup
+        of superseded dirs is pure garbage collection."""
+        upto = self.committed_round()
+        if upto < 0:
+            return
+        for table in self._STATE_TABLES:
+            base = self._p(table)
+            c = self._latest_compact(table)
+            if c >= upto or (not os.path.exists(base) and c < 0):
+                continue  # nothing new to fold
+            df = getattr(self, table)()
+            if table == "seen":
+                df = df.repartition(buckets, "url_hash").sortWithinPartitions(
+                    "url_hash")
+            else:
+                df = df.coalesce(max(1, buckets // 4))
+            df.write.mode("overwrite").parquet(
+                self._p(table + "_compact", f"upto={upto}"))
+            # garbage-collect superseded inputs (readers already ignore them)
+            if os.path.exists(base):
+                for d in os.listdir(base):
+                    if d.startswith("round=") and int(d.split("=")[1]) <= upto:
+                        shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+            cbase = self._p(table + "_compact")
+            for d in os.listdir(cbase):
+                if d.startswith("upto=") and int(d.split("=")[1]) < upto:
+                    shutil.rmtree(os.path.join(cbase, d), ignore_errors=True)
 
     # -- seeding ---------------------------------------------------------------
     def seed_frontier(self, seeds: list) -> DataFrame:
@@ -354,43 +438,56 @@ class CrawlEngine:
         # dequeued feeds three consumers (fetch join, seen append, metrics)
         dequeued = dequeued.persist()
 
-        # the fetch: equi-join against the corpus on the canonical URL
-        # (the corpus IS the web in this sandbox — SURVEY.md §2.1 S1).
-        # Build side chosen by _fetch_broadcast_choice: a budget-bounded
-        # dequeued set broadcasts (the huge pages table is never shuffled —
-        # one streamed, column-pruned scan per round, Spark's runtime bloom
-        # filter pruning it); an unbounded one (unlimited-budget round over
-        # a huge frontier) runs unhinted so AQE / the bucketed-corpus SMJ
-        # (Iceberg storage-partitioned join at 10^10 scale) handles it.
-        # Misses (404s) are recovered with an anti-join against the fetched
-        # key set, gated the same way.
+        # the fetch stage — pluggable (S1, r3 verdict #3). The default
+        # CorpusFetcher equi-joins the pages corpus (build side per
+        # _fetch_broadcast_choice: budget-bounded dequeued sets broadcast,
+        # so the huge pages table is never shuffled — one streamed,
+        # column-pruned scan per round; unbounded ones run unhinted so AQE
+        # / a bucketed-corpus SMJ / Iceberg SPJ takes over). HttpFetcher
+        # swaps in a mapInPandas real-HTTP stage with the same contract:
+        # dequeued columns + (html, status).
         use_bcast = self._fetch_broadcast_choice(rnd)
         from firmwarescraper_spark.functions.html import parse_page_udf
+        from firmwarescraper_spark.plans.fetchers import RETRY_STATUS
 
-        # parse-once: each fetched page's HTML crosses the Arrow boundary a
-        # single time per round; the cached working set holds the extracted
-        # PAGE_STRUCT, not the raw bytes, and every downstream action is
-        # pure JVM column algebra over it.
-        hits = self._fetch_join(dequeued, use_bcast)
-        if self._has_fail_col:
-            # T3 fault injection: the row exists but this attempt "gets a
-            # 5xx" while retry_count < fail_times
-            hits = hits.filter(
-                F.col("retry_count") >= F.col("fail_times")
-            ).drop("fail_times")
-        ok = (
-            hits
-            .withColumn("page_bytes", F.length("html"))
+        self.pages()  # resolves _has_fail_col for CorpusFetcher
+        fetched = self.fetcher.fetch(dequeued, use_bcast)
+        # a fetcher with side effects (HttpFetcher: real network requests)
+        # must not be recomputed by the ok/failed consumer subtrees
+        fetched_cached = bool(getattr(self.fetcher, "materialize", False))
+        if fetched_cached:
+            fetched = fetched.persist()
+        if self.max_fetch_bytes < 2_147_483_648:
             # F12 max-size guard (download_maxsize = 2 GiB, avm_gpl.py:27):
-            # oversized payloads are dropped before parsing (the failed
-            # fetch is retried, then terminally logged, like any 5xx)
-            .filter(F.length("html") <= F.lit(self.max_fetch_bytes))
+            # an oversized 2xx payload is reclassified as a retryable
+            # failure (scrapy drops it; the engine retries, then terminally
+            # logs). Applied only under a non-default cap: F.length is an
+            # int, so the default 2 GiB can never bind, and skipping it
+            # keeps the corpus fetcher's status a per-branch literal — the
+            # failed/ok filters then fold each union branch away at plan
+            # time instead of re-scanning the fetch join.
+            is_2xx = (F.col("status") >= 200) & (F.col("status") < 300)
+            fetched = fetched.withColumn(
+                "status",
+                F.when(
+                    is_2xx & (F.length("html") > F.lit(self.max_fetch_bytes)),
+                    F.lit(503),
+                ).otherwise(F.col("status")),
+            )
+        ok = (
+            fetched
+            .filter((F.col("status") >= 200) & (F.col("status") < 300))
+            .drop("status")
+            .withColumn("page_bytes", F.length("html"))
+            # parse-once: each fetched page's HTML crosses the Arrow
+            # boundary a single time per round; the cached working set
+            # holds the extracted PAGE_STRUCT, not the raw bytes, and every
+            # downstream action is pure JVM column algebra over it.
             .withColumn("parsed", parse_page_udf()(F.col("html")))
-            # the cached round working set holds PAGE_STRUCT only, per the
-            # parse-once doctrine — raw bodies are nulled except for FTP
-            # rules, whose "pages" are JSON listings consumed via from_json
-            # downstream (rulepacks_vendors._ftp_entries_col). At scale this
-            # keeps full page bodies out of executor cache memory.
+            # raw bodies are nulled except for FTP rules, whose "pages" are
+            # JSON listings consumed via from_json downstream
+            # (rulepacks_vendors._ftp_entries_col). At scale this keeps
+            # full page bodies out of executor cache memory.
             .withColumn(
                 "html",
                 F.when(F.col("rule").contains("ftp"), F.col("html")),
@@ -408,43 +505,32 @@ class CrawlEngine:
         present_rules = set(
             ok.agg(F.collect_set("rule")).first()[0]
         )
-        # miss recovery: ok ⊆ dequeued, so the same size gate applies — an
-        # unbounded dequeued set means an unbounded ok.url_hash set too
-        ok_keys = ok.select("url_hash")
-        misses = dequeued.join(
-            F.broadcast(ok_keys) if use_bcast else ok_keys,
+        # T3 retry split: scrapy retries RETRY_HTTP_CODES (5xx/408/429 —
+        # simulated 5xx, oversize, network error) RETRY_TIMES=2 times; a
+        # 404 is terminal (not in RETRY_HTTP_CODES). For the corpus
+        # fetcher the failed branches fold to empty relations at plan time
+        # when no fault column exists (status literals make the filters
+        # constant), so the common path stays as lean as before.
+        failed = fetched.filter(~((F.col("status") >= 200) & (F.col("status") < 300)))
+        if not fetched_cached:
+            # the failed set feeds three consumers (metrics, seen, next
+            # frontier); caching it caps the corpus-key rescans behind the
+            # fetcher's miss anti-join at one per round
+            failed = failed.persist()
+        retryable = (
+            failed.filter(
+                F.col("status").isin(*RETRY_STATUS)
+                & (F.col("retry_count") < F.lit(self.max_retries))
+            )
+            .drop("html", "status")
+            .withColumn("retry_count", F.col("retry_count") + 1)
+            .persist()
+        )
+        retry_keys = retryable.select("url_hash")
+        terminal = failed.drop("html", "status").join(
+            F.broadcast(retry_keys) if use_bcast else retry_keys,
             "url_hash", "left_anti",
         )
-        # T3 retry split: a miss whose URL exists in the corpus failed with
-        # a retryable error (simulated 5xx / oversize) — scrapy retries those
-        # RETRY_TIMES=2 times; a miss absent from the corpus is a 404, which
-        # scrapy does NOT retry (404 not in RETRY_HTTP_CODES) — terminal.
-        if self._has_fail_col or self.max_fetch_bytes < 2_147_483_648:
-            # key-only corpus scan, broadcast-semi-filtered by the (small)
-            # miss set — the corpus is stream side in both joins, never
-            # shuffled or broadcast
-            miss_keys = misses.select("fetch_key")
-            present = self._raw_pages().select(
-                F.col("url").alias("fetch_key")
-            ).join(F.broadcast(miss_keys) if use_bcast else miss_keys,
-                   "fetch_key", "left_semi")
-            retryable = (
-                misses.filter(F.col("retry_count") < F.lit(self.max_retries))
-                .join(F.broadcast(present) if use_bcast else present,
-                      "fetch_key", "left_semi")
-                .withColumn("retry_count", F.col("retry_count") + 1)
-                .persist()
-            )
-            retry_keys = retryable.select("url_hash")
-            terminal = misses.join(
-                F.broadcast(retry_keys) if use_bcast else retry_keys,
-                "url_hash", "left_anti",
-            )
-        else:
-            # no fault injection possible: every miss is a 404 — keep the
-            # plan free of the extra corpus-key scan
-            retryable = None
-            terminal = misses
 
         # per-partition lineage + fetch metrics (T4 / north_rule)
         def _grp(df, fetched_expr, bytes_expr, errors_expr, retries_expr):
@@ -463,10 +549,9 @@ class CrawlEngine:
         metrics = metrics.unionByName(
             _grp(terminal, zero, zero, F.count("*"), zero)
         )
-        if retryable is not None:
-            metrics = metrics.unionByName(
-                _grp(retryable, zero, zero, zero, F.count("*"))
-            )
+        metrics = metrics.unionByName(
+            _grp(retryable, zero, zero, zero, F.count("*"))
+        )
         if blocked is not None:
             metrics = metrics.unionByName(
                 _grp(blocked, zero, zero, F.count("*"), zero)
@@ -533,10 +618,9 @@ class CrawlEngine:
 
         # frontier(r+1) = deferred ∪ retried misses ∪ fresh children
         next_frontier = deferred.select([f.name for f in FRONTIER_SCHEMA.fields])
-        if retryable is not None:
-            next_frontier = next_frontier.unionByName(
-                retryable.select([f.name for f in FRONTIER_SCHEMA.fields])
-            )
+        next_frontier = next_frontier.unionByName(
+            retryable.select([f.name for f in FRONTIER_SCHEMA.fields])
+        )
         if new_frontiers:
             fresh = new_frontiers[0]
             for nf in new_frontiers[1:]:
@@ -580,8 +664,11 @@ class CrawlEngine:
         dequeued.unpersist()
         ok.unpersist()
         candidates.unpersist()
-        if retryable is not None:
-            retryable.unpersist()
+        retryable.unpersist()
+        if fetched_cached:
+            fetched.unpersist()
+        else:
+            failed.unpersist()
         return {"round": rnd, "fetch_broadcast": use_bcast}
 
     # -- S7 feed export ----------------------------------------------------------
@@ -743,6 +830,11 @@ class CrawlEngine:
             self.run_round(rnd)
             rnd += 1
             rounds_run += 1
+            # periodic small-files control: fold committed rounds into one
+            # snapshot per state table (r3 verdict #4); long crawls keep a
+            # bounded file count and the anti-join scan stays flat
+            if self.compact_every and rnd % self.compact_every == 0:
+                self.compact_state()
         return {
             "rounds": rnd,
             "seen": self.seen().count(),

@@ -1,0 +1,140 @@
+"""Pluggable fetch stage (S1): the seam between "what to fetch" (the
+dequeued frontier) and "how bytes arrive".
+
+Every fetcher maps the dequeued DataFrame to the same contract — all
+dequeued columns plus::
+
+    html   string  -- response body (null unless 2xx)
+    status int     -- 200 ok, 404 not-found (terminal), 5xx/408/429/599
+                      retryable (scrapy RETRY_HTTP_CODES + network error)
+
+so the round loop's retry/terminal/seen semantics (T3/T4) are
+fetcher-independent. Two implementations:
+
+* ``CorpusFetcher`` — the sandbox default: an equi-join against the pages
+  corpus (the corpus IS the web here; SURVEY.md §2.1 S1). Present row =
+  200; present-but-failing (``fail_times`` fault injection) = 503; absent
+  = 404. Build side per the engine's size gate.
+* ``HttpFetcher`` — deployment S1 (SURVEY §2.1: "at real scale: mapInPandas
+  async-HTTP fetch stage"): an Arrow-batched ``mapInPandas`` stage issuing
+  real HTTP GET/POST via stdlib urllib with bounded per-task concurrency
+  and the reference's 320 s timeout (/root/reference/firmware/
+  settings.py:13 DOWNLOAD_TIMEOUT). No per-row Python UDF: one pool per
+  Arrow batch, results vectorized back into the batch.
+
+Scale notes (HttpFetcher): politeness is already enforced upstream by the
+dequeue (per-host token budget), so a batch's URLs are budget-bounded per
+host; ``dequeued.repartition(host)`` is deliberately NOT done — hash
+partitioning by url spreads a hot host's requests across tasks while the
+token budget caps the aggregate rate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# scrapy's RETRY_HTTP_CODES (defaults, inherited by the reference via
+# scrapy settings) + 599 as the synthetic "network error / timeout" code
+RETRY_STATUS = (500, 502, 503, 504, 522, 524, 408, 429, 599)
+
+
+class CorpusFetcher:
+    """Fetch = equi-join against the pages corpus on the canonical URL."""
+
+    materialize = False  # pure join — recomputation is safe and cheap
+
+    def __init__(self, engine=None):
+        self.engine = engine
+
+    def fetch(self, dequeued: DataFrame, use_bcast: bool) -> DataFrame:
+        eng = self.engine
+        hits = eng._fetch_join(dequeued, use_bcast)
+        if eng._has_fail_col:
+            # T3 fault injection: the row exists but this attempt "gets a
+            # 5xx" while retry_count < fail_times
+            fetched = hits.withColumn(
+                "status",
+                F.when(F.col("retry_count") >= F.col("fail_times"),
+                       F.lit(200)).otherwise(F.lit(503)),
+            ).withColumn(
+                "html", F.when(F.col("status") == 200, F.col("html"))
+            ).drop("fail_times")
+        else:
+            fetched = hits.withColumn("status", F.lit(200))
+        # absent from the corpus = 404 — scrapy does NOT retry 404s
+        ok_keys = fetched.select("url_hash")
+        misses = (
+            dequeued.join(
+                F.broadcast(ok_keys) if use_bcast else ok_keys,
+                "url_hash", "left_anti",
+            )
+            .withColumn("html", F.lit(None).cast("string"))
+            .withColumn("status", F.lit(404))
+        )
+        return fetched.unionByName(misses)
+
+
+class HttpFetcher:
+    """Fetch = real HTTP over the network, as a mapInPandas stage.
+
+    GET by default; rows with non-empty ``form_data`` POST an urlencoded
+    body (S2 form semantics, matching scrapy FormRequest). Any transport
+    error (timeout, refused, DNS) maps to status 599 — retryable, like
+    scrapy's RETRY_EXCEPTIONS."""
+
+    materialize = True  # network side effects: fetch exactly once per round
+
+    def __init__(self, engine=None, timeout: float = 320.0,
+                 concurrency: int = 16, user_agent: str = "firmwarescraper"):
+        self.engine = engine
+        self.timeout = timeout
+        self.concurrency = concurrency
+        self.user_agent = user_agent
+
+    def fetch(self, dequeued: DataFrame, use_bcast: bool) -> DataFrame:
+        timeout, concurrency = self.timeout, self.concurrency
+        agent = self.user_agent
+        out_schema = T.StructType(
+            [f for f in dequeued.schema.fields]
+            + [T.StructField("html", T.StringType()),
+               T.StructField("status", T.IntegerType())]
+        )
+
+        def _fetch_batches(batches):
+            import concurrent.futures as cf
+            import urllib.error
+            import urllib.parse
+            import urllib.request
+
+            def _one(url: str, form) -> tuple:
+                data = None
+                if form:  # S2: POST urlencoded form body
+                    data = urllib.parse.urlencode(dict(form)).encode()
+                req = urllib.request.Request(
+                    url, data=data, headers={"User-Agent": agent})
+                try:
+                    with urllib.request.urlopen(req, timeout=timeout) as resp:
+                        body = resp.read()
+                        return body.decode("utf-8", "replace"), resp.status
+                except urllib.error.HTTPError as e:
+                    return None, int(e.code)
+                except Exception:
+                    return None, 599  # network error / timeout: retryable
+
+            for pdf in batches:
+                if len(pdf):
+                    with cf.ThreadPoolExecutor(concurrency) as pool:
+                        res = list(pool.map(
+                            _one, pdf["canon_url"], pdf["form_data"]))
+                    pdf = pdf.assign(
+                        html=[r[0] for r in res],
+                        status=[r[1] for r in res],
+                    )
+                else:
+                    pdf = pdf.assign(html=[], status=[])
+                    pdf["status"] = pdf["status"].astype("int32")
+                yield pdf
+
+        return dequeued.mapInPandas(_fetch_batches, out_schema)

@@ -407,4 +407,5 @@ def demo_media_payloads() -> list:
         (3, CX.encode_wav(sine, rate=8000)),          # 0.1 s WAV
         (4, b"not-a-media-payload"),                  # unknown
         (5, JX.encode_jpeg_progressive(rgb, quality=90)),  # 12x7 SOF2 JPEG
+        (6, CX.encode_mp4_skeleton(640, 360, 2500)),  # 2.5 s ISO BMFF video
     ]

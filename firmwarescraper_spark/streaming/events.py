@@ -78,21 +78,40 @@ _STATE_SCHEMA = StructType([
 ])
 
 
-def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def sessionize(events: DataFrame, gap_minutes: int = 30,
+               idle_timeout_ms: int | None = None) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): emit a
     session row when a user's event gap exceeds ``gap_minutes``. The batch
-    twin below must agree.
+    twin below must agree on event-time-closed sessions.
 
-    Idle-session closing via ProcessingTimeTimeout is NOT enabled: in this
-    container's pyspark 4.1.2, any applyInPandasWithState query with
-    ProcessingTimeTimeout deadlocks (reproduced minimally — the state
-    server never acks; NoTimeout works). Sessions therefore close on the
-    next event after the gap; at deployment, re-enable the timeout or move
-    to transformWithStateInPandas."""
+    ``idle_timeout_ms`` closes IDLE sessions too (r3 verdict #8): a
+    ProcessingTimeTimeout fires when a user receives no events for that
+    long, emitting the open session and clearing its state — so a
+    session's last user doesn't wait forever for a next event. (The r3
+    note claiming ProcessingTimeTimeout deadlocks in this pyspark 4.1.2
+    did not reproduce this round — a minimal timeout query completes and
+    emits; the timed-out path below is pinned by
+    test_round4_fixes.test_sessionize_idle_timeout. The preferred
+    Spark-4 surface, transformWithStateInPandas, is genuinely unavailable
+    here: its state server imports google.protobuf, absent from this
+    container.) Default ``None`` keeps the deterministic
+    close-on-next-event semantics the batch twin mirrors."""
     gap_us = gap_minutes * 60 * 1_000_000
 
     def fn(key, pdf_iter, state: GroupState):
         (user_id,) = key
+        if getattr(state, "hasTimedOut", False):
+            # idle closure: no new events for idle_timeout_ms — emit the
+            # open session and drop the state row (bounded state)
+            if state.exists:
+                count, start, last = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    [{"user_id": user_id, "session_events": count,
+                      "session_start": pd.Timestamp(start, unit="us"),
+                      "session_end": pd.Timestamp(last, unit="us")}],
+                )
+            return
         count, start, last = state.get if state.exists else (0, None, None)
         closed = []
         for pdf in pdf_iter:
@@ -106,6 +125,8 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                 count += 1
                 last = t
         state.update((count, start, last))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         # ALWAYS yield (possibly empty) — keeps the Arrow writer contract
         # uniform across groups
         yield pd.DataFrame(
@@ -120,9 +141,10 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             columns=["user_id", "session_events", "session_start", "session_end"],
         )
 
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if idle_timeout_ms is not None else GroupStateTimeout.NoTimeout)
     return events.groupBy("user_id").applyInPandasWithState(
-        fn, _SESSION_SCHEMA, _STATE_SCHEMA, "append",
-        GroupStateTimeout.NoTimeout,
+        fn, _SESSION_SCHEMA, _STATE_SCHEMA, "append", timeout,
     )
 
 
