@@ -78,7 +78,10 @@ def main():
     def ops(docs):
         return {
             "minhash_lsh_pairs": lambda: DD.minhash_lsh_pairs(docs),
-            "simhash_pairs": lambda: DD.simhash_neardup_pairs(docs),
+            # the 10^10-row simhash config: 48-bit signatures (sparse true-pair
+            # space) + 8-block Manku combination keys (36-bit join keys)
+            "simhash_pairs": lambda: DD.simhash_neardup_pairs(
+                docs, max_hamming=2, bits=48, bands=8),
             "ngram_jaccard": lambda: DD.ngram_jaccard_pairs(
                 docs, threshold=0.2, df_cap=1000),
             "repetition": lambda: TX.repetition_signals(docs),

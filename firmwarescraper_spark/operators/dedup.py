@@ -140,17 +140,27 @@ def simhash(
 def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 2,
                           id_col: str = "doc_id", bits: int = 16,
                           bands: int = 4) -> DataFrame:
-    """Pairs within `max_hamming` simhash bits — EXACT, by LSH banding.
+    """Pairs within `max_hamming` simhash bits — EXACT, by the
+    block-combination construction of Manku, Jain & Das Sarma (WWW'07,
+    "Detecting Near-Duplicates for Web Crawling").
 
-    The signature is split into ``bands`` contiguous bit segments; by
-    pigeonhole, two signatures within hamming ``max_hamming`` agree on at
-    least one full band whenever ``bands > max_hamming`` (default 4 bands
-    over 16 bits covers hamming<=3). Candidates come from a single
-    equi-join on the exploded (band_index, band_bits) key — the same
-    banded-LSH shape as ``minhash_lsh_pairs``; Spark plans a hash join,
-    never a nested-loop — then the exact ``bit_count(xor)`` verify keeps
-    precision 1. Candidate volume is O(N * bands * bucket_size), never
-    O(N^2)."""
+    The signature splits into ``bands`` contiguous blocks; each row
+    explodes one join key per (bands - max_hamming)-sized block
+    COMBINATION (C(bands, max_hamming) keys). A pair within hamming k
+    differs in at most k blocks, so at least bands-k blocks agree and the
+    combination made of those agreeing blocks collides — exact recall by
+    pigeonhole, like single-block banding, but each key carries
+    (bands-k)/bands of the signature instead of 1/bands: on uniform
+    signatures candidate volume drops from C(m,1)·N²/2^(bits/m) to
+    C(m,k)·N²/2^(bits·(m-k)/m). (r4: the single-block version measured
+    super-linear in the N→4N scale probe — its 4-bit keys collide
+    constantly; 8-bit combination keys restore near-linear growth, and
+    the 10^10-row configuration is bits=48..64 with bands=8: 36+-bit keys
+    make expected collisions per combination negligible.) Candidates go
+    through one equi-join (hash join, never nested-loop) and the exact
+    ``bit_count(xor)`` verify keeps precision 1."""
+    import itertools
+
     if bands <= max_hamming:
         raise ValueError(
             f"bands={bands} must exceed max_hamming={max_hamming} for exact recall"
@@ -159,17 +169,20 @@ def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 2,
         raise ValueError(f"bits={bits} must divide evenly into bands={bands}")
     width = bits // bands
     mask = (1 << width) - 1
+    pick = bands - max_hamming  # blocks per combination key
+    combos = list(itertools.combinations(range(bands), pick))
     sh = simhash(df, id_col=id_col, bits=bits)
+
+    def _block(i):
+        return F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+
     stacked = sh.select(
         id_col,
         "simhash",
         F.explode(
             F.array(*[
-                F.concat_ws(
-                    "_", F.lit(i),
-                    F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask)),
-                )
-                for i in range(bands)
+                F.concat_ws("_", F.lit(ci), *[_block(b) for b in blocks])
+                for ci, blocks in enumerate(combos)
             ])
         ).alias("band_key"),
     )
