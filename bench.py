@@ -58,7 +58,12 @@ N_LINKSYS = int(os.environ.get("SPARK_GRAFT_BENCH_LINKSYS", "550"))
 N_MIRRORS = int(os.environ.get("SPARK_GRAFT_BENCH_MIRRORS", "72"))
 N_AVM_MIRROR = int(os.environ.get("SPARK_GRAFT_BENCH_AVM_MIRROR", "34"))
 N_PAD = int(os.environ.get("SPARK_GRAFT_BENCH_PAD", "120"))
-BEST_OF = int(os.environ.get("SPARK_GRAFT_BEST_OF", "3"))  # scaling pairs
+# 5 back-to-back pairs: the r4 bench run measured pair efficiencies
+# [0.928, 0.665, 0.686] on code whose clean-arm pair measured 0.91 —
+# ambient contention on this shared box lands on whole ~6-min pair
+# windows, so the median of 3 is one bad window from a false FAIL; the
+# median of 5 tolerates two.
+BEST_OF = int(os.environ.get("SPARK_GRAFT_BEST_OF", "5"))  # scaling pairs
 
 
 def _make_spark(cores: int, shuffle_partitions: int):

@@ -66,10 +66,17 @@ def cmd_crawl(args, spark=None) -> dict:
     if own_session:
         spark = _make_spark(args.master)
     try:
+        fetcher = None
+        if args.http:
+            from firmwarescraper_spark.plans.fetchers import HttpFetcher
+
+            fetcher = HttpFetcher(timeout=args.http_timeout)
         eng = CrawlEngine(
             spark, args.pages, args.state,
             obey_robots=not args.no_robots,
             use_bloom_prefilter=args.bloom,
+            compact_every=args.compact_every,
+            fetcher=fetcher,
         )
         summary = eng.run(spider_seeds(args.spiders), fresh=args.fresh)
         if args.downloads:
@@ -122,6 +129,16 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--no-robots", action="store_true")
     c.add_argument("--bloom", action="store_true",
                    help="enable the partitioned-Bloom seen prefilter")
+    c.add_argument("--http", action="store_true",
+                   help="fetch over real HTTP (mapInPandas HttpFetcher) "
+                        "instead of joining the pages corpus; --pages is "
+                        "then used only for robots rules")
+    c.add_argument("--http-timeout", type=float, default=320.0,
+                   help="per-request timeout for --http (reference "
+                        "DOWNLOAD_TIMEOUT default)")
+    c.add_argument("--compact-every", type=int, default=64,
+                   help="fold state-table round deltas into one snapshot "
+                        "every K rounds (0 disables)")
     c.add_argument("--master", default="local[*]")
     c.set_defaults(fn=cmd_crawl)
 

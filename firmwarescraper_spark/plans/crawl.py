@@ -507,30 +507,56 @@ class CrawlEngine:
         )
         # T3 retry split: scrapy retries RETRY_HTTP_CODES (5xx/408/429 —
         # simulated 5xx, oversize, network error) RETRY_TIMES=2 times; a
-        # 404 is terminal (not in RETRY_HTTP_CODES). For the corpus
-        # fetcher the failed branches fold to empty relations at plan time
-        # when no fault column exists (status literals make the filters
-        # constant), so the common path stays as lean as before.
-        failed = fetched.filter(~((F.col("status") >= 200) & (F.col("status") < 300)))
-        if not fetched_cached:
-            # the failed set feeds three consumers (metrics, seen, next
-            # frontier); caching it caps the corpus-key rescans behind the
-            # fetcher's miss anti-join at one per round
-            failed = failed.persist()
-        retryable = (
-            failed.filter(
-                F.col("status").isin(*RETRY_STATUS)
-                & (F.col("retry_count") < F.lit(self.max_retries))
+        # 404 is terminal (not in RETRY_HTTP_CODES).
+        fetcher_resolves_all = getattr(self.fetcher, "resolves_all", True)
+        # Steady-state short-circuit: with the corpus fetcher, no fault
+        # column, and the default size cap, every RETURNED row is 2xx by
+        # construction — the only failures are 404s (dequeued minus the
+        # cached ok keys). Skipping the retryable/union subtrees entirely
+        # matters: keeping them (even though they fold to empty relations)
+        # adds driver-side Catalyst analysis to every one of the round's
+        # concurrent write jobs — measured ~15 s of per-round serial floor
+        # at the bench corpus, a direct hit on the N→4N efficiency.
+        can_fail = (fetcher_resolves_all or self._has_fail_col
+                    or self.max_fetch_bytes < 2_147_483_648)
+        if not can_fail:
+            retryable = None
+            ok_keys = ok.select("url_hash")
+            terminal = dequeued.join(
+                F.broadcast(ok_keys) if use_bcast else ok_keys,
+                "url_hash", "left_anti",
             )
-            .drop("html", "status")
-            .withColumn("retry_count", F.col("retry_count") + 1)
-            .persist()
-        )
-        retry_keys = retryable.select("url_hash")
-        terminal = failed.drop("html", "status").join(
-            F.broadcast(retry_keys) if use_bcast else retry_keys,
-            "url_hash", "left_anti",
-        )
+        else:
+            failed = fetched.filter(
+                ~((F.col("status") >= 200) & (F.col("status") < 300))
+            ).drop("html")
+            if not fetcher_resolves_all:
+                # missing rows derive from the round's CACHED resolved keys
+                # — the corpus is scanned exactly once, in the ok subtree
+                resolved_keys = ok.select("url_hash").unionByName(
+                    failed.select("url_hash"))
+                missing = dequeued.join(
+                    F.broadcast(resolved_keys) if use_bcast else resolved_keys,
+                    "url_hash", "left_anti",
+                ).withColumn("status", F.lit(404))
+                failed = failed.unionByName(missing)
+            if not fetched_cached:
+                # failed feeds three consumers (metrics, seen, frontier)
+                failed = failed.persist()
+            retryable = (
+                failed.filter(
+                    F.col("status").isin(*RETRY_STATUS)
+                    & (F.col("retry_count") < F.lit(self.max_retries))
+                )
+                .drop("status")
+                .withColumn("retry_count", F.col("retry_count") + 1)
+                .persist()
+            )
+            retry_keys = retryable.select("url_hash")
+            terminal = failed.drop("status").join(
+                F.broadcast(retry_keys) if use_bcast else retry_keys,
+                "url_hash", "left_anti",
+            )
 
         # per-partition lineage + fetch metrics (T4 / north_rule)
         def _grp(df, fetched_expr, bytes_expr, errors_expr, retries_expr):
@@ -549,9 +575,10 @@ class CrawlEngine:
         metrics = metrics.unionByName(
             _grp(terminal, zero, zero, F.count("*"), zero)
         )
-        metrics = metrics.unionByName(
-            _grp(retryable, zero, zero, zero, F.count("*"))
-        )
+        if retryable is not None:
+            metrics = metrics.unionByName(
+                _grp(retryable, zero, zero, zero, F.count("*"))
+            )
         if blocked is not None:
             metrics = metrics.unionByName(
                 _grp(blocked, zero, zero, F.count("*"), zero)
@@ -618,9 +645,10 @@ class CrawlEngine:
 
         # frontier(r+1) = deferred ∪ retried misses ∪ fresh children
         next_frontier = deferred.select([f.name for f in FRONTIER_SCHEMA.fields])
-        next_frontier = next_frontier.unionByName(
-            retryable.select([f.name for f in FRONTIER_SCHEMA.fields])
-        )
+        if retryable is not None:
+            next_frontier = next_frontier.unionByName(
+                retryable.select([f.name for f in FRONTIER_SCHEMA.fields])
+            )
         if new_frontiers:
             fresh = new_frontiers[0]
             for nf in new_frontiers[1:]:
@@ -664,10 +692,11 @@ class CrawlEngine:
         dequeued.unpersist()
         ok.unpersist()
         candidates.unpersist()
-        retryable.unpersist()
+        if retryable is not None:
+            retryable.unpersist()
         if fetched_cached:
             fetched.unpersist()
-        else:
+        elif can_fail:
             failed.unpersist()
         return {"round": rnd, "fetch_broadcast": use_bcast}
 

@@ -41,9 +41,16 @@ RETRY_STATUS = (500, 502, 503, 504, 522, 524, 408, 429, 599)
 
 
 class CorpusFetcher:
-    """Fetch = equi-join against the pages corpus on the canonical URL."""
+    """Fetch = equi-join against the pages corpus on the canonical URL.
+
+    ``resolves_all = False``: only corpus-PRESENT rows come back; the
+    engine derives the missing rows (= 404, scrapy does not retry 404s)
+    by anti-joining the dequeued set against the round's CACHED resolved
+    keys — zero extra corpus scans (deriving misses here instead would
+    re-evaluate the corpus join subtree once per consumer job)."""
 
     materialize = False  # pure join — recomputation is safe and cheap
+    resolves_all = False
 
     def __init__(self, engine=None):
         self.engine = engine
@@ -54,26 +61,15 @@ class CorpusFetcher:
         if eng._has_fail_col:
             # T3 fault injection: the row exists but this attempt "gets a
             # 5xx" while retry_count < fail_times
-            fetched = hits.withColumn(
+            return hits.withColumn(
                 "status",
                 F.when(F.col("retry_count") >= F.col("fail_times"),
                        F.lit(200)).otherwise(F.lit(503)),
             ).withColumn(
                 "html", F.when(F.col("status") == 200, F.col("html"))
             ).drop("fail_times")
-        else:
-            fetched = hits.withColumn("status", F.lit(200))
-        # absent from the corpus = 404 — scrapy does NOT retry 404s
-        ok_keys = fetched.select("url_hash")
-        misses = (
-            dequeued.join(
-                F.broadcast(ok_keys) if use_bcast else ok_keys,
-                "url_hash", "left_anti",
-            )
-            .withColumn("html", F.lit(None).cast("string"))
-            .withColumn("status", F.lit(404))
-        )
-        return fetched.unionByName(misses)
+        # literal status: downstream not-2xx filters fold this branch away
+        return hits.withColumn("status", F.lit(200))
 
 
 class HttpFetcher:
@@ -85,6 +81,7 @@ class HttpFetcher:
     scrapy's RETRY_EXCEPTIONS."""
 
     materialize = True  # network side effects: fetch exactly once per round
+    resolves_all = True  # every dequeued row returns with a real status
 
     def __init__(self, engine=None, timeout: float = 320.0,
                  concurrency: int = 16, user_agent: str = "firmwarescraper"):
