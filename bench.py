@@ -285,6 +285,18 @@ def main():
             )
             pairs.append({"run_hi": hi, "run_lo": lo, "efficiency": eff})
         best_pair = max(pairs, key=lambda p: p["efficiency"])
+        # Cross-check estimator: fastest n4 arm vs fastest n1 arm across
+        # all pairs (timeit's min rationale applied per arm). Ambient
+        # contention only ever SLOWS an arm, so each min is the cleanest
+        # observation of that configuration and their ratio is the least
+        # noise-inflated efficiency — it cannot be flattered by a
+        # contended 1-core denominator the way a per-pair ratio can.
+        # Reported alongside; the headline stays the median pair.
+        eff_minarm = round(
+            max(p["run_hi"]["urls_per_sec"] for p in pairs)
+            / max(p["run_lo"]["urls_per_sec"] for p in pairs) / (n_hi / n_lo),
+            3,
+        )
         # median_low selection so the headline efficiency and the reported
         # run_n{lo}/run_n{hi}/urls_per_sec rows all come from the SAME pair
         # (ADVICE r3: sorted[len//2] vs statistics.median disagreed for
@@ -312,6 +324,7 @@ def main():
             "scaling_pair": [n_lo, n_hi],
             "scaling_efficiency": eff_median,
             "scaling_efficiency_best": best_pair["efficiency"],
+            "scaling_efficiency_minarm": eff_minarm,
             "hw_envelope": probes,
         }
 
@@ -343,6 +356,7 @@ def main():
             "scaling_pair": [n_lo, n_hi],
             "scaling_efficiency": eff_median,
             "scaling_efficiency_best": best_pair["efficiency"],
+            "scaling_efficiency_minarm": eff_minarm,
             "pair_efficiencies": [p["efficiency"] for p in pairs],
             f"urls_per_sec_n{n_lo}": median_pair["run_lo"]["urls_per_sec"],
             f"urls_per_sec_n{n_hi}": median_pair["run_hi"]["urls_per_sec"],

@@ -297,7 +297,14 @@ def embedding_neardup_pairs_lsh(
     keys per row — a constant), so any pair whose signatures differ by at
     most that many bits meets in EXACTLY ONE equi-join bucket: candidate
     volume is O(N * probes * bucket_size), never the O(N^2) cartesian of
-    the brute-force baseline. The in-bucket cosine filter keeps precision
+    the brute-force baseline. Sizing rule: bucket_size = N / 2^planes, so
+    ``planes`` must grow with log2(N) to keep per-bucket work constant —
+    planes ≈ log2(N / target_bucket_size) (e.g. 10^10 rows at ~10k-row
+    buckets → 20 planes); a fixed plane count makes candidate volume
+    quadratic again once buckets saturate. (Recall at a given cosine
+    threshold depends on planes × multiprobe together — re-pin against
+    the brute-force oracle when changing either.)
+    The in-bucket cosine filter keeps precision
     1.0; recall is 1.0 iff no qualifying pair's signatures differ by more
     than ``multiprobe_hamming`` bits — pinned against the brute-force
     result on the test vectors (tests/test_training_ops.py) at the shipped

@@ -149,7 +149,8 @@ def test_bench_summary_line_fits_driver_tail():
         "scaling_pair": [1, 4],
         "scaling_efficiency": 0.934,
         "scaling_efficiency_best": 1.11,
-        "pair_efficiencies": [0.934, 1.11, 0.812],
+        "scaling_efficiency_minarm": 0.854,
+        "pair_efficiencies": [0.934, 1.11, 0.812, 0.754, 1.201],  # BEST_OF=5
         "urls_per_sec_n1": 362.11,
         "urls_per_sec_n4": 1352.97,
         "audit": "BENCH/audit_latest.json",
