@@ -94,6 +94,12 @@ def build_robots_rules(pages: DataFrame, persist: bool = False) -> tuple:
             out = []
             for url, body in zip(pdf["url"], pdf["body"]):
                 host = re.sub(r"^[a-z]+://([^/]+)/robots\.txt$", r"\1", url)
+                # key by the frontier's host definition (url_host_udf
+                # strips ports): a rules row keyed "h:8080" would never
+                # join a frontier row whose host is "h" — robots silently
+                # skipped for any port-carrying URL (caught by the r4
+                # HTTP-robots test on a localhost:port corpus)
+                host = re.sub(r":\d+$", "", host)
                 rules, delay = parse_robots_txt(body or "")
                 for is_allow, rule in rules:
                     out.append((host, is_allow, _rule_to_regex(rule),

@@ -83,6 +83,7 @@ class CrawlEngine:
         pages_table: str | None = None,
         compact_every: int | None = 64,
         fetcher=None,
+        robots_http: bool = False,
     ):
         self.spark = spark
         self.pages_path = pages_path
@@ -107,6 +108,8 @@ class CrawlEngine:
             fetcher = CorpusFetcher()
         fetcher.engine = self
         self.fetcher = fetcher
+        self.robots_http = robots_http
+        self._robots_hosts = None
         self._pages = None
         self._robots_rules = None
         self._host_budget = None
@@ -401,17 +404,58 @@ class CrawlEngine:
         ).drop("_page_url")
 
     # -- the round job -----------------------------------------------------------
-    def _robots(self):
-        if self._robots_rules is None:
-            # persist=True caches the shared parsed table, so the robots
-            # scan + Python parse runs once per crawl — the rule/budget
-            # views derived below are then re-joined every round; persisting
-            # them too keeps the per-round filters off the parse path
-            rules, delay = RB.build_robots_rules(self._raw_pages(), persist=True)
+    def _robots(self, frontier: DataFrame | None = None):
+        if not self.robots_http:
+            if self._robots_rules is None:
+                # persist=True caches the shared parsed table, so the robots
+                # scan + Python parse runs once per crawl — the rule/budget
+                # views derived below are then re-joined every round;
+                # persisting them too keeps the per-round filters off the
+                # parse path
+                rules, delay = RB.build_robots_rules(
+                    self._raw_pages(), persist=True)
+                self._robots_rules = rules.persist()
+                self._host_budget = RB.host_budget_from_delay(
+                    delay, self.round_seconds, self.tokens_per_host
+                ).persist()
+            return self._robots_rules, self._host_budget
+        # robots over live HTTP (deployment twin of the corpus robots
+        # rows): each round, hosts not yet covered get their /robots.txt
+        # fetched via a mapInPandas stage and parsed into the SAME rules
+        # table shape; the cached rules extend incrementally so a host
+        # discovered in round 7 is still robots-checked from round 7 on.
+        # A missing/unreachable robots.txt = allow-all (scrapy semantics).
+        from firmwarescraper_spark.plans import fetchers as FT
+
+        assert frontier is not None, "robots_http needs the round frontier"
+        bases = frontier.select(
+            F.regexp_extract("url", r"^([a-z]+://[^/]+)", 1).alias("base")
+        ).filter(F.col("base") != "").distinct()
+        if self._robots_hosts is not None:
+            bases = bases.join(self._robots_hosts, "base", "left_anti")
+        new_bases = bases.persist()
+        if not new_bases.isEmpty():
+            pages = FT.robots_pages_http(
+                new_bases,
+                timeout=getattr(self.fetcher, "timeout", 320.0),
+                concurrency=getattr(self.fetcher, "concurrency", 16),
+                user_agent=getattr(self.fetcher, "user_agent",
+                                   "firmwarescraper"),
+            )
+            rules, delay = RB.build_robots_rules(pages, persist=True)
+            budget = RB.host_budget_from_delay(
+                delay, self.round_seconds, self.tokens_per_host)
+            if self._robots_rules is not None:
+                rules = self._robots_rules.unionByName(rules)
+                budget = self._host_budget.unionByName(budget)
             self._robots_rules = rules.persist()
-            self._host_budget = RB.host_budget_from_delay(
-                delay, self.round_seconds, self.tokens_per_host
+            self._host_budget = budget.persist()
+            hosts = new_bases.select("base")
+            self._robots_hosts = (
+                hosts if self._robots_hosts is None
+                else self._robots_hosts.unionByName(hosts)
             ).persist()
+        new_bases.unpersist()
         return self._robots_rules, self._host_budget
 
     def run_round(self, rnd: int) -> dict:
@@ -423,7 +467,7 @@ class CrawlEngine:
 
         blocked = None
         if self.obey_robots:
-            rules, budget = self._robots()
+            rules, budget = self._robots(frontier)
             candidates, blocked = RB.robots_filter(candidates, rules)
         else:
             budget = None

@@ -399,6 +399,52 @@ def test_http_fetcher_retries_network_error(spark, tmp_path):
     assert (log["e"], log["r"]) == (1, 2)
 
 
+def test_robots_over_http(spark, tmp_path, monkeypatch):
+    """Deployment robots path: with robots_http=True the engine fetches
+    each new host's /robots.txt over live HTTP (mapInPandas) and applies
+    the SAME longest-match filter — the corpus contains NO robots row, so
+    agreement with a corpus-robots control proves the rules came over the
+    wire."""
+    from firmwarescraper_spark.plans import rulepacks as RP
+    from firmwarescraper_spark.plans.fetchers import HttpFetcher
+
+    monkeypatch.setitem(RP.ALLOWED_HOST_PATTERNS, "avm",
+                        r"^127\.0\.0\.1(:\d+)?$")
+    host = "h.example"
+    raw = G.avm_family_pages(host, "fritzbox", 2)
+    robots_body = "User-agent: *\nDisallow: /fritzbox/fritzbox-7001/\n"
+    srv, port, _ = _serve(
+        {u.replace(f"http://{host}", "http://127.0.0.1"): h
+         for u, h in raw.items()}
+        | {"http://127.0.0.1/robots.txt": robots_body})
+    local = f"127.0.0.1:{port}"
+    pages = {u.replace(f"http://{host}", f"http://{local}"): h
+             for u, h in raw.items()}
+    corpus = str(tmp_path / "pages")          # no robots row in here
+    _write_pages(spark, corpus, pages)
+    corpus_with_robots = str(tmp_path / "pages_r")
+    _write_pages(spark, corpus_with_robots,
+                 pages | {f"http://{local}/robots.txt": robots_body})
+    seeds = [(f"http://{local}/fritzbox/", "avm:parse")]
+    try:
+        ctl = CrawlEngine(spark, corpus_with_robots, str(tmp_path / "ctl"))
+        ctl.run(seeds, fresh=True)
+        eng = CrawlEngine(spark, corpus, str(tmp_path / "http"),
+                          robots_http=True, max_retries=4,
+                          fetcher=HttpFetcher(timeout=60, concurrency=4))
+        eng.run(seeds, fresh=True)
+    finally:
+        srv.shutdown()
+    a = {r["fetch_key"] for r in eng.seen().collect()}
+    b = {r["fetch_key"] for r in ctl.seen().collect()}
+    assert a == b
+    # the disallowed subtree was blocked (in seen as resolved-blocked, its
+    # children never fetched), the allowed sibling crawled through
+    assert any("/fritzbox/fritzbox-7000/" in k for k in a)
+    assert not any("/fritzbox/fritzbox-7001/deutschland" in k for k in a)
+    assert eng.items().count() == ctl.items().count() > 0
+
+
 # ---------------------------------------------------------------------------
 # r3 verdict #8: streaming idle-session closure (ProcessingTimeTimeout)
 # ---------------------------------------------------------------------------
