@@ -399,6 +399,18 @@ def test_http_fetcher_retries_network_error(spark, tmp_path):
     assert (log["e"], log["r"]) == (1, 2)
 
 
+def test_cli_round4_flags_parse():
+    """--http / --http-timeout / --compact-every wire through argparse."""
+    from firmwarescraper_spark.__main__ import build_parser
+
+    args = build_parser().parse_args(
+        ["crawl", "avm", "--pages", "/p", "--state", "/s",
+         "--http", "--http-timeout", "12.5", "--compact-every", "0"])
+    assert args.http is True
+    assert args.http_timeout == 12.5
+    assert args.compact_every == 0  # 0 disables compaction in CrawlEngine
+
+
 def test_robots_over_http(spark, tmp_path, monkeypatch):
     """Deployment robots path: with robots_http=True the engine fetches
     each new host's /robots.txt over live HTTP (mapInPandas) and applies
