@@ -12,13 +12,16 @@ cores under contention (the r1 driver run measured 0.622 at the (2,8)
 pair precisely because 8 workers could not get 8 cores). The measured job
 is the STEADY-STATE ROUND (one full crawl round over the whole corpus as
 frontier — the 10^10-URL regime, where the per-round serial floor
-amortizes out); it runs as BEST_OF back-to-back (4N, N) pairs and the
-MEDIAN pair efficiency is the headline (pairs defeat cross-window load
-drift — ambient contention slows a 4-core run ~4x harder than a 1-core
-run — and the median is robust to a single contended arm, where the max
-is not). Every run, every pair efficiency, and a per-pair hardware probe
-ship in BENCH/audit_latest.json so the measurement conditions are
-auditable.
+amortizes out); it runs as back-to-back (4N, N) pairs, each bracketed by
+hardware probes (pre/mid/post), and the headline is the MEDIAN efficiency
+over the CLEAN pairs — those whose probes all show the box physically
+delivering the 4-core arm (pairs defeat cross-window load drift — ambient
+contention slows a 4-core run ~4x harder than a 1-core run — and the
+probe gate rejects the windows where the ratio measures the neighbors,
+not the engine). Dirty pre-probe windows are skipped unmeasured; pairs
+dirtied mid-window are measured but discarded from the headline. Every
+run, every pair, every probe, and every skip ships in
+BENCH/audit_latest.json so the measurement conditions are auditable.
 
 Prints ONE compact JSON line (hard-capped < 1800 chars so the driver's
 stdout tail always parses it; the full audit object goes to
@@ -30,8 +33,9 @@ BENCH/audit_latest.json):
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_AVM/LINKSYS corpus scale,
-SPARK_GRAFT_BEST_OF (default 2), SPARK_GRAFT_SKIP_SCALING=1 to run each
-arm once only.
+SPARK_GRAFT_CLEAN_PAIRS (default 3), SPARK_GRAFT_MAX_PAIR_ATTEMPTS
+(default 10), SPARK_GRAFT_GATE_CORES4W[_HI] (default 3.5/4.3),
+SPARK_GRAFT_SKIP_SCALING=1 to run one ungated pair only.
 """
 
 from __future__ import annotations
@@ -58,12 +62,27 @@ N_LINKSYS = int(os.environ.get("SPARK_GRAFT_BENCH_LINKSYS", "550"))
 N_MIRRORS = int(os.environ.get("SPARK_GRAFT_BENCH_MIRRORS", "72"))
 N_AVM_MIRROR = int(os.environ.get("SPARK_GRAFT_BENCH_AVM_MIRROR", "34"))
 N_PAD = int(os.environ.get("SPARK_GRAFT_BENCH_PAD", "120"))
-# 5 back-to-back pairs: the r4 bench run measured pair efficiencies
-# [0.928, 0.665, 0.686] on code whose clean-arm pair measured 0.91 —
-# ambient contention on this shared box lands on whole ~6-min pair
-# windows, so the median of 3 is one bad window from a false FAIL; the
-# median of 5 tolerates two.
-BEST_OF = int(os.environ.get("SPARK_GRAFT_BEST_OF", "5"))  # scaling pairs
+# Contention-gated pair protocol (r4 verdict #1). The r4 driver run
+# recorded pair efficiencies [0.759, 0.47, 0.594, 1.427, 1.145] on code
+# whose clean-window runs measured 0.998/0.84 medians — the box's own
+# hardware probe showed only 2.9-3.7 effective cores delivered to 4
+# workers during that window, and the protocol recorded the probe but
+# never USED it. Now it does: a pair counts as CLEAN only if the probe
+# brackets of its window (before the 4N arm, between arms, after the N
+# arm) all show the box physically delivering the 4-core arm; the
+# headline is the median of the clean pairs, dirty windows are skipped
+# before spending ~6 min measuring them, and every skipped window /
+# discarded pair ships in the audit file.
+CLEAN_PAIRS = int(os.environ.get("SPARK_GRAFT_CLEAN_PAIRS", "3"))
+MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_MAX_PAIR_ATTEMPTS", "10"))
+SKIP_SLEEP = float(os.environ.get("SPARK_GRAFT_SKIP_SLEEP", "45"))
+# A 4-worker probe on this box measures 3.6-3.9 effective cores idle
+# (r1-r4 audits); < 3.5 = something else is eating the cores the 4N arm
+# needs. > 4.3 is physically impossible for 4 workers and means the
+# probe's own serial reference was slowed (r4 contended audit recorded
+# 4.2-4.4 exactly in its dirtiest window) — both sides fail the gate.
+GATE_LO = float(os.environ.get("SPARK_GRAFT_GATE_CORES4W", "3.5"))
+GATE_HI = float(os.environ.get("SPARK_GRAFT_GATE_CORES4W_HI", "4.3"))
 
 
 def _make_spark(cores: int, shuffle_partitions: int):
@@ -89,14 +108,20 @@ def _burn(n):
 
 def hw_envelope_probe(n_per_worker: int = 12_000_000) -> dict:
     """Raw multiprocessing saturation probe (no Spark): how many effective
-    cores does the box deliver right now? Reported alongside the scaling
-    numbers so the (1,4) pair choice is auditable."""
+    cores does the box deliver right now? The serial reference is the MIN
+    of two runs — a contended serial arm otherwise inflates eff_4w past
+    1.0 (physically impossible for 4 workers; the r4 contended audit
+    recorded 1.06-1.1 in exactly its dirtiest windows) and makes a dirty
+    box look over-provisioned."""
     import multiprocessing as mp
 
     try:
         t0 = time.monotonic()
         _burn(n_per_worker)
         ser = time.monotonic() - t0
+        t0 = time.monotonic()
+        _burn(n_per_worker)
+        ser = min(ser, time.monotonic() - t0)
         out = {"serial_sec": round(ser, 2)}
         for w in (4, 8):
             with mp.Pool(w) as p:
@@ -108,6 +133,13 @@ def hw_envelope_probe(n_per_worker: int = 12_000_000) -> dict:
         return out
     except Exception as e:  # the probe must never sink the bench
         return {"error": str(e)[:120]}
+
+
+def probe_ok(probe: dict) -> bool:
+    """Does this probe show the box physically delivering the 4-core arm?
+    A failed/error probe counts as NOT ok — never silently clean."""
+    cores = probe.get("effective_cores_4w")
+    return cores is not None and GATE_LO <= cores <= GATE_HI
 
 
 def steady_frontier(spark, corpus_path: str):
@@ -268,22 +300,49 @@ def main():
         # doc), as back-to-back (4N, N) PAIRS. Ambient contention on this
         # shared box is intrinsically asymmetric — a competing job slows a
         # 4-core run ~4x harder than a 1-core run — so any estimator mixing
-        # arms from different time windows is corrupted by load drift. Each
-        # pair is one ~6-minute window; the reported efficiency is the
-        # least-interference pair (the timeit-min rationale applied at the
-        # pair level), with every run, every pair efficiency, and a
-        # hardware probe per pair recorded for audit.
-        n_pairs = 1 if os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1" else BEST_OF
-        pairs = []
-        probes = []
-        for _ in range(n_pairs):
-            probes.append(hw_envelope_probe())
+        # arms from different time windows is corrupted by load drift.
+        #
+        # Contention gate (r4 verdict #1): each pair window is bracketed by
+        # three hardware probes (before the 4N arm / between arms / after
+        # the N arm); the pair is CLEAN only if all three pass probe_ok.
+        # A dirty PRE-probe skips the window entirely (45 s sleep beats
+        # burning ~6 min measuring a doomed pair); contention arriving
+        # MID-pair — the r4 failure mode: a 3.7-core pre-probe preceded a
+        # 0.47 pair — is caught by the mid/post brackets and the pair is
+        # kept in the audit but discarded from the headline. The loop runs
+        # until CLEAN_PAIRS clean pairs land or MAX_ATTEMPTS windows are
+        # spent; if no clean pair ever lands, the median over ALL measured
+        # pairs is reported with gate_met=false (same as the r4 protocol,
+        # now labeled as such).
+        quick = os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1"
+        need_clean = 1 if quick else CLEAN_PAIRS
+        max_attempts = 1 if quick else MAX_ATTEMPTS
+        pairs = []            # every MEASURED pair, clean or not, in order
+        skipped_windows = []  # dirty pre-probe: window skipped unmeasured
+        attempts = 0
+        while (attempts < max_attempts
+               and sum(p["clean"] for p in pairs) < need_clean):
+            attempts += 1
+            pre = hw_envelope_probe()
+            if not quick and not probe_ok(pre):
+                skipped_windows.append(pre)
+                time.sleep(SKIP_SLEEP)
+                continue
             hi = bench_steady_round(n_hi, corpus_path, workdir)
+            mid = hw_envelope_probe()
             lo = bench_steady_round(n_lo, corpus_path, workdir)
+            post = hw_envelope_probe()
             eff = round(
                 (hi["urls_per_sec"] / lo["urls_per_sec"]) / (n_hi / n_lo), 3
             )
-            pairs.append({"run_hi": hi, "run_lo": lo, "efficiency": eff})
+            pairs.append({
+                "run_hi": hi, "run_lo": lo, "efficiency": eff,
+                "probes": {"pre": pre, "mid": mid, "post": post},
+                "clean": quick or (probe_ok(mid) and probe_ok(post)),
+            })
+        clean_pairs = [p for p in pairs if p["clean"]]
+        gate_met = bool(clean_pairs)
+        gated = clean_pairs if gate_met else pairs
         best_pair = max(pairs, key=lambda p: p["efficiency"])
         # Cross-check estimator: fastest n4 arm vs fastest n1 arm across
         # all pairs (timeit's min rationale applied per arm). Ambient
@@ -301,14 +360,15 @@ def main():
         # run_n{lo}/run_n{hi}/urls_per_sec rows all come from the SAME pair
         # (ADVICE r3: sorted[len//2] vs statistics.median disagreed for
         # even pair counts)
-        median_pair = sorted(pairs, key=lambda p: p["efficiency"])[
-            (len(pairs) - 1) // 2
+        median_pair = sorted(gated, key=lambda p: p["efficiency"])[
+            (len(gated) - 1) // 2
         ]
         eff_median = median_pair["efficiency"]
-        # Headline = MEDIAN pair efficiency (noise-robust; a ratio
-        # estimator's max selects contended denominators — an "efficiency"
-        # > 1.0 means the 1-core arm was slowed, not that the engine is
-        # super-linear). Best/worst stay in the audit file.
+        # Headline = MEDIAN efficiency over the CLEAN pairs (noise-robust;
+        # a ratio estimator's max selects contended denominators — an
+        # "efficiency" > 1.0 means the 1-core arm was slowed, not that the
+        # engine is super-linear). Discarded pairs and skipped windows stay
+        # in the audit file.
         crawl_full = {
             "corpus_pages": n_pages,
             "fixpoint_n4": fixpoint,
@@ -316,16 +376,23 @@ def main():
                            "the whole corpus as frontier (the 10^10-URL "
                            "regime, where the per-round serial floor "
                            "amortizes out); back-to-back (4N, N) pairs, "
-                           "MEDIAN pair efficiency reported",
+                           "probe-gated (clean = pre/mid/post probes all "
+                           f"show {GATE_LO}-{GATE_HI} effective cores at "
+                           "4 workers), MEDIAN clean-pair efficiency "
+                           "reported",
             f"run_n{n_lo}": median_pair["run_lo"],
             f"run_n{n_hi}": median_pair["run_hi"],
             "pairs": pairs,
             "pair_efficiencies": [p["efficiency"] for p in pairs],
+            "clean_pair_efficiencies": [p["efficiency"] for p in clean_pairs],
+            "gate": {"cores_4w": [GATE_LO, GATE_HI], "met": gate_met,
+                     "clean_pairs": len(clean_pairs),
+                     "discarded_pairs": len(pairs) - len(clean_pairs),
+                     "skipped_windows": skipped_windows},
             "scaling_pair": [n_lo, n_hi],
             "scaling_efficiency": eff_median,
             "scaling_efficiency_best": best_pair["efficiency"],
             "scaling_efficiency_minarm": eff_minarm,
-            "hw_envelope": probes,
         }
 
         total = round(time.monotonic() - total_t0, 2)
@@ -358,6 +425,9 @@ def main():
             "scaling_efficiency_best": best_pair["efficiency"],
             "scaling_efficiency_minarm": eff_minarm,
             "pair_efficiencies": [p["efficiency"] for p in pairs],
+            "clean_pair_efficiencies": [p["efficiency"] for p in clean_pairs],
+            "gate_met": gate_met,
+            "windows_skipped": len(skipped_windows),
             f"urls_per_sec_n{n_lo}": median_pair["run_lo"]["urls_per_sec"],
             f"urls_per_sec_n{n_hi}": median_pair["run_hi"]["urls_per_sec"],
             "audit": "BENCH/audit_latest.json",

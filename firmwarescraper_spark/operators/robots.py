@@ -98,7 +98,17 @@ def build_robots_rules(pages: DataFrame, persist: bool = False) -> tuple:
                 # strips ports): a rules row keyed "h:8080" would never
                 # join a frontier row whose host is "h" — robots silently
                 # skipped for any port-carrying URL (caught by the r4
-                # HTTP-robots test on a localhost:port corpus)
+                # HTTP-robots test on a localhost:port corpus).
+                # DOCUMENTED DIVERGENCE (ADVICE r4): RFC 9309 / protego
+                # scope robots.txt per scheme://host:port authority; this
+                # engine conflates ports on one host key, so rules fetched
+                # from h:8080 and h merge and longest-match evaluates their
+                # union. Distinct-port authorities on one hostname are rare
+                # in the reference's crawl universe (zero in its seed set);
+                # carrying host:port through BOTH the frontier host key and
+                # the rules key is the fix if that ever changes — the
+                # politeness budget would then also become per-authority,
+                # which is the stricter, safer direction.
                 host = re.sub(r":\d+$", "", host)
                 rules, delay = parse_robots_txt(body or "")
                 for is_allow, rule in rules:

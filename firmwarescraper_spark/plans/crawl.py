@@ -369,16 +369,22 @@ class CrawlEngine:
     # -- fetch build-side gating -------------------------------------------------
     def _frontier_bytes(self, rnd: int) -> int:
         """On-disk size of the round's frontier snapshot — a free metadata
-        upper bound on the dequeued set (dequeued ⊆ frontier). On Iceberg
-        this is the snapshot's content-file size from the manifest."""
+        upper bound on the dequeued set (dequeued ⊆ frontier). Goes through
+        Hadoop's FileSystem API (r4 verdict #6) so the gate works on ANY
+        supported filesystem (hdfs://, s3a://, file:), not just the local
+        os.listdir view — a deployment state_dir on object storage would
+        otherwise silently measure 0 bytes and force-broadcast every
+        frontier. On Iceberg this is the snapshot's content-file size from
+        the manifest. Marker/underscore files are counted too: this is an
+        upper bound, and they are O(bytes) noise."""
         base = self._p("frontier", f"round={rnd}")
-        if not os.path.isdir(base):
+        jvm = self.spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(base)
+        fs = path.getFileSystem(
+            self.spark.sparkContext._jsc.hadoopConfiguration())
+        if not fs.exists(path):
             return 0
-        return sum(
-            os.path.getsize(os.path.join(base, f))
-            for f in os.listdir(base)
-            if not f.startswith("_") and not f.startswith(".")
-        )
+        return int(fs.getContentSummary(path).getLength())
 
     def _fetch_broadcast_choice(self, rnd: int) -> bool:
         """Auto-gate the fetch join's build side (r3 verdict #1): broadcast
@@ -435,26 +441,40 @@ class CrawlEngine:
             bases = bases.join(self._robots_hosts, "base", "left_anti")
         new_bases = bases.persist()
         if not new_bases.isEmpty():
+            # persist the fetched robots PAGES (not the parsed views): the
+            # rules/budget tables are two derivations of one live-HTTP
+            # fetch, and each is materialized separately below — caching
+            # here keeps that one network round-trip per host.
             pages = FT.robots_pages_http(
                 new_bases,
                 timeout=getattr(self.fetcher, "timeout", 320.0),
                 concurrency=getattr(self.fetcher, "concurrency", 16),
                 user_agent=getattr(self.fetcher, "user_agent",
                                    "firmwarescraper"),
-            )
-            rules, delay = RB.build_robots_rules(pages, persist=True)
+            ).persist()
+            rules, delay = RB.build_robots_rules(pages)
             budget = RB.host_budget_from_delay(
                 delay, self.round_seconds, self.tokens_per_host)
+            hosts = new_bases.select("base")
             if self._robots_rules is not None:
                 rules = self._robots_rules.unionByName(rules)
                 budget = self._host_budget.unionByName(budget)
-            self._robots_rules = rules.persist()
-            self._host_budget = budget.persist()
-            hosts = new_bases.select("base")
-            self._robots_hosts = (
-                hosts if self._robots_hosts is None
-                else self._robots_hosts.unionByName(hosts)
-            ).persist()
+                hosts = self._robots_hosts.unionByName(hosts)
+            old = (self._robots_rules, self._host_budget, self._robots_hosts)
+            # localCheckpoint (eager) instead of persist (r4 verdict #4 +
+            # ADVICE): materializes AND truncates lineage to depth 1, so a
+            # 10^4-round crawl's accumulated rules/budget/hosts never drag
+            # a 10^4-deep union chain through every round's Catalyst
+            # analysis. On a durable deployment this is a write+re-read of
+            # the rules table (the compact_state pattern); local-mode
+            # executor storage is equivalent here.
+            self._robots_rules = rules.localCheckpoint()
+            self._host_budget = budget.localCheckpoint()
+            self._robots_hosts = hosts.localCheckpoint()
+            for df in old:
+                if df is not None:
+                    df.unpersist()  # superseded snapshots: bounded storage
+            pages.unpersist()
         new_bases.unpersist()
         return self._robots_rules, self._host_budget
 
@@ -857,9 +877,12 @@ class CrawlEngine:
             F.col("url").alias("canon_url"), F.col("html").alias("blob")
         ).join(build, "canon_url", "inner")
         # only successfully fetched blobs enter the manifest — a URL absent
-        # from the corpus this run must stay pending so a later run retries
-        # it (ADVICE r1: a null-blob manifest row would permanently mark the
-        # file downloaded). Misses are logged to their own table instead.
+        # from the corpus this run, or present with a NULL body, must stay
+        # pending so a later run retries it (ADVICE r1/r4: the inner join
+        # only guarantees row presence, not a non-null body; a null-blob
+        # manifest row would permanently mark the file downloaded).
+        # Misses are logged to their own table instead.
+        blobs = blobs.filter(F.col("blob").isNotNull())
         new_manifest = blobs.select(
             F.col("canon_url").alias("url"),
             url_basename_col(F.col("url")).alias("path"),

@@ -116,21 +116,44 @@ class HttpFetcher:
     GET by default; rows with non-empty ``form_data`` POST an urlencoded
     body (S2 form semantics, matching scrapy FormRequest). Any transport
     error (timeout, refused, DNS) maps to status 599 — retryable, like
-    scrapy's RETRY_EXCEPTIONS."""
+    scrapy's RETRY_EXCEPTIONS.
+
+    Two fidelity/robustness pins (r4 verdict #2/#3):
+
+    * The request goes to the ORIGINAL ``url``, never ``canon_url`` —
+      canonicalization (sorted query params, re-percent-encoding, stripped
+      fragments) exists only to build the dupefilter fingerprint (X2);
+      scrapy fetches ``request.url`` verbatim, and real servers care
+      (signed/ordered query strings, case-sensitive escapes).
+    * The body is read in bounded chunks up to ``max_bytes`` and ABORTED
+      mid-stream past it — scrapy's ``download_maxsize`` semantics
+      (/root/reference/firmware/spiders/avm_gpl.py:27 sets 2 GiB for this
+      protection). The engine's F12 guard filters on ``F.length`` AFTER
+      the body is in executor memory, which is too late against a hostile
+      or huge response; here the oversize row comes back as status 503
+      (retryable → terminal) with the body never materialized past the cap.
+    """
 
     materialize = True  # network side effects: fetch exactly once per round
     resolves_all = True  # every dequeued row returns with a real status
 
     def __init__(self, engine=None, timeout: float = 320.0,
-                 concurrency: int = 16, user_agent: str = "firmwarescraper"):
+                 concurrency: int = 16, user_agent: str = "firmwarescraper",
+                 max_bytes: int | None = None):
         self.engine = engine
         self.timeout = timeout
         self.concurrency = concurrency
         self.user_agent = user_agent
+        self.max_bytes = max_bytes
 
     def fetch(self, dequeued: DataFrame, use_bcast: bool) -> DataFrame:
         timeout, concurrency = self.timeout, self.concurrency
         agent = self.user_agent
+        # default the stream cap to the engine's F12 download_maxsize
+        max_bytes = self.max_bytes
+        if max_bytes is None:
+            max_bytes = getattr(self.engine, "max_fetch_bytes",
+                                2_147_483_648)
         out_schema = T.StructType(
             [f for f in dequeued.schema.fields]
             + [T.StructField("html", T.StringType()),
@@ -143,6 +166,19 @@ class HttpFetcher:
             import urllib.parse
             import urllib.request
 
+            def _read_capped(resp) -> bytes | None:
+                """Chunked read up to max_bytes + 1; None = over cap (the
+                +1 byte proves the overflow without buffering past it)."""
+                chunks, total = [], 0
+                while total <= max_bytes:
+                    chunk = resp.read(
+                        min(1 << 20, max_bytes + 1 - total))
+                    if not chunk:
+                        return b"".join(chunks)
+                    chunks.append(chunk)
+                    total += len(chunk)
+                return None  # oversize: abort without materializing
+
             def _one(url: str, form) -> tuple:
                 data = None
                 if form:  # S2: POST urlencoded form body
@@ -151,7 +187,9 @@ class HttpFetcher:
                     url, data=data, headers={"User-Agent": agent})
                 try:
                     with urllib.request.urlopen(req, timeout=timeout) as resp:
-                        body = resp.read()
+                        body = _read_capped(resp)
+                        if body is None:
+                            return None, 503  # oversize: retryable→terminal
                         return body.decode("utf-8", "replace"), resp.status
                 except urllib.error.HTTPError as e:
                     return None, int(e.code)
@@ -161,8 +199,10 @@ class HttpFetcher:
             for pdf in batches:
                 if len(pdf):
                     with cf.ThreadPoolExecutor(concurrency) as pool:
+                        # fetch the ORIGINAL url — canon_url/fetch_key are
+                        # dedup/join keys, not request targets
                         res = list(pool.map(
-                            _one, pdf["canon_url"], pdf["form_data"]))
+                            _one, pdf["url"], pdf["form_data"]))
                     pdf = pdf.assign(
                         html=[r[0] for r in res],
                         status=[r[1] for r in res],
