@@ -51,6 +51,10 @@ def synth_docs(spark, n: int, words_per_doc: int = 40):
     )
 
 
+EMB_DIM = 32  # ANN probe vector dim: big enough to cost, small enough
+               # that candidate verify (not codegen setup) dominates
+
+
 def synth_embeddings(spark, n: int, dim: int = 64):
     from pyspark.sql import functions as F
 
@@ -75,7 +79,11 @@ def main():
                       shuffle_partitions=32)
     spark.sparkContext.setLogLevel("FATAL")
 
-    def ops(docs):
+    def ops(docs, emb, planes):
+        from firmwarescraper_spark.operators import similarity as SIM
+
+        # a fixed deterministic query vector (dim matches synth_embeddings)
+        query = [((i * 37) % 200 - 100) / 100.0 for i in range(EMB_DIM)]
         return {
             "minhash_lsh_pairs": lambda: DD.minhash_lsh_pairs(docs),
             # the 10^10-row simhash config: 48-bit signatures (sparse true-pair
@@ -89,13 +97,29 @@ def main():
                 "doc_id", TX.langid_col(__import__(
                     "pyspark.sql.functions", fromlist=["col"]).col("text"))),
             "exact_dedup": lambda: DD.exact_dedup(docs),
+            # ANN path (r4 verdict #7): planes follows the documented
+            # sizing rule planes ≈ log2(N / target_bucket) — 10 at 25k,
+            # 12 at 100k — so per-bucket occupancy stays ~constant and
+            # candidate volume stays linear; holding planes FIXED across
+            # scales would saturate buckets and measure the (documented)
+            # quadratic failure mode, not the operator.
+            "embedding_neardup_lsh": lambda: DD.embedding_neardup_pairs_lsh(
+                emb, threshold=0.9, dim=EMB_DIM, planes=planes,
+                multiprobe_hamming=1),
+            "cosine_topk_lsh": lambda: SIM.lsh_bucketed_topk(
+                emb, query, k=10, planes=planes, multiprobe_hamming=1),
         }
+
+    import math
 
     out = {}
     for label, n in (("n", n_lo), ("n4", n_hi)):
         docs = synth_docs(spark, n).persist()
-        docs.count()  # materialize: measure the operator, not the generator
-        for name, fn in ops(docs).items():
+        emb = synth_embeddings(spark, n, dim=EMB_DIM).persist()
+        # materialize: measure the operator, not the generator
+        docs.count(), emb.count()
+        planes = round(math.log2(n / 25))  # ~25-row buckets at any scale
+        for name, fn in ops(docs, emb, planes).items():
             best = None
             for _ in range(2):  # best-of-2 defeats one-off stalls
                 t0 = time.monotonic()
@@ -104,7 +128,10 @@ def main():
                 best = dt if best is None else min(best, dt)
             out.setdefault(name, {})[f"{label}_sec"] = round(best, 2)
             out[name][f"{label}_rows"] = n
+            if name in ("embedding_neardup_lsh", "cosine_topk_lsh"):
+                out[name][f"{label}_planes"] = planes
         docs.unpersist()
+        emb.unpersist()
     for name, rec in out.items():
         rec["ratio"] = round(rec["n4_sec"] / max(rec["n_sec"], 1e-9), 2)
     print(json.dumps(out))

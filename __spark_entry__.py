@@ -474,6 +474,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents")
         return TX.repetition_signals(docs)
 
+    def q_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Real video frame sampling (multimodal/binary.frame_sample_video
+        + codecs.mp4_sample_table): walk the Motion-JPEG fixture's ISO-BMFF
+        sample table, decode each sampled frame through the pure-numpy JPEG
+        decoder, emit the BMP raster digest. The non-MJPEG skeleton fixture
+        goes through the tagged stub path in the SAME plan — both rows are
+        oracle-checked."""
+        from firmwarescraper_spark.multimodal import binary as MM
+        from firmwarescraper_spark.sources.generate import demo_media_payloads
+
+        rows = [(i, bytearray(p)) for i, p in demo_media_payloads()
+                if i in (6, 7)]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        return MM.frame_sample_video(df, every_n=1, max_frames=2).select(
+            "id", "frame_no",
+            F.lower(F.sha2(F.col("frame"), 256)).alias("frame_sha"),
+            "codec",
+        )
+
     return {
         "anti_join_seen": q_anti_join_seen,
         "bloom_anti_join": q_bloom_anti_join,
@@ -512,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "media_meta": q_media_meta,
         "repetition": q_repetition,
+        "mjpeg_frames": q_mjpeg_frames,
     }
 
 
@@ -667,6 +687,7 @@ def _media_meta_sql() -> str:
         4: ("unknown", None, None, None),
         5: ("image", "jpeg", 12, 7),   # progressive (SOF2) — same dims
         6: ("video", "mp4", 640, 360),  # ISO BMFF skeleton, real tkhd dims
+        7: ("video", "mp4", 12, 7),    # Motion-JPEG: real sample table
     }
 
     def lit(x):
@@ -686,6 +707,36 @@ def _media_meta_sql() -> str:
         "width::INT AS width, height::INT AS height, sha256 FROM (VALUES "
         + ", ".join(rows)
         + ") AS t(id, media_type, container, bytes, width, height, sha256)"
+    )
+
+
+def _mjpeg_frames_sql() -> str:
+    """Expected ``mjpeg_frames`` rows as a VALUES literal, computed
+    driver-side in pure Python (no Spark): the MJPEG fixture's expected
+    frames are encode_bmp(decode_jpeg(<sample bytes located by the
+    pure-Python sample-table walk>)); the non-MJPEG skeleton's expected
+    rows are the tagged deterministic stub digests."""
+    import hashlib
+
+    from firmwarescraper_spark.multimodal import binary as MM
+    from firmwarescraper_spark.multimodal import codecs as CX
+    from firmwarescraper_spark.multimodal import jpeg as JX
+    from firmwarescraper_spark.sources.generate import demo_media_payloads
+
+    payloads = dict(demo_media_payloads())
+    rows = []
+    for k in range(2):  # every_n=1, max_frames=2 in q_mjpeg_frames
+        stub = MM._decode_stub(payloads[6], "frame", str(k))
+        rows.append((6, k, hashlib.sha256(stub).hexdigest(), "stub"))
+        off, size = CX.mp4_sample_table(payloads[7])[k]
+        bmp = CX.encode_bmp(JX.decode_jpeg(payloads[7][off:off + size]))
+        rows.append((7, k, hashlib.sha256(bmp).hexdigest(), "mjpeg-numpy"))
+    values = ", ".join(
+        f"({i}, {n}, '{sha}', '{codec}')" for i, n, sha, codec in rows)
+    return (
+        "SELECT id::BIGINT AS id, frame_no::INT AS frame_no, frame_sha, "
+        "codec FROM (VALUES " + values
+        + ") AS t(id, frame_no, frame_sha, codec)"
     )
 
 
@@ -876,6 +927,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "media_meta": _media_meta_sql(),
+        "mjpeg_frames": _mjpeg_frames_sql(),
         "repetition": r"""
             WITH d AS (
                 SELECT doc_id, string_split(trim(lower(text)), ' ') AS w

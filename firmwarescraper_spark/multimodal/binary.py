@@ -305,23 +305,57 @@ _FRAME_SCHEMA = StructType([
     StructField("id", LongType()),
     StructField("frame_no", IntegerType()),
     StructField("frame", BinaryType()),
+    StructField("codec", StringType()),
 ])
+
+# MJPEG sample-entry fourccs: every sample is an independently-coded JPEG
+# image, so the pure-numpy baseline/progressive JPEG decoder applies
+_MJPEG_FOURCC = {"jpeg", "mjpa", "mjpb", "MJPG"}
 
 
 def frame_sample_video(df: DataFrame, every_n: int = 10, max_frames: int = 3,
                        id_col: str = "id", payload_col: str = "payload") -> DataFrame:
-    """Video frame sampling plumbing (stubbed): one input row fans out to
-    <= max_frames rows via mapInPandas — the table-valued shape a real
-    ffmpeg sampler produces."""
+    """Video frame sampling: one input row fans out to <= max_frames rows
+    via mapInPandas. REAL for Motion-JPEG tracks (r4 verdict #8): the
+    ISO-BMFF sample table (codecs.mp4_sample_table) locates sample bytes,
+    each sampled frame decodes through the pure-numpy JPEG decoder and is
+    emitted as a BMP raster with ``codec = "mjpeg-numpy"``. Every other
+    codec (avc1/hvc1/... — no ffmpeg in this container) keeps the loudly
+    tagged deterministic stub (``codec = "stub"``); the Spark-side shape
+    is identical either way."""
+    from firmwarescraper_spark.multimodal import codecs as CX
+    from firmwarescraper_spark.multimodal import jpeg as JP
+
     def gen(batches):
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
-                for k in range(max_frames):
-                    out.append({
-                        "id": row[id_col], "frame_no": k * every_n,
-                        "frame": _decode_stub(row[payload_col], "frame", str(k * every_n)),
-                    })
-            yield pd.DataFrame(out, columns=["id", "frame_no", "frame"])
+                p = row[payload_col]
+                samples = []
+                if p is not None and CX.mp4_meta(p).get("codec") in _MJPEG_FOURCC:
+                    samples = CX.mp4_sample_table(p)
+                if samples:
+                    for k in range(max_frames):
+                        idx = k * every_n
+                        if idx >= len(samples):
+                            break
+                        off, size = samples[idx]
+                        try:
+                            arr = JP.decode_jpeg(bytes(p[off:off + size]))
+                            frame, codec = CX.encode_bmp(arr), "mjpeg-numpy"
+                        except Exception:
+                            frame = _decode_stub(p, "frame", str(idx))
+                            codec = "stub"
+                        out.append({"id": row[id_col], "frame_no": idx,
+                                    "frame": frame, "codec": codec})
+                else:
+                    for k in range(max_frames):
+                        out.append({
+                            "id": row[id_col], "frame_no": k * every_n,
+                            "frame": _decode_stub(p, "frame", str(k * every_n)),
+                            "codec": "stub",
+                        })
+            yield pd.DataFrame(out, columns=["id", "frame_no", "frame",
+                                             "codec"])
 
     return df.mapInPandas(gen, _FRAME_SCHEMA)

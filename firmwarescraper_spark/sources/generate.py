@@ -408,4 +408,9 @@ def demo_media_payloads() -> list:
         (4, b"not-a-media-payload"),                  # unknown
         (5, JX.encode_jpeg_progressive(rgb, quality=90)),  # 12x7 SOF2 JPEG
         (6, CX.encode_mp4_skeleton(640, 360, 2500)),  # 2.5 s ISO BMFF video
+        # 12x7 Motion-JPEG mp4: a REAL sample table (stsz/stsc/stco) over
+        # two JPEG frames — exercised by the mjpeg_frames oracle
+        (7, CX.encode_mp4_mjpeg(
+            [JX.encode_jpeg(rgb, quality=90),
+             JX.encode_jpeg(rgb[::-1].copy(), quality=90)], 12, 7)),
     ]

@@ -262,6 +262,53 @@ def test_collect_downloads_null_blob_stays_pending(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# r4 verdict #8: MJPEG tracks decode real frames via the sample table
+# ---------------------------------------------------------------------------
+
+def test_mjpeg_frame_sampling_real_decode(spark):
+    """An MP4 with a Motion-JPEG track is no longer a stub: the ISO-BMFF
+    stsz/stsc/stco walk locates each sample byte-identically, the sampled
+    frames decode through the pure-numpy JPEG decoder, and the emitted BMP
+    raster equals decoding the same JPEG bytes directly. A non-MJPEG
+    track (avc1) still takes the tagged stub path."""
+    import numpy as np
+
+    from firmwarescraper_spark.multimodal import binary as MM
+    from firmwarescraper_spark.multimodal import codecs as CX
+    from firmwarescraper_spark.multimodal import jpeg as JP
+
+    def checker(shift):
+        y, x = np.mgrid[0:16, 0:16]
+        a = np.zeros((16, 16, 3), dtype=np.uint8)
+        a[:, :, 0] = ((x + y + shift) % 2) * 255
+        a[:, :, 1] = (x * 7 + shift) % 256
+        a[:, :, 2] = (y * 13) % 256
+        return a
+
+    jpegs = [JP.encode_jpeg(checker(s)) for s in range(5)]
+    mjpeg = CX.encode_mp4_mjpeg(jpegs, 16, 16)
+    table = CX.mp4_sample_table(mjpeg)
+    assert len(table) == 5
+    assert all(mjpeg[o:o + s] == jpegs[i] for i, (o, s) in enumerate(table))
+    avc = CX.encode_mp4_skeleton(16, 16, 200)  # no samples, avc1 fourcc
+    df = spark.createDataFrame(
+        [(1, bytearray(mjpeg)), (2, bytearray(avc))], "id long, payload binary")
+    frames = MM.frame_sample_video(df, every_n=2, max_frames=3).collect()
+    real = sorted([r for r in frames if r["id"] == 1],
+                  key=lambda r: r["frame_no"])
+    stub = [r for r in frames if r["id"] == 2]
+    # 5 samples at stride 2 -> frame_no 0, 2, 4 (bounded by availability)
+    assert [r["frame_no"] for r in real] == [0, 2, 4]
+    assert all(r["codec"] == "mjpeg-numpy" for r in real)
+    for r in real:
+        expect = CX.decode_bmp(CX.encode_bmp(JP.decode_jpeg(jpegs[r["frame_no"]])))
+        got = CX.decode_bmp(bytes(r["frame"]))
+        assert np.array_equal(got, expect)
+    # the non-MJPEG track keeps the loudly tagged deterministic stub
+    assert len(stub) == 3 and all(r["codec"] == "stub" for r in stub)
+
+
+# ---------------------------------------------------------------------------
 # r4 verdict #1: bench pair gate — probe classification
 # ---------------------------------------------------------------------------
 
