@@ -474,6 +474,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents")
         return TX.repetition_signals(docs)
 
+    def q_pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Pretraining-data pipeline COMPOSITION: language-ID gate ->
+        quality-score gate -> exact-dedup survivor selection, as ONE
+        declarative plan — the standard web-text curation chain. Plan
+        shape at 100 TB: both gates are narrow column expressions that
+        fuse into the scan stage (whole-stage codegen), the raw text
+        never leaves it — only (doc_id, quality, fp) shuffles, once, for
+        the per-fingerprint window that picks the min-doc_id survivor and
+        counts its duplicates (same survivor rule as operators/
+        dedup.exact_dedup, expressed windowed so the pipeline stays one
+        scan + one shuffle instead of aggregate + join-back rescan)."""
+        from pyspark.sql import Window
+
+        docs = _t(spark, sf_dir, "documents")
+        kept = docs.select(
+            "doc_id",
+            TX.langid_col(F.col("text")).alias("lang_pred"),
+            TX.quality_score(F.col("text")).alias("quality"),
+            F.md5(TX.normalize_text(F.col("text"))).alias("fp"),
+        ).filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.52))
+        w = Window.partitionBy("fp")
+        return (
+            kept.withColumn("dup_count",
+                            F.count("*").over(w).cast("bigint"))
+            .withColumn("_min_id", F.min("doc_id").over(w))
+            .filter(F.col("doc_id") == F.col("_min_id"))
+            .select("doc_id", "dup_count", "quality")
+        )
+
     def q_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Real video frame sampling (multimodal/binary.frame_sample_video
         + codecs.mp4_sample_table): walk the Motion-JPEG fixture's ISO-BMFF
@@ -532,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         "repetition": q_repetition,
         "mjpeg_frames": q_mjpeg_frames,
+        "pipeline_filter": q_pipeline_filter,
     }
 
 
@@ -668,6 +698,49 @@ _LANGID_SQL = (
     "WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es' "
     "ELSE 'fr' END AS lang_pred FROM s"
 )
+
+
+_QUALITY_SQL = r"""
+    WITH f AS (SELECT doc_id,
+        len(string_split(trim(text), ' '))::BIGINT AS n_words,
+        length(text) AS n_chars,
+        len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+        len(list_filter(string_split(trim(lower(text)), ' '),
+            x -> list_contains(['the','and','of','to','is','in','that','it','with','for'], x))) AS sw
+        FROM documents)
+    SELECT doc_id, n_words,
+           round(n_punct * 1.0 / greatest(n_chars, 1), 4) AS punct_ratio,
+           round(sw * 1.0 / greatest(n_words, 1), 4) AS stopword_ratio,
+           round(least(round(sw * 1.0 / greatest(n_words, 1), 4) * 2, 1.0) * 0.5
+             + CASE WHEN round(n_chars * 1.0 / greatest(n_words, 1), 4) BETWEEN 3 AND 10
+                    THEN 0.3 ELSE 0.0 END
+             + CASE WHEN round(n_punct * 1.0 / greatest(n_chars, 1), 4) <= 0.2
+                    THEN 0.2 ELSE 0.0 END, 4) AS quality
+    FROM f
+"""
+
+# The pretraining-data pipeline composition: language gate -> quality gate
+# -> exact-dedup survivor selection, each stage the SAME definition its
+# standalone oracle uses (the langid / quality CTEs below are the
+# standalone oracle strings verbatim).
+_PIPELINE_FILTER_SQL = f"""
+    WITH lang AS ({_LANGID_SQL}),
+    qual AS ({_QUALITY_SQL}),
+    kept AS (
+        SELECT d.doc_id, d.text, qual.quality
+        FROM documents d
+        JOIN lang USING (doc_id)
+        JOIN qual USING (doc_id)
+        WHERE lang.lang_pred = 'en' AND qual.quality >= 0.52
+    ),
+    surv AS (
+        SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS dup_count
+        FROM kept
+        GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    )
+    SELECT surv.doc_id, surv.dup_count, kept.quality
+    FROM surv JOIN kept USING (doc_id)
+"""
 
 
 def _media_meta_sql() -> str:
@@ -898,24 +971,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cosine_topk_lsh": _COSINE_TOPK_LSH_SQL,
         "langid": _LANGID_SQL,
-        "quality": r"""
-            WITH f AS (SELECT doc_id,
-                len(string_split(trim(text), ' '))::BIGINT AS n_words,
-                length(text) AS n_chars,
-                len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
-                len(list_filter(string_split(trim(lower(text)), ' '),
-                    x -> list_contains(['the','and','of','to','is','in','that','it','with','for'], x))) AS sw
-                FROM documents)
-            SELECT doc_id, n_words,
-                   round(n_punct * 1.0 / greatest(n_chars, 1), 4) AS punct_ratio,
-                   round(sw * 1.0 / greatest(n_words, 1), 4) AS stopword_ratio,
-                   round(least(round(sw * 1.0 / greatest(n_words, 1), 4) * 2, 1.0) * 0.5
-                     + CASE WHEN round(n_chars * 1.0 / greatest(n_words, 1), 4) BETWEEN 3 AND 10
-                            THEN 0.3 ELSE 0.0 END
-                     + CASE WHEN round(n_punct * 1.0 / greatest(n_chars, 1), 4) <= 0.2
-                            THEN 0.2 ELSE 0.0 END, 4) AS quality
-            FROM f
-        """,
+        "quality": _QUALITY_SQL,
+        "pipeline_filter": _PIPELINE_FILTER_SQL,
         "token_counts": r"""
             SELECT doc_id,
                    len(string_split(trim(text), ' '))::BIGINT AS n_ws,

@@ -132,23 +132,46 @@ class HttpFetcher:
       the body is in executor memory, which is too late against a hostile
       or huge response; here the oversize row comes back as status 503
       (retryable → terminal) with the body never materialized past the cap.
-    """
+
+    Redirect policy (scrapy RedirectMiddleware semantics):
+    ``follow_redirects=True`` follows chains up to ``max_redirects``
+    hops (REDIRECT_MAX_TIMES defaults to 20; urllib's stock handler would
+    silently allow 10); past the bound the final 3xx surfaces as the
+    row's terminal status (scrapy drops the over-limit request).
+    ``follow_redirects=False`` is scrapy's ``dont_redirect`` — the 3xx
+    response itself comes back as the row's status (the reference's HP
+    spider handles its 302s this way, hp.py:17).
+
+    Per-host pacing: ``per_host_delay_ms > 0`` serializes each host's
+    requests within a batch and sleeps between them (scrapy
+    DOWNLOAD_DELAY at the downloader), while distinct hosts still run
+    concurrently across the pool. This is fetch-TIME politeness layered
+    under the dequeue's per-round token budget (which bounds per-host
+    VOLUME); a task's batch paces independently — the aggregate per-host
+    rate across tasks is still governed by the upstream budget."""
 
     materialize = True  # network side effects: fetch exactly once per round
     resolves_all = True  # every dequeued row returns with a real status
 
     def __init__(self, engine=None, timeout: float = 320.0,
                  concurrency: int = 16, user_agent: str = "firmwarescraper",
-                 max_bytes: int | None = None):
+                 max_bytes: int | None = None,
+                 follow_redirects: bool = True, max_redirects: int = 20,
+                 per_host_delay_ms: float = 0.0):
         self.engine = engine
         self.timeout = timeout
         self.concurrency = concurrency
         self.user_agent = user_agent
         self.max_bytes = max_bytes
+        self.follow_redirects = follow_redirects
+        self.max_redirects = max_redirects
+        self.per_host_delay_ms = per_host_delay_ms
 
     def fetch(self, dequeued: DataFrame, use_bcast: bool) -> DataFrame:
         timeout, concurrency = self.timeout, self.concurrency
         agent = self.user_agent
+        follow, max_redirects = self.follow_redirects, self.max_redirects
+        delay_s = self.per_host_delay_ms / 1000.0
         # default the stream cap to the engine's F12 download_maxsize
         max_bytes = self.max_bytes
         if max_bytes is None:
@@ -165,6 +188,18 @@ class HttpFetcher:
             import urllib.error
             import urllib.parse
             import urllib.request
+
+            class _RedirectPolicy(urllib.request.HTTPRedirectHandler):
+                # scrapy REDIRECT_MAX_TIMES; urllib default is 10
+                max_redirections = max_redirects
+
+                def redirect_request(self, req, fp, code, msg, hdrs, newurl):
+                    if not follow:  # dont_redirect: surface the 3xx itself
+                        return None
+                    return super().redirect_request(
+                        req, fp, code, msg, hdrs, newurl)
+
+            opener = urllib.request.build_opener(_RedirectPolicy)
 
             def _read_capped(resp) -> bytes | None:
                 """Chunked read up to max_bytes + 1; None = over cap (the
@@ -186,7 +221,7 @@ class HttpFetcher:
                 req = urllib.request.Request(
                     url, data=data, headers={"User-Agent": agent})
                 try:
-                    with urllib.request.urlopen(req, timeout=timeout) as resp:
+                    with opener.open(req, timeout=timeout) as resp:
                         body = _read_capped(resp)
                         if body is None:
                             return None, 503  # oversize: retryable→terminal
@@ -196,13 +231,40 @@ class HttpFetcher:
                 except Exception:
                     return None, 599  # network error / timeout: retryable
 
+            def _fetch_all(urls, forms) -> list:
+                """Batch fan-out: flat pool.map without pacing; with
+                pacing, one worker per HOST walks that host's requests
+                sequentially with the delay between them."""
+                if delay_s <= 0:
+                    with cf.ThreadPoolExecutor(concurrency) as pool:
+                        return list(pool.map(_one, urls, forms))
+                import time
+                from urllib.parse import urlsplit
+
+                by_host = {}
+                for i, (u, f) in enumerate(zip(urls, forms)):
+                    by_host.setdefault(urlsplit(u).netloc, []).append((i, u, f))
+
+                def _host_seq(items):
+                    out = []
+                    for j, (i, u, f) in enumerate(items):
+                        if j:
+                            time.sleep(delay_s)
+                        out.append((i, _one(u, f)))
+                    return out
+
+                res = [None] * len(urls)
+                with cf.ThreadPoolExecutor(concurrency) as pool:
+                    for chunk in pool.map(_host_seq, by_host.values()):
+                        for i, r in chunk:
+                            res[i] = r
+                return res
+
             for pdf in batches:
                 if len(pdf):
-                    with cf.ThreadPoolExecutor(concurrency) as pool:
-                        # fetch the ORIGINAL url — canon_url/fetch_key are
-                        # dedup/join keys, not request targets
-                        res = list(pool.map(
-                            _one, pdf["url"], pdf["form_data"]))
+                    # fetch the ORIGINAL url — canon_url/fetch_key are
+                    # dedup/join keys, not request targets
+                    res = _fetch_all(list(pdf["url"]), list(pdf["form_data"]))
                     pdf = pdf.assign(
                         html=[r[0] for r in res],
                         status=[r[1] for r in res],

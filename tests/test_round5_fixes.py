@@ -147,6 +147,125 @@ def test_http_fetcher_cap_defaults_to_engine_max_fetch_bytes(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# HttpFetcher redirect policy (scrapy RedirectMiddleware semantics)
+# ---------------------------------------------------------------------------
+
+def _serve_redirects(target_body: str):
+    """Serve /hop/<n> -> /hop/<n-1> 302 chains, /hop/0 -> 200 body,
+    /loop -> /loop forever."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/hop/0":
+                data = target_body.encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+                return
+            if self.path.startswith("/hop/"):
+                n = int(self.path.rsplit("/", 1)[1])
+                self.send_response(302)
+                self.send_header("Location", f"/hop/{n - 1}")
+                self.end_headers()
+                return
+            self.send_response(302)  # /loop and anything else: self-loop
+            self.send_header("Location", "/loop")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, srv.server_address[1]
+
+
+def test_http_fetcher_redirect_policy(spark):
+    """Default: 302 chains are followed to the final body, bounded at
+    max_redirects (a loop terminates with the 3xx surfacing, like scrapy
+    dropping an over-limit request). follow_redirects=False is scrapy's
+    dont_redirect — the 302 itself is the row's status (the reference's
+    HP spider handles its 302s exactly this way)."""
+    from firmwarescraper_spark.plans.fetchers import HttpFetcher
+
+    srv, port = _serve_redirects("FINAL")
+    base = f"http://127.0.0.1:{port}"
+    dequeued = spark.createDataFrame(
+        [(f"{base}/hop/3", None), (f"{base}/loop", None)],
+        "url string, form_data map<string,string>")
+    try:
+        def by_kind(fetched):
+            return {("hop" if "/hop/" in r["url"] else "loop"): r
+                    for r in fetched.collect()}
+
+        follow = HttpFetcher(timeout=30, concurrency=2, max_redirects=20)
+        rows = by_kind(follow.fetch(dequeued, False))
+        assert rows["hop"]["status"] == 200
+        assert rows["hop"]["html"] == "FINAL"
+        assert rows["loop"]["status"] == 302  # loop cut at the bound
+        assert rows["loop"]["html"] is None
+
+        dont = HttpFetcher(timeout=30, concurrency=2,
+                           follow_redirects=False)
+        rows = by_kind(dont.fetch(dequeued, False))
+        assert rows["hop"]["status"] == 302   # the 3xx itself, unfollowed
+        assert rows["loop"]["status"] == 302
+    finally:
+        srv.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# HttpFetcher per-host pacing (fetch-time politeness)
+# ---------------------------------------------------------------------------
+
+def test_http_fetcher_per_host_pacing(spark):
+    """per_host_delay_ms serializes a host's requests within a batch with
+    the delay between them (scrapy DOWNLOAD_DELAY at the downloader):
+    the server-observed gap between consecutive same-host hits must be at
+    least ~the delay, and all rows still resolve 200."""
+    import threading
+    import time
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    stamps = []
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            stamps.append(time.monotonic())
+            data = b"ok"
+            self.send_response(200)
+            self.send_header("Content-Length", "2")
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    from firmwarescraper_spark.plans.fetchers import HttpFetcher
+
+    dequeued = spark.createDataFrame(
+        [(f"http://127.0.0.1:{port}/p{i}", None) for i in range(3)],
+        "url string, form_data map<string,string>").coalesce(1)
+    try:
+        fetcher = HttpFetcher(timeout=30, concurrency=4,
+                              per_host_delay_ms=400)
+        rows = fetcher.fetch(dequeued, False).collect()
+    finally:
+        srv.shutdown()
+    assert [r["status"] for r in rows] == [200, 200, 200]
+    gaps = [b - a for a, b in zip(sorted(stamps), sorted(stamps)[1:])]
+    assert len(gaps) == 2
+    # generous lower bound: sleep(0.4) minus scheduler slop
+    assert all(g >= 0.3 for g in gaps), gaps
+
+
+# ---------------------------------------------------------------------------
 # r4 verdict #4 + ADVICE: robots_http lineage stays bounded over rounds
 # ---------------------------------------------------------------------------
 
