@@ -7,16 +7,33 @@ This probe runs the SAME two crawl jobs bench.py times — the multi-round
 fixpoint and the single steady-state round — at local[4] on the 1x
 (~102k pages) and 4x (~408k pages) corpora and reports URLs/s at both.
 
-Expectation: flat-or-better URLs/s per page at 4x. The fixpoint should
-IMPROVE per page (its fixed per-round serial floor — driver plan
-analysis, robots parse, job scheduling — amortizes over 4x the parse
-work); the steady round should hold roughly flat (it is one giant round
-already, floor-free by construction).
+Each scale also runs the steady round a second time against a BUCKETED
+corpus table (bench_steady_round(bucketed=True)): the first full-scale
+run of this probe caught a real cliff — at 408k pages the frontier
+snapshot exceeds the 64 MB broadcast cap, the fetch join falls back to
+an un-bucketed SortMergeJoin, and the whole 2 GB corpus shuffles
+(steady throughput ratio 0.27 instead of ~1). The bucketed layout
+(bucketBy on the fetch key = PLANS.md §2b / Iceberg SPJ) is the
+engine's documented answer for that regime; this probe now MEASURES it
+instead of only pinning the plan shape.
+
+Expectation: the fixpoint's URLs/s may drop at 4x for a structural
+reason — the Linksys sitemap pagination chain lengthens with catalog
+size (11 rounds vs 4), and pagination is inherently sequential (scrapy
+serializes those POSTs identically) — while the BUCKETED steady round,
+the scale-relevant number, should hold roughly flat per page.
 
 Scaling knobs: page volume scales via families-per-vendor and pad pages
 (hosts and mirror structure held constant, so the politeness/dequeue
 shape is identical and only per-host volume grows — the "same web, more
 pages" model).
+
+Each phase (corpus gen / fixpoint / steady round) runs in its OWN python
+subprocess: a long chain of SparkSession start/stop cycles in one
+process proved fragile at the 408k-page scale (the py4j gateway died
+with "SparkSession does not exist in the JVM" on a later cycle); one
+JVM per phase is hermetic and costs only startup seconds the probe
+never times.
 
 Run:  python BENCH/corpus_scale_probe.py
 Output: one JSON line {"x1": {...}, "x4": {...}, "ratio_*": ...}
@@ -27,55 +44,125 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-import bench as B  # noqa: E402  (reuses _make_spark/bench_crawl/bench_steady_round)
+
+def _phase_gen(corpus: str, scale: int):
+    import bench as B
+    from firmwarescraper_spark.sources import generate as G
+
+    spark = B._make_spark(B.CPUS, max(B.CPUS, 16))
+    n = G.write_corpus(
+        spark, corpus,
+        n_avm=B.N_AVM * scale, n_linksys=B.N_LINKSYS * scale,
+        partitions=B.CPUS, n_mirrors=B.N_MIRRORS,
+        n_avm_mirror=B.N_AVM_MIRROR * scale,
+        n_pad=B.N_PAD * scale,
+    )
+    spark.stop()
+    print(json.dumps({"pages": n}))
+
+
+def _phase_fixpoint(corpus: str, workdir: str):
+    import bench as B
+
+    print(json.dumps(B.bench_crawl(4, corpus, workdir)))
+
+
+def _phase_steady(corpus: str, workdir: str):
+    import bench as B
+
+    print(json.dumps(B.bench_steady_round(4, corpus, workdir)))
+
+
+def _phase_steady_bucketed(corpus: str, workdir: str):
+    import bench as B
+
+    print(json.dumps(B.bench_steady_round(4, corpus, workdir,
+                                          bucketed=True)))
+
+
+def _sub(args: list) -> dict:
+    """Run one phase in a fresh subprocess (own JVM); parse its last
+    stdout line as JSON."""
+    env = dict(os.environ)
+    # 4x-corpus headroom: the 408k-page fixpoint OOM-killed a 16g local
+    # JVM (driver+executors share one heap in local mode; the cached
+    # PAGE_STRUCT working set of a large round plus shuffle buffers need
+    # real room). The box has 125 GiB; spend it.
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    res = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), *args],
+        capture_output=True, text=True, env=env, cwd=REPO,
+    )
+    lines = [ln for ln in res.stdout.splitlines() if ln.strip()]
+    if res.returncode != 0 or not lines:
+        sys.stderr.write(res.stdout[-2000:] + res.stderr[-4000:])
+        raise RuntimeError(f"phase {args} failed rc={res.returncode}")
+    out = json.loads(lines[-1])
+    # progress line: a late-phase failure must not lose earlier numbers
+    sys.stderr.write(f"[probe] {' '.join(args[:1])} done: {lines[-1]}\n")
+    return out
 
 
 def main():
     workdir = tempfile.mkdtemp(prefix="fw_corpus_scale_")
     out = {}
     try:
-        from firmwarescraper_spark.sources import generate as G
-
         for label, scale in (("x1", 1), ("x4", 4)):
-            spark = B._make_spark(B.CPUS, max(B.CPUS, 16))
             corpus = os.path.join(workdir, f"pages_{label}")
-            n_pages = G.write_corpus(
-                spark, corpus,
-                n_avm=B.N_AVM * scale, n_linksys=B.N_LINKSYS * scale,
-                partitions=B.CPUS, n_mirrors=B.N_MIRRORS,
-                n_avm_mirror=B.N_AVM_MIRROR * scale,
-                n_pad=B.N_PAD * scale,
+            gen = _sub(["gen", corpus, str(scale)])
+            out[label] = {"pages": gen["pages"]}
+            if os.environ.get("SPARK_GRAFT_PROBE_SKIP_FIXPOINT") != "1":
+                fix = _sub(["fixpoint", corpus, workdir])
+                out[label].update(
+                    fixpoint_urls_per_sec=fix["urls_per_sec"],
+                    fixpoint_sec=fix["seconds"],
+                    fixpoint_rounds=fix["rounds"],
+                )
+            steady = _sub(["steady", corpus, workdir])
+            bucketed = _sub(["steady_bucketed", corpus, workdir])
+            out[label].update(
+                steady_urls_per_sec=steady["urls_per_sec"],
+                steady_sec=steady["seconds"],
+                steady_bucketed_urls_per_sec=bucketed["urls_per_sec"],
+                steady_bucketed_sec=bucketed["seconds"],
             )
-            spark.stop()
-            fix = B.bench_crawl(4, corpus, workdir)
-            steady = B.bench_steady_round(4, corpus, workdir)
-            out[label] = {
-                "pages": n_pages,
-                "fixpoint_urls_per_sec": fix["urls_per_sec"],
-                "fixpoint_sec": fix["seconds"],
-                "fixpoint_rounds": fix["rounds"],
-                "steady_urls_per_sec": steady["urls_per_sec"],
-                "steady_sec": steady["seconds"],
-            }
             shutil.rmtree(corpus, ignore_errors=True)
         out["pages_ratio"] = round(out["x4"]["pages"] / out["x1"]["pages"], 2)
         # >= 1.0 means per-page throughput held or improved at 4x volume
-        out["fixpoint_throughput_ratio"] = round(
-            out["x4"]["fixpoint_urls_per_sec"]
-            / out["x1"]["fixpoint_urls_per_sec"], 2)
+        if "fixpoint_urls_per_sec" in out["x1"]:
+            out["fixpoint_throughput_ratio"] = round(
+                out["x4"]["fixpoint_urls_per_sec"]
+                / out["x1"]["fixpoint_urls_per_sec"], 2)
         out["steady_throughput_ratio"] = round(
             out["x4"]["steady_urls_per_sec"]
             / out["x1"]["steady_urls_per_sec"], 2)
+        out["steady_bucketed_throughput_ratio"] = round(
+            out["x4"]["steady_bucketed_urls_per_sec"]
+            / out["x1"]["steady_bucketed_urls_per_sec"], 2)
         print(json.dumps(out))
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1:
+        cmd = sys.argv[1]
+        if cmd == "gen":
+            _phase_gen(sys.argv[2], int(sys.argv[3]))
+        elif cmd == "fixpoint":
+            _phase_fixpoint(sys.argv[2], sys.argv[3])
+        elif cmd == "steady":
+            _phase_steady(sys.argv[2], sys.argv[3])
+        elif cmd == "steady_bucketed":
+            _phase_steady_bucketed(sys.argv[2], sys.argv[3])
+        else:
+            raise SystemExit(f"unknown phase {cmd}")
+    else:
+        main()

@@ -85,13 +85,15 @@ GATE_LO = float(os.environ.get("SPARK_GRAFT_GATE_CORES4W", "3.5"))
 GATE_HI = float(os.environ.get("SPARK_GRAFT_GATE_CORES4W_HI", "4.3"))
 
 
-def _make_spark(cores: int, shuffle_partitions: int):
+def _make_spark(cores: int, shuffle_partitions: int,
+                warehouse: str | None = None):
     from firmwarescraper_spark.session import get_spark
 
     spark = get_spark(
         app_name=f"fw-bench-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=shuffle_partitions,
+        extra_conf={"spark.sql.warehouse.dir": warehouse} if warehouse else None,
     )
     # a benign DAGScheduler accumulator-race stack in local mode polluted
     # the r1 bench tail — benchmark runs need no JVM logging at all
@@ -183,12 +185,39 @@ def steady_frontier(spark, corpus_path: str):
     )
 
 
-def bench_steady_round(cores: int, corpus_path: str, workdir: str) -> dict:
-    """One steady-state crawl round over the full corpus; returns URLs/s."""
+def bench_steady_round(cores: int, corpus_path: str, workdir: str,
+                       bucketed: bool = False) -> dict:
+    """One steady-state crawl round over the full corpus; returns URLs/s.
+
+    ``bucketed=True`` measures the PAST-BROADCAST scale layout: the corpus
+    is first written (un-timed — it is the storage layout, written once in
+    a real deployment) as a Spark bucketed table on the fetch-join key, so
+    the non-broadcast fetch join plans as a one-sided SMJ that exchanges
+    only the dequeued frontier, never the corpus (PLANS.md §2b / Iceberg
+    SPJ). The plain-parquet default past the broadcast cap shuffles the
+    whole corpus — the r5 corpus-scale probe measured that cliff; this
+    mode measures the fix."""
     from firmwarescraper_spark.plans.crawl import CrawlEngine
 
-    spark = _make_spark(cores, 4)
+    spark = _make_spark(cores, 4,
+                        warehouse=os.path.join(workdir, "warehouse"))
     try:
+        pages_table = None
+        if bucketed:
+            from firmwarescraper_spark.operators.frontier import write_bucketed
+
+            pages_table = "bench_pages_bucketed"
+            spark.sql(f"DROP TABLE IF EXISTS {pages_table}")
+            # a fresh session's in-memory catalog forgets the table but
+            # the warehouse directory survives across bench processes —
+            # clear the location or saveAsTable refuses
+            shutil.rmtree(os.path.join(workdir, "warehouse", pages_table),
+                          ignore_errors=True)
+            # repartition on the bucket key first: one file per bucket, so
+            # the bucketed side of the SMJ needs no per-bucket re-sort
+            write_bucketed(
+                spark.read.parquet(corpus_path).repartition(32, "url"),
+                pages_table, buckets=32, key="url")
         state = os.path.join(workdir, f"steady_{cores}")
         shutil.rmtree(state, ignore_errors=True)
         eng = CrawlEngine(
@@ -196,6 +225,7 @@ def bench_steady_round(cores: int, corpus_path: str, workdir: str) -> dict:
             tokens_per_host=1_000_000_000, salt_buckets=8,
             round_seconds=1_000_000_000.0,  # budget >= frontier: the round
             # models a crawl window long enough to drain the whole frontier
+            pages_table=pages_table,
         )
         eng._write_frontier(steady_frontier(spark, corpus_path), 0)
         # pre-build robots state OUTSIDE the timed region (r3 verdict #7):
@@ -213,7 +243,8 @@ def bench_steady_round(cores: int, corpus_path: str, workdir: str) -> dict:
             "seconds": round(dt, 2),
             "urls": urls,
             "urls_per_sec": round(urls / dt, 2),
-            "job": "steady-state round",
+            "job": ("steady-state round (bucketed corpus)" if bucketed
+                    else "steady-state round"),
         }
     finally:
         spark.stop()
@@ -339,6 +370,18 @@ def main():
                 "run_hi": hi, "run_lo": lo, "efficiency": eff,
                 "probes": {"pre": pre, "mid": mid, "post": post},
                 "clean": quick or (probe_ok(mid) and probe_ok(post)),
+            })
+        if not pairs:
+            # every window's pre-probe was dirty: measure one pair anyway
+            # (gate_met stays false) — the bench must always report a
+            # number, labeled, rather than crash with nothing
+            hi = bench_steady_round(n_hi, corpus_path, workdir)
+            lo = bench_steady_round(n_lo, corpus_path, workdir)
+            pairs.append({
+                "run_hi": hi, "run_lo": lo,
+                "efficiency": round((hi["urls_per_sec"]
+                                     / lo["urls_per_sec"]) / (n_hi / n_lo), 3),
+                "probes": {}, "clean": False,
             })
         clean_pairs = [p for p in pairs if p["clean"]]
         gate_met = bool(clean_pairs)

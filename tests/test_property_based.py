@@ -131,3 +131,36 @@ def test_politeness_budget_properties_random(spark):
             for negp, seq in sorted(lst)[:budget]:
                 expect.append((hhost, seq, -negp))
         assert sorted(d) == sorted(expect), (n, hosts, budget, salts)
+
+
+# --- URL canonicalization fast path (round 5) --------------------------------
+
+_url_piece = st.text(
+    alphabet=("abcdefghijklmnopqrstuvwxyz"
+              "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+              "/;:@&=+$,!~*'()-._%?#[]{}| üß \\"),
+    min_size=0, max_size=24,
+)
+
+
+@settings(max_examples=300, deadline=None, derandomize=True)
+@given(scheme=st.sampled_from(["http", "HTTP", "https", "ftp"]),
+       host=st.sampled_from(["h.example", "Example.COM", "127.0.0.1",
+                             "mirror-03.avm.de", "h"]),
+       port=st.sampled_from(["", ":80", ":443", ":8080", ":21"]),
+       path=_url_piece)
+def test_canonicalize_series_parity_random(scheme, host, port, path):
+    """The vectorized fast paths in _canonicalize_series/_host_series
+    must agree with per-row canonicalize_url/url_host for ANY url
+    assembled from adversarial pieces (mixed case, ports,
+    escapes-in-waiting, queries, fragments, spaces, brackets,
+    non-ascii, userinfo-looking '@' in the path)."""
+    import pandas as pd
+
+    from firmwarescraper_spark.functions.url import (
+        _canonicalize_series, _host_series, canonicalize_url, url_host)
+
+    url = f"{scheme}://{host}{port}/{path}"
+    s = pd.Series([url], dtype=object)
+    assert _canonicalize_series(s)[0] == canonicalize_url(url)
+    assert _host_series(s)[0] == url_host(url)

@@ -428,6 +428,48 @@ def test_mjpeg_frame_sampling_real_decode(spark):
 
 
 # ---------------------------------------------------------------------------
+# canonicalization fast path == slow path (the writes-phase hot loop)
+# ---------------------------------------------------------------------------
+
+def test_canonicalize_fast_path_parity():
+    """The vectorized identity fast path inside _canonicalize_series must
+    agree byte-for-byte with per-row canonicalize_url on every URL shape —
+    fast-path hits return unchanged, everything tricky (ports, escapes,
+    queries, uppercase hosts, spaces, fragments, empty paths) must fall
+    through to the slow path and normalize."""
+    import pandas as pd
+
+    from firmwarescraper_spark.functions.url import (
+        _canonicalize_series, canonicalize_url)
+
+    urls = [
+        # fast-path shapes (identity)
+        "http://download.avm.de/fritzbox/fritzbox-7590/deutschland/fritz.os/",
+        "https://mirror-03.avm.de/a/b;v=1/c.TXT",
+        "ftp://ftp.dlink.de/Products/(dir)/~x/a+b,c!d'e*f",
+        # slow-path shapes (must normalize)
+        "HTTP://Example.COM/path",            # scheme+host case
+        "http://example.com",                 # empty path -> '/'
+        "http://example.com:80/x",            # default port strips
+        "http://example.com:8080/x",          # non-default port stays
+        "http://h.example/x/?b=2&a=1",        # query sorts
+        "http://h.example/x%2fy%aB",          # escape hex uppercases
+        "http://h.example/a b/c",             # space quotes
+        "http://h.example/x#frag",            # fragment drops
+        "http://h.example/übung",             # non-ascii quotes
+        "  http://h.example/pad  ",           # strip
+        "http://127.0.0.1:1/x/",              # port stays (not default)
+        None,
+    ]
+    got = _canonicalize_series(pd.Series(urls, dtype=object))
+    expect = [canonicalize_url(u) for u in urls]
+    assert list(got) == expect
+    # the three fast-path rows really took the identity branch
+    for u in urls[:3]:
+        assert canonicalize_url(u) == u
+
+
+# ---------------------------------------------------------------------------
 # r4 verdict #1: bench pair gate — probe classification
 # ---------------------------------------------------------------------------
 
