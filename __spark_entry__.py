@@ -522,6 +522,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "codec",
         )
 
+    def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Deterministic train/val/test split assignment
+        (operators/curation.assign_splits): md5-derived hash bucket of the
+        doc id — stable across reruns/engines, shuffle-free scan-fused map
+        work, identical plan at 100 TB."""
+        from firmwarescraper_spark.operators import curation as CU
+
+        docs = _t(spark, sf_dir, "documents")
+        return CU.assign_splits(docs).select(
+            "doc_id",
+            CU.hash_bucket(F.col("doc_id")).cast("bigint").alias("bucket"),
+            "split",
+        )
+
+    def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-source quota sampling (curation.stratified_sample): the 10
+        smallest-hash docs of each source — the domain-capping step of a
+        mixture builder; selection is stable under corpus growth and
+        provably salt-partitionable for hot domains (the two-phase variant
+        is pinned equal by tests/test_curation.py)."""
+        from firmwarescraper_spark.operators import curation as CU
+
+        docs = _t(spark, sf_dir, "documents")
+        return CU.stratified_sample(docs, quota=10).select("doc_id", "source")
+
+    def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """PII scrubbing (curation.scrub_pii/pii_counts): emails, SSNs,
+        IPv4s, intl phone numbers -> typed placeholders, with per-category
+        audit counts. The query injects deterministic PII per doc (the
+        synthetic corpus has none) and both engines scrub the same chained
+        RE2-safe regexes."""
+        from firmwarescraper_spark.operators import curation as CU
+
+        docs = _t(spark, sf_dir, "documents")
+        pii_text = F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org ssn 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit("."), (F.col("doc_id") % 100).cast("string"),
+            F.lit(" tel +1 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        )
+        cnt = CU.pii_counts(pii_text)
+        return docs.select(
+            "doc_id",
+            cnt["email"].cast("bigint").alias("n_email"),
+            cnt["ssn"].cast("bigint").alias("n_ssn"),
+            cnt["ipv4"].cast("bigint").alias("n_ipv4"),
+            cnt["phone"].cast("bigint").alias("n_phone"),
+            F.md5(CU.scrub_pii(pii_text)).alias("scrubbed_fp"),
+        )
+
+    def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """CCNet-style chunk-level dedup profile
+        (curation.chunk_dedup_stats): fraction of each doc's 10-word
+        chunks appearing verbatim in other docs. Text hashes to 60-bit
+        ints before the explode — only fixed-width columns shuffle."""
+        from firmwarescraper_spark.operators import curation as CU
+
+        docs = _t(spark, sf_dir, "documents")
+        return CU.chunk_dedup_stats(docs)
+
+    def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Benchmark decontamination (curation.decontaminate — the GPT-3
+        appendix-C n-gram overlap rule): docs with doc_id % 97 == 0 stand
+        in as the eval suite; training docs sharing any word 3-gram with
+        it are flagged. Benchmark shingle set broadcasts; the training
+        side never shuffles on content."""
+        from firmwarescraper_spark.operators import curation as CU
+
+        docs = _t(spark, sf_dir, "documents")
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        train = docs.filter(F.col("doc_id") % 97 != 0)
+        return CU.decontaminate(train, bench, ngram=3)
+
+    def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Data-mixture statistics (curation.domain_mix): per-source doc
+        and token volume plus token share — the weighting table a mixture
+        sampler consumes. One hash agg + broadcast scalar total."""
+        from firmwarescraper_spark.operators import curation as CU
+
+        docs = _t(spark, sf_dir, "documents")
+        return CU.domain_mix(docs)
+
     return {
         "anti_join_seen": q_anti_join_seen,
         "bloom_anti_join": q_bloom_anti_join,
@@ -562,6 +648,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "mjpeg_frames": q_mjpeg_frames,
         "pipeline_filter": q_pipeline_filter,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "pii_scrub": q_pii_scrub,
+        "chunk_dedup": q_chunk_dedup,
+        "decontaminate": q_decontaminate,
+        "domain_mix": q_domain_mix,
     }
 
 
@@ -761,6 +853,7 @@ def _media_meta_sql() -> str:
         5: ("image", "jpeg", 12, 7),   # progressive (SOF2) — same dims
         6: ("video", "mp4", 640, 360),  # ISO BMFF skeleton, real tkhd dims
         7: ("video", "mp4", 12, 7),    # Motion-JPEG: real sample table
+        8: ("image", "jpeg", 12, 7),   # 12-bit extended sequential (SOF1)
     }
 
     def lit(x):
@@ -811,6 +904,106 @@ def _mjpeg_frames_sql() -> str:
         "codec FROM (VALUES " + values
         + ") AS t(id, frame_no, frame_sha, codec)"
     )
+
+
+_H60 = "('0x' || substr(md5({x}),1,15))::BIGINT"
+
+_HASH_SPLIT_SQL = (
+    "WITH b AS (SELECT doc_id, "
+    + _H60.format(x="'split|' || doc_id::VARCHAR")
+    + " % 10000 AS bucket FROM documents)\n"
+    "SELECT doc_id, bucket, CASE WHEN bucket < 500 THEN 'val' "
+    "WHEN bucket < 1000 THEN 'test' ELSE 'train' END AS split FROM b"
+)
+
+_STRATIFIED_SQL = (
+    "SELECT doc_id, source FROM (\n"
+    "  SELECT doc_id, source, row_number() OVER (PARTITION BY source\n"
+    "    ORDER BY " + _H60.format(x="'strat|' || doc_id::VARCHAR")
+    + ", doc_id) AS rn\n"
+    "  FROM documents) WHERE rn <= 10"
+)
+
+
+def _pii_scrub_sql() -> str:
+    """Replays q_pii_scrub: the same deterministic injection, then the
+    same ordered PII_PATTERNS chain (count on the partially-scrubbed
+    text, then replace), so the regex list has a single source of
+    truth."""
+    from firmwarescraper_spark.operators.curation import PII_PATTERNS
+
+    inject = (
+        "text || ' contact user' || doc_id::VARCHAR || "
+        "'@mail.example.org ssn 123-45-' || "
+        "lpad((doc_id % 10000)::VARCHAR, 4, '0') || "
+        "' ip 10.0.' || (doc_id % 256)::VARCHAR || '.' || "
+        "(doc_id % 100)::VARCHAR || ' tel +1 555-01' || "
+        "lpad((doc_id % 100)::VARCHAR, 2, '0')"
+    )
+    sql = f"WITH p0 AS (SELECT doc_id, {inject} AS t FROM p_base)"
+    prev = "p0"
+    keeps = []
+    for i, (name, pat, token) in enumerate(PII_PATTERNS, 1):
+        keeps.append(f"n_{name}")
+        carried = ", ".join(keeps[:-1]) + (", " if keeps[:-1] else "")
+        sql += (
+            f",\np{i} AS (SELECT doc_id, {carried}"
+            f"len(regexp_extract_all(t, '{pat}')) AS n_{name}, "
+            f"regexp_replace(t, '{pat}', '{token}', 'g') AS t FROM {prev})"
+        )
+        prev = f"p{i}"
+    cols = ", ".join(f"n_{name}::BIGINT AS n_{name}" for name, _, _ in PII_PATTERNS)
+    return (
+        "WITH p_base AS (SELECT doc_id, text FROM documents),\n"
+        + sql[5:]  # strip the leading WITH; p_base opens the chain
+        + f"\nSELECT doc_id, {cols}, md5(t) AS scrubbed_fp FROM {prev}"
+    )
+
+
+_CHUNK_DEDUP_SQL = (
+    "WITH d AS (SELECT doc_id, "
+    "string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')),' ') AS w "
+    "FROM documents),\n"
+    "c AS (SELECT DISTINCT doc_id, "
+    + _H60.format(x="ch")
+    + " AS ch FROM (\n"
+    "   SELECT doc_id, unnest([array_to_string(w[(i-1)*10+1:i*10],' ')\n"
+    "     FOR i IN generate_series(1, greatest(ceil(len(w)/10.0)::INT, 1))]) AS ch\n"
+    "   FROM d)),\n"
+    "f AS (SELECT ch, count(*) AS docs FROM c GROUP BY ch),\n"
+    "per AS (SELECT doc_id, count(*)::BIGINT AS n_chunks,\n"
+    "        sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks\n"
+    "        FROM c JOIN f USING (ch) GROUP BY doc_id)\n"
+    "SELECT doc_id, n_chunks, n_dup_chunks,\n"
+    "       round(n_dup_chunks * 1.0 / greatest(n_chunks, 1), 4) AS dup_chunk_frac\n"
+    "FROM per"
+)
+
+_DECONTAMINATE_SQL = (
+    "WITH d AS (SELECT doc_id, "
+    "string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')),' ') AS w "
+    "FROM documents),\n"
+    "g AS (SELECT doc_id, " + _H60.format(x="gr") + " AS gh FROM (\n"
+    "   SELECT doc_id, unnest([array_to_string(w[i:i+2],' ')\n"
+    "     FOR i IN generate_series(1, greatest(len(w)-2,1))]) AS gr FROM d)),\n"
+    "tg AS (SELECT DISTINCT doc_id, gh FROM g WHERE doc_id % 97 <> 0),\n"
+    "bg AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),\n"
+    "hits AS (SELECT doc_id, count(*) AS n_hits FROM tg JOIN bg USING (gh)\n"
+    "         GROUP BY doc_id)\n"
+    "SELECT d2.doc_id, coalesce(hits.n_hits, 0)::BIGINT AS n_hits,\n"
+    "       coalesce(hits.n_hits, 0) > 0 AS contaminated\n"
+    "FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d2\n"
+    "LEFT JOIN hits USING (doc_id)"
+)
+
+_DOMAIN_MIX_SQL = """
+    WITH per AS (SELECT source, count(*)::BIGINT AS n_docs,
+                 sum(len(string_split(trim(text), ' ')))::BIGINT AS n_tokens
+                 FROM documents GROUP BY source)
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens * 1.0 / (SELECT sum(n_tokens) FROM per), 4) AS token_share
+    FROM per
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -985,6 +1178,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_meta": _media_meta_sql(),
         "mjpeg_frames": _mjpeg_frames_sql(),
+        "hash_split": _HASH_SPLIT_SQL,
+        "stratified_sample": _STRATIFIED_SQL,
+        "pii_scrub": _pii_scrub_sql(),
+        "chunk_dedup": _CHUNK_DEDUP_SQL,
+        "decontaminate": _DECONTAMINATE_SQL,
+        "domain_mix": _DOMAIN_MIX_SQL,
         "repetition": r"""
             WITH d AS (
                 SELECT doc_id, string_split(trim(lower(text)), ' ') AS w

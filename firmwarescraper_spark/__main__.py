@@ -115,6 +115,46 @@ def cmd_gen_corpus(args, spark=None) -> dict:
             spark.stop()
 
 
+def cmd_curate(args, spark=None) -> dict:
+    """Raw documents parquet -> curated training corpus: the full
+    gate/dedup/decontaminate/scrub/split chain (plans/curate.py) as one
+    job, written partitioned by split, with the survival funnel printed
+    as the summary."""
+    from firmwarescraper_spark.plans import curate as C
+
+    own_session = spark is None
+    if own_session:
+        spark = _make_spark(args.master)
+    try:
+        docs = spark.read.parquet(args.input)
+        bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+        ann = C.annotate_documents(
+            docs, lang=args.lang, min_quality=args.min_quality,
+            max_top_bigram=args.max_top_bigram,
+            max_dup_trigram=args.max_dup_trigram,
+        )
+        report = C.curation_report(ann)
+        out = C.curate_documents(
+            docs, lang=args.lang, min_quality=args.min_quality,
+            max_top_bigram=args.max_top_bigram,
+            max_dup_trigram=args.max_dup_trigram,
+            benchmark=bench, decontaminate_ngram=args.decontaminate_ngram,
+            scrub=not args.no_scrub,
+            val_bps=args.val_bps, test_bps=args.test_bps,
+        )
+        out.write.mode("overwrite").partitionBy("split").parquet(args.out)
+        written = spark.read.parquet(args.out)
+        report["output_docs"] = written.count()
+        if bench is not None:
+            report["decontaminated_removed"] = (
+                report["dedup_survivors"] - report["output_docs"])
+        report["out"] = args.out
+        return report
+    finally:
+        if own_session:
+            spark.stop()
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m firmwarescraper_spark",
@@ -158,6 +198,31 @@ def build_parser() -> argparse.ArgumentParser:
                         "every K rounds (0 disables)")
     c.add_argument("--master", default="local[*]")
     c.set_defaults(fn=cmd_crawl)
+
+    u = sub.add_parser(
+        "curate",
+        help="documents parquet -> curated training corpus (language/"
+             "quality/repetition gates, exact dedup, optional benchmark "
+             "decontamination, PII scrub, train/val/test splits)")
+    u.add_argument("--input", required=True,
+                   help="input documents parquet (doc_id, text, ...)")
+    u.add_argument("--out", required=True,
+                   help="output parquet dir (partitioned by split)")
+    u.add_argument("--lang", default="en")
+    u.add_argument("--min-quality", type=float, default=0.5)
+    u.add_argument("--max-top-bigram", type=float, default=0.6)
+    u.add_argument("--max-dup-trigram", type=float, default=0.5)
+    u.add_argument("--benchmark",
+                   help="eval-set parquet to decontaminate against "
+                        "(doc_id, text)")
+    u.add_argument("--decontaminate-ngram", type=int, default=8)
+    u.add_argument("--no-scrub", action="store_true",
+                   help="skip PII scrubbing")
+    u.add_argument("--val-bps", type=int, default=500,
+                   help="val split size in basis points of 10000")
+    u.add_argument("--test-bps", type=int, default=500)
+    u.add_argument("--master", default="local[*]")
+    u.set_defaults(fn=cmd_curate)
 
     g = sub.add_parser("gen-corpus", help="write the synthetic vendor corpus")
     g.add_argument("--out", required=True)

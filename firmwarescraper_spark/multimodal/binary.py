@@ -14,9 +14,11 @@ Decode status (honest inventory):
     extraction all operate on actual pixels/samples.
   * **REAL metadata, stubbed frames**: MP4/ISO-BMFF container metadata
     (track dims from tkhd, duration from mvhd, sample-entry fourcc) is a
-    real box-tree parse (multimodal/codecs.py ``mp4_meta``); the frame
-    DECODE kernels (no ffmpeg in this container) and the exotic JPEG
-    profiles (arithmetic coding/12-bit/hierarchical) fall through to
+    real box-tree parse (multimodal/codecs.py ``mp4_meta``); NON-MJPEG frame
+    DECODE kernels (no ffmpeg in this container) and the remaining
+    exotic JPEG profiles (arithmetic coding, 12-bit progressive,
+    hierarchical — 12-bit EXTENDED SEQUENTIAL decodes for real since
+    round 5, normalized to 8-bit at this layer) fall through to
     ``_decode_stub`` and are tagged ``codec = "stub"`` per row so
     downstream consumers can tell. At deployment, swap the stub for the
     native lib; every schema and mapInPandas batch contract stays
@@ -35,6 +37,7 @@ import hashlib
 import struct
 import zlib
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -155,7 +158,13 @@ def _try_decode_image(payload: bytes):
         if container == "jpeg":
             from firmwarescraper_spark.multimodal import jpeg as JX
 
-            return JX.decode_jpeg(payload), "jpeg"
+            arr = JX.decode_jpeg(payload)
+            if arr.dtype == np.uint16:
+                # 12-bit extended sequential: normalize to the pipeline's
+                # uniform 8-bit raster contract (full 12-bit rasters stay
+                # available via jpeg.decode_jpeg directly)
+                arr = (arr >> 4).astype(np.uint8)
+            return arr, "jpeg"
     except Exception:
         pass  # malformed/unsupported variant -> stub path, tagged below
     return None, None

@@ -4,19 +4,25 @@ ITU-T T.81 spec (no libjpeg in this container).
 
 Scope:
 
-  * decode — baseline (SOF0) AND progressive (SOF2, both spectral
+  * decode — baseline (SOF0), progressive (SOF2, both spectral
     selection and successive approximation, EOBRUN end-of-band runs),
-    8-bit, 1 or 3 components, any sampling factors up to 2x2
-    (4:4:4, 4:2:2, 4:2:0, grayscale), byte-stuffed entropy stream,
-    restart intervals (DRI/RSTn), multiple DQT/DHT segments, DHT
-    redefinition between scans. Arithmetic coding, 12-bit depth, and
-    hierarchical/lossless SOF markers are rejected with a ValueError
-    (those payloads fall back to the tagged stub path in binary.py).
-  * encode — baseline (``encode_jpeg``) and progressive
-    (``encode_jpeg_progressive``), 4:4:4 or 4:2:0 or grayscale, Annex K
-    quantization tables scaled by an IJG quality factor. Both encoders
-    quantize identically, so a progressive stream decodes pixel-identical
-    to its baseline twin — the invariant the tests pin.
+    AND extended sequential (SOF1) at 8-bit or 12-bit sample depth
+    (12-bit streams carry 16-bit quantization tables, Pq=1, and decode
+    to uint16 rasters in [0, 4095]); 1 or 3 components, any sampling
+    factors up to 2x2 (4:4:4, 4:2:2, 4:2:0, grayscale), byte-stuffed
+    entropy stream, restart intervals (DRI/RSTn), multiple DQT/DHT
+    segments, DHT redefinition between scans. Arithmetic coding,
+    12-bit progressive, and hierarchical/lossless SOF markers are
+    rejected with a ValueError (those payloads fall back to the tagged
+    stub path in binary.py).
+  * encode — baseline (``encode_jpeg``), progressive
+    (``encode_jpeg_progressive``), and 12-bit extended sequential
+    (``encode_jpeg_12bit``: SOF1 + Pq=1 quant tables + flat custom
+    Huffman tables covering the full 12-bit category range), 4:4:4 or
+    4:2:0 or grayscale, Annex K quantization tables scaled by an IJG
+    quality factor. Baseline and progressive quantize identically, so a
+    progressive stream decodes pixel-identical to its baseline twin —
+    the invariant the tests pin.
 
 The 8x8 transforms are orthonormal-DCT matrix products (numpy); the
 per-block Huffman loop is Python, which is fine at the thumbnail scale
@@ -253,11 +259,13 @@ def jpeg_dims(payload: bytes):
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """JFIF bytes -> (H, W, 3) uint8 RGB (or (H, W, 1) for grayscale
-    streams). Baseline (SOF0) decodes block-streaming; progressive (SOF2,
-    spectral selection AND successive approximation) accumulates the
-    coefficient store across scans and reconstructs at EOI. Arithmetic
-    coding / 12-bit / hierarchical profiles raise ValueError."""
+    """JFIF bytes -> (H, W, 3) RGB (or (H, W, 1) for grayscale streams);
+    uint8 for 8-bit depth, uint16 in [0, 4095] for 12-bit extended
+    sequential (SOF1). Baseline/extended decode block-streaming;
+    progressive (SOF2, spectral selection AND successive approximation)
+    accumulates the coefficient store across scans and reconstructs at
+    EOI. Arithmetic coding / 12-bit progressive / hierarchical profiles
+    raise ValueError."""
     if not payload or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt = {}                 # id -> 64 int32 (natural order)
@@ -283,13 +291,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             bpos = 0
             while bpos < len(body):
                 pq, tq = body[bpos] >> 4, body[bpos] & 0x0F
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
+                if pq not in (0, 1):
+                    raise ValueError("bad quant table precision")
                 tbl = np.zeros(64, dtype=np.int32)
-                tbl[ZIGZAG] = np.frombuffer(
-                    body, dtype=np.uint8, count=64, offset=bpos + 1)
+                if pq == 0:
+                    tbl[ZIGZAG] = np.frombuffer(
+                        body, dtype=np.uint8, count=64, offset=bpos + 1)
+                    bpos += 65
+                else:                # Pq=1: 16-bit entries (12-bit streams)
+                    tbl[ZIGZAG] = np.frombuffer(
+                        body, dtype=">u2", count=64,
+                        offset=bpos + 1).astype(np.int32)
+                    bpos += 129
                 qt[tq] = tbl
-                bpos += 65
         elif marker == 0xC4:        # DHT
             bpos = 0
             while bpos < len(body):
@@ -300,11 +314,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 table = _build_decode_map(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 bpos += 17 + nv
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline (8-bit) / SOF1 extended sequential (8- or
+            # 12-bit, T.81 table B.2) / SOF2 progressive (8-bit here;
+            # 12-bit progressive is spec-legal but out of scope)
             prec = body[0]
-            if prec != 8:
-                raise ValueError("only 8-bit depth supported")
             progressive = marker == 0xC2
+            allowed = (8, 12) if marker == 0xC1 else (8,)
+            if prec not in allowed:
+                raise ValueError(
+                    f"unsupported sample precision {prec} for "
+                    f"SOF{marker - 0xC0}")
             h, w = struct.unpack_from(">HH", body, 1)
             ncomp = body[5]
             comps = []
@@ -312,14 +332,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid = body[6 + 3 * i]
                 hv = body[7 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * i]))
-            frame = (h, w, comps)
+            frame = (h, w, comps, prec)
             if progressive:
                 geo = _comp_geometry(frame)
                 coeffs = {
                     cid: np.zeros((bh_pad, bw_pad, 64), dtype=np.int32)
                     for cid, (_, _, bw_pad, bh_pad, _, _) in geo[2].items()
                 }
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported SOF marker 0xFF{marker:02X}")
         elif marker == 0xDD:        # DRI
@@ -356,7 +376,7 @@ def _comp_geometry(frame):
     {cid: (hs, vs, bw_pad, bh_pad, bw_used, bh_used)}) where *_pad is the
     MCU-padded block grid (interleaved scans) and *_used the component's
     own ceil grid (non-interleaved scans, T.81 A.2.2)."""
-    h, w, comps = frame
+    h, w, comps = frame[:3]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-w // (8 * hmax))
@@ -387,7 +407,7 @@ def _decode_progressive_scan(payload, data_start, frame, scan, ss, se,
     returns the stream position of the next marker. Handles all four scan
     kinds: DC first / DC refine / AC first / AC refine, interleaved and
     non-interleaved, with restart intervals."""
-    h, w, comps = frame
+    h, w, comps = frame[:3]
     mcus_x, mcus_y, geo = _comp_geometry(frame)
     by_id = {c[0]: c for c in comps}
     reader = _BitReader(payload, data_start)
@@ -522,7 +542,7 @@ def _decode_progressive_scan(payload, data_start, frame, scan, ss, se,
 def _reconstruct_from_coeffs(frame, coeffs, qt):
     """Dequantize + IDCT the accumulated progressive coefficient store,
     then upsample/color-convert exactly like the baseline path."""
-    h, w, comps = frame
+    h, w, comps = frame[:3]
     mcus_x, mcus_y, geo = _comp_geometry(frame)
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -555,7 +575,13 @@ def _reconstruct_from_coeffs(frame, coeffs, qt):
 
 def _decode_scan(payload, data_start, frame, scan, qt, huff_dc, huff_ac,
                  restart_interval):
-    h, w, comps = frame
+    h, w, comps = frame[:3]
+    prec = frame[3] if len(frame) > 3 else 8
+    # sample depth plumbing (T.81 A.3.1): level shift 2^(P-1), clamp to
+    # [0, 2^P - 1]; 12-bit rasters come back as uint16
+    level = float(1 << (prec - 1))
+    maxval = (1 << prec) - 1
+    out_dtype = np.uint8 if prec == 8 else np.uint16
     if len(scan) != len(comps):
         raise ValueError("multi-scan streams unsupported (baseline only)")
     hmax = max(c[1] for c in comps)
@@ -610,7 +636,7 @@ def _decode_scan(payload, data_start, frame, scan, qt, huff_dc, huff_ac,
                         # quant value of its NATURAL position (qtbl is
                         # natural-order, so index it through ZIGZAG)
                         block[ZIGZAG] = coeffs * qtbl[ZIGZAG]
-                        spatial = Tt @ block.reshape(8, 8) @ _T + 128.0
+                        spatial = Tt @ block.reshape(8, 8) @ _T + level
                         y0 = (my * vs + by) * 8
                         x0 = (mx * hs + bx) * 8
                         planes[cid][y0:y0 + 8, x0:x0 + 8] = spatial
@@ -624,14 +650,14 @@ def _decode_scan(payload, data_start, frame, scan, qt, huff_dc, huff_ac,
             p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         out.append(p[:h, :w])
     if len(out) == 1:
-        y = np.clip(out[0], 0, 255)
-        return (y + 0.5).astype(np.uint8)[:, :, None]
-    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+        y = np.clip(out[0], 0, maxval)
+        return (y + 0.5).astype(out_dtype)[:, :, None]
+    y, cb, cr = out[0], out[1] - level, out[2] - level
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
-    return (np.clip(rgb, 0, 255) + 0.5).astype(np.uint8)
+    return (np.clip(rgb, 0, maxval) + 0.5).astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -669,10 +695,13 @@ def _quality_scale(qtbl: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(t, 1, 255).astype(np.int32)
 
 
-def _encode_block(bw, block, qtbl, dc_codes, ac_codes, pred):
-    coeffs = _T @ (block - 128.0) @ _T.T
+def _encode_block(bw, block, qtbl, dc_codes, ac_codes, pred, level=128.0):
+    coeffs = _T @ (block - level) @ _T.T
     q = np.round(coeffs.ravel() / qtbl.astype(np.float64)).astype(np.int32)
     zz = q[ZIGZAG]
+    # T.81 F.1.2.2.1 caps AC amplitudes at 2^14 - 1 for 12-bit streams
+    # (category 15 is DC-only); a no-op for 8-bit where |AC| <= 1024
+    zz[1:] = np.clip(zz[1:], -16383, 16383)
     diff = int(zz[0]) - pred
     pred = int(zz[0])
     t = int(diff).bit_length() if diff != 0 else 0
@@ -1085,4 +1114,95 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85,
             out += bw.out
 
     out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# 12-bit extended sequential encoder (SOF1, Pq=1 quantization tables)
+# ---------------------------------------------------------------------------
+
+# Flat custom Huffman tables covering the FULL 12-bit category range
+# (T.81 F.1.2: DC difference categories 0..15, AC magnitude categories
+# 1..14 — the Annex K example tables stop at 11/10 and are 8-bit-only).
+# Deliberately flat (near-uniform code lengths) rather than optimal:
+# spec-valid canonical tables whose every producible symbol is present.
+DC12 = ([0, 0, 0, 15, 1] + [0] * 11, list(range(16)))
+_AC12_VALS = sorted(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 15)])
+AC12 = ([0, 0, 0, 0, 0, 0, 0, 226] + [0] * 8, _AC12_VALS)
+
+
+def encode_jpeg_12bit(arr: np.ndarray, quality: int = 85) -> bytes:
+    """(H, W, 3) or (H, W[, 1]) uint16 samples in [0, 4095] -> 12-bit
+    extended-sequential JFIF bytes (SOF1, Pq=1 16-bit quantization
+    tables, flat full-range Huffman tables). 4:4:4 or grayscale; the
+    level shift is 2048 and chroma centers at 2048 (T.81 A.3.1).
+
+    Quantization: the IJG-scaled Annex K tables times 16 — the same
+    *relative* step sizes as the 8-bit encoder over the 16x dynamic
+    range, so a given ``quality`` means the same thing at both depths."""
+    arr = np.asarray(arr)
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    gray = arr.ndim == 2
+    if arr.dtype != np.uint16:
+        raise ValueError("12-bit encoder expects uint16 samples")
+    if arr.size and int(arr.max()) > 4095:
+        raise ValueError("12-bit samples must be in [0, 4095]")
+    h, w = arr.shape[:2]
+    lum_q = np.clip(
+        _quality_scale(STD_LUM_QT, quality).astype(np.int64) * 16,
+        1, 65535).astype(np.int32)
+    chr_q = np.clip(
+        _quality_scale(STD_CHR_QT, quality).astype(np.int64) * 16,
+        1, 65535).astype(np.int32)
+    dc_codes, ac_codes = _build_codes(*DC12), _build_codes(*AC12)
+    level = 2048.0
+
+    if gray:
+        comps = [(arr.astype(np.float64), lum_q)]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + level
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + level
+        comps = [(y, lum_q), (cb, chr_q), (cr, chr_q)]
+    mcus_x, mcus_y = -(-w // 8), -(-h // 8)
+    padded = [(_pad_to(p, mcus_y * 8, mcus_x * 8), qt) for p, qt in comps]
+
+    bw = _BitWriter()
+    preds = [0] * len(comps)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (plane, qtbl) in enumerate(padded):
+                block = plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+                preds[ci] = _encode_block(
+                    bw, block, qtbl, dc_codes, ac_codes, preds[ci],
+                    level=level)
+    bw.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")                      # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    # Pq=1: precision nibble set, 16-bit big-endian entries, zigzag order
+    out += seg(0xDB, bytes([0x10]) + lum_q[ZIGZAG].astype(">u2").tobytes())
+    if not gray:
+        out += seg(0xDB, bytes([0x11]) + chr_q[ZIGZAG].astype(">u2").tobytes())
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 12, h, w, ncomp)
+    for i in range(ncomp):
+        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+    out += seg(0xC1, sof)                             # SOF1 extended seq.
+    out += seg(0xC4, bytes([0x00]) + bytes(DC12[0]) + bytes(DC12[1]))
+    out += seg(0xC4, bytes([0x10]) + bytes(AC12[0]) + bytes(AC12[1]))
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00])    # every component: DC table 0, AC 0
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"                                # EOI
     return bytes(out)

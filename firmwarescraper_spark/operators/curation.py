@@ -1,0 +1,327 @@
+"""Corpus-curation operators for large-scale training-data pipelines:
+deterministic sampling / split assignment, stratified per-source quotas,
+PII scrubbing, chunk-level (paragraph) dedup, benchmark decontamination,
+and data-mixture statistics.
+
+These are the operations a 100 TB pretraining pipeline runs BETWEEN the
+raw crawl (plans/crawl.py) and tokenization — the standard curation
+chain published for web-text corpora (CCNet line-dedup, Gopher quality
+filters in textops.py, GPT-3-appendix benchmark decontamination). Every
+operator is pure DataFrame algebra (JVM-side, whole-stage codegen, no
+Python in the hot path), and every hash that reaches a compared output
+is md5-derived so DuckDB can replay it exactly (see operators/dedup.py
+hash-design note).
+
+Scale notes are inline per operator; the common theme: sampling and
+scrubbing are shuffle-free map work that fuses into the scan; the
+dedup/decontamination joins key on content hashes, never on raw text,
+so only fixed-width columns move.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _md5_hash64
+from .textops import normalize_text
+
+# ---------------------------------------------------------------------------
+# deterministic hash sampling / split assignment
+# ---------------------------------------------------------------------------
+
+
+def hash_bucket(id_col: Column, salt: str = "split", buckets: int = 10_000) -> Column:
+    """Deterministic bucket in [0, buckets) from an id column: the
+    md5-derived 60-bit hash of ``salt|id``. Reproducible across engines
+    and runs — rerunning the pipeline on a grown corpus keeps every
+    previously-sampled row in its split (the property random() sampling
+    lacks, and why production pipelines key splits on content ids).
+    """
+    return _md5_hash64(F.concat(F.lit(f"{salt}|"), id_col.cast("string"))) % buckets
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    val_bps: int = 500,
+    test_bps: int = 500,
+) -> DataFrame:
+    """Train/val/test split assignment by deterministic hash bucket
+    (basis points of 10 000): bucket < val_bps -> val, next test_bps ->
+    test, rest -> train. Shuffle-free, scan-fused map work — the 100 TB
+    plan is exactly the small one.
+    """
+    b = hash_bucket(F.col(id_col), salt)
+    return df.withColumn(
+        "split",
+        F.when(b < val_bps, "val")
+        .when(b < val_bps + test_bps, "test")
+        .otherwise("train"),
+    )
+
+
+def sample_fraction(
+    df: DataFrame, id_col: str = "doc_id", keep_bps: int = 1_000,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep a deterministic ~keep_bps/10000 fraction of rows by id hash.
+    Unlike ``df.sample()`` this is stable across reruns, partitionings,
+    and engine versions, and composable (nested samples with different
+    salts are independent)."""
+    return df.filter(hash_bucket(F.col(id_col), salt) < keep_bps)
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    quota: int = 100,
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-group quota sampling: the ``quota`` rows of each group with
+    the smallest deterministic id-hash — the standard way to cap a
+    dominant domain in a data mixture without biasing within the domain
+    (hash order is uniform; taking the smallest hashes is a uniform
+    subsample that is STABLE as the group grows: a row leaves the sample
+    only when displaced by a smaller hash, so incremental recrawls reuse
+    almost all previously-selected rows).
+
+    Scale shape: rank-within-group is a single hash-partitioned window
+    on ``group_col``. A group is a web domain — the same skew profile as
+    the crawl frontier — so the hot-domain fix is the same two-phase
+    salted rank used by the politeness dequeue (operators/frontier.py):
+    per-(group, salt) partial top-quota, then global top-quota over the
+    (salts x quota)-bounded survivors. Used automatically past
+    ``salt_buckets=1``.
+    """
+    h = hash_bucket(F.col(id_col), salt, buckets=1 << 60)
+    w = Window.partitionBy(group_col).orderBy(F.asc("_h"), F.asc(id_col))
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= quota)
+        .drop("_h", "_rk")
+    )
+
+
+def stratified_sample_salted(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    quota: int = 100,
+    salt: str = "strat",
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Two-phase salted variant of :func:`stratified_sample` for hot
+    groups (same selection, provably: smallest-quota-by-hash commutes
+    with any partition of the group — each global winner is a winner of
+    its salt bucket by transitivity, mirroring the politeness-dequeue
+    argument pinned by test_politeness_salt_invariance). Phase 1 ranks
+    inside (group, hash-salt) buckets and keeps ``quota`` per bucket —
+    the hot group's rows never funnel through one window task; phase 2
+    ranks the bounded survivors (<= salt_buckets * quota per group).
+    """
+    h = hash_bucket(F.col(id_col), salt, buckets=1 << 60)
+    df = df.withColumn("_h", h).withColumn(
+        "_sb", (F.col("_h") % salt_buckets).cast("int")
+    )
+    w1 = Window.partitionBy(group_col, "_sb").orderBy(F.asc("_h"), F.asc(id_col))
+    w2 = Window.partitionBy(group_col).orderBy(F.asc("_h"), F.asc(id_col))
+    return (
+        df.withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= quota)
+        .withColumn("_rk", F.row_number().over(w2))
+        .filter(F.col("_rk") <= quota)
+        .drop("_h", "_sb", "_rk1", "_rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Order matters: SSN before phone (an SSN is also a dash-digit run the
+# phone pattern would claim), email before bare-domain heuristics. Each
+# pattern is RE2-safe (no backrefs/lookarounds) so DuckDB's regexp_replace
+# replays it byte-identically — that is the oracle contract.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9 \-]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace common PII shapes (emails, SSNs, IPv4 addresses,
+    international-format phone numbers) with typed placeholder tokens.
+    Pure chained regexp_replace — scan-fused, shuffle-free; the 100 TB
+    cost is one codegen'd regex pass per pattern over the scan stage."""
+    out = text
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(text: Column) -> dict:
+    """Per-category match counts BEFORE scrubbing (audit/reporting
+    column; counts overlap-free occurrences the same way the scrub
+    replaces them — each category counted on the text with earlier
+    categories already scrubbed, mirroring the replace chain)."""
+    counts = {}
+    cur = text
+    for name, pat, token in PII_PATTERNS:
+        counts[name] = F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        cur = F.regexp_replace(cur, pat, token)
+    return counts
+
+
+# ---------------------------------------------------------------------------
+# chunk-level dedup (CCNet-style paragraph/line dedup)
+# ---------------------------------------------------------------------------
+
+
+def word_chunks(text: Column, chunk_words: int = 10) -> Column:
+    """Split the normalized text into consecutive ``chunk_words``-word
+    chunks (last chunk may be short) — the unit of CCNet-style
+    paragraph-level dedup when documents carry no layout structure.
+    Pure column algebra: O(words) slices, no explode here."""
+    words = F.split(normalize_text(text), " ")
+    n = F.size(words)
+    n_chunks = F.ceil(n / F.lit(chunk_words)).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i * chunk_words + 1, chunk_words))
+    )
+
+
+def chunk_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Per-document chunk-duplication profile: how many of the doc's
+    word-chunks also appear (verbatim, normalized) in at least one OTHER
+    document. High ``dup_chunk_frac`` = boilerplate/template pages — the
+    document-granularity signal CCNet's line-dedup acts on.
+
+    Output: (id, n_chunks, n_dup_chunks, dup_chunk_frac).
+
+    Scale shape: raw text never leaves the scan stage — chunks hash to
+    60-bit ints before the explode, so the exploded relation is two
+    fixed-width columns; corpus-wide chunk frequency is a two-level hash
+    aggregation on the hash (map-side partial combine); the join back to
+    documents keys on (id) after a per-doc partial agg. No all-pairs
+    anything; every shuffle is on fixed-width keys."""
+    chunks = df.select(
+        F.col(id_col),
+        F.explode(word_chunks(F.col(text_col), chunk_words)).alias("_c"),
+    ).select(id_col, _md5_hash64(F.col("_c")).alias("_ch"))
+    # distinct (doc, chunk-hash): within-doc repeats count once toward
+    # doc frequency, like CCNet's per-paragraph doc counting
+    doc_chunks = chunks.distinct()
+    freq = doc_chunks.groupBy("_ch").agg(F.count("*").alias("_docs"))
+    per_doc = (
+        doc_chunks.join(freq, "_ch")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("_docs") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_chunks").cast("bigint").alias("n_chunks"),
+        F.col("n_dup_chunks").cast("bigint").alias("n_dup_chunks"),
+        F.round(F.col("n_dup_chunks") / F.greatest(F.col("n_chunks"), F.lit(1)), 4).alias(
+            "dup_chunk_frac"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (GPT-3 appendix-C style n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def _word_ngram_hashes(text: Column, n: int) -> Column:
+    """Array of md5-60bit hashes of word n-grams of the normalized text
+    (documents shorter than n words contribute their whole text as one
+    gram, so short benchmark items still decontaminate)."""
+    words = F.split(normalize_text(text), " ")
+    ln = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(ln - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    return F.transform(grams, _md5_hash64)
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+) -> DataFrame:
+    """Flag training documents sharing any word ``ngram``-gram with a
+    benchmark/eval set (the GPT-3 appendix-C decontamination rule; 13 in
+    the paper, parameterized here). Output per training doc:
+    (id, n_hits = distinct contaminated grams, contaminated).
+
+    Scale shape: both sides shingle to 60-bit hashes inside their scan
+    stages; the benchmark side (eval suites — thousands of docs, not
+    billions) aggregates to a distinct-hash set that BROADCASTS, so the
+    100 TB training side is scanned once with a map-side semi-join and
+    never shuffles on content. Falls back to a shuffled equi-join
+    automatically if the benchmark outgrows the broadcast threshold —
+    the plan is an ordinary inner join on `_gh` either way."""
+    t = train.select(
+        F.col(id_col), F.explode(_word_ngram_hashes(F.col(text_col), ngram)).alias("_gh")
+    ).distinct()
+    b = (
+        benchmark.select(F.explode(_word_ngram_hashes(F.col(text_col), ngram)).alias("_gh"))
+        .distinct()
+    )
+    hits = t.join(F.broadcast(b), "_gh").groupBy(id_col).agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# data-mixture statistics
+# ---------------------------------------------------------------------------
+
+
+def domain_mix(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source mixture statistics: doc count, whitespace-token volume,
+    share of total tokens — the table a mixture-weighting step consumes.
+    One two-level hash aggregation plus a scalar total (tiny second agg,
+    broadcast back); at 100 TB the group count is the number of sources
+    (small), so the reduce side is trivially bounded."""
+    per = df.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("_tot"))
+    return per.crossJoin(F.broadcast(total)).select(
+        group_col,
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.col("n_tokens") / F.col("_tot"), 4).alias("token_share"),
+    )

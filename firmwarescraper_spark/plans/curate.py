@@ -1,0 +1,135 @@
+"""The curation pipeline plan: raw documents -> filtered, deduped,
+scrubbed, split-assigned training corpus, as ONE declarative Spark job.
+
+This is the chain a pretraining-data pipeline runs between the crawl
+(plans/crawl.py) and tokenization, composed from the operator library:
+
+    language gate (textops.langid_col)
+      -> quality gate (textops.quality_score)
+      -> repetition gates (textops.repetition_signals — Gopher filters)
+      -> exact-dedup survivor pick (min doc id per fingerprint)
+      -> optional benchmark decontamination (curation.decontaminate)
+      -> PII scrub (curation.scrub_pii)
+      -> split assignment (curation.assign_splits)
+
+Plan shape at 100 TB (reviewed via explain("formatted"), PLANS.md §4):
+the language/quality gates and the fingerprint are narrow column
+expressions fused into the document scan; raw text leaves the scan stage
+only for the two operators that need cross-row context — the repetition
+top-gram aggregation and (if enabled) the decontamination shingle join —
+and both hash to fixed-width keys before shuffling. The survivor pick is
+a window over the fingerprint, so dedup costs one hash-partition of
+(id, fp, gates), never of the text. The scrub and split columns are
+again scan-fused map work on the surviving rows.
+
+``curation_report`` computes the per-stage survival funnel in ONE
+aggregation pass over the annotated frame (sums of gate booleans), so
+auditing the pipeline costs one scan, not one job per stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators import curation as CU
+from ..operators import textops as TX
+
+
+def annotate_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    min_quality: float = 0.5,
+    max_top_bigram: float = 0.6,
+    max_dup_trigram: float = 0.5,
+) -> DataFrame:
+    """Add the gate columns every later stage keys on: lang_pred,
+    quality, repetition signals, fingerprint, and the per-gate booleans
+    (cumulative — each gate implies the previous, so the report reads as
+    a funnel)."""
+    rep = TX.repetition_signals(df, text_col=text_col, id_col=id_col)
+    ann = (
+        df.select(
+            "*",
+            TX.langid_col(F.col(text_col)).alias("lang_pred"),
+            TX.quality_score(F.col(text_col)).alias("quality"),
+            F.md5(TX.normalize_text(F.col(text_col))).alias("fp"),
+        )
+        .join(rep, id_col)
+        .withColumn("lang_ok", F.col("lang_pred") == lang)
+        .withColumn(
+            "quality_ok", F.col("lang_ok") & (F.col("quality") >= min_quality)
+        )
+        .withColumn(
+            "repetition_ok",
+            F.col("quality_ok")
+            & (F.col("top_bigram_frac") <= max_top_bigram)
+            & (F.col("dup_trigram_frac") <= max_dup_trigram),
+        )
+    )
+    w = Window.partitionBy("fp")
+    passing = F.when(F.col("repetition_ok"), F.col(id_col))
+    return (
+        ann.withColumn("_min_id", F.min(passing).over(w))
+        .withColumn(
+            "dup_count",
+            F.sum(F.col("repetition_ok").cast("int")).over(w).cast("bigint"),
+        )
+        .withColumn(
+            "dedup_ok", F.col("repetition_ok") & (F.col(id_col) == F.col("_min_id"))
+        )
+        .drop("_min_id")
+    )
+
+
+def curation_report(ann: DataFrame) -> dict:
+    """Survival funnel over an annotate_documents frame in one pass."""
+    row = ann.agg(
+        F.count("*").alias("input_docs"),
+        F.sum(F.col("lang_ok").cast("long")).alias("lang_pass"),
+        F.sum(F.col("quality_ok").cast("long")).alias("quality_pass"),
+        F.sum(F.col("repetition_ok").cast("long")).alias("repetition_pass"),
+        F.sum(F.col("dedup_ok").cast("long")).alias("dedup_survivors"),
+    ).first()
+    return {k: int(row[k] or 0) for k in row.asDict()}
+
+
+def curate_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    min_quality: float = 0.5,
+    max_top_bigram: float = 0.6,
+    max_dup_trigram: float = 0.5,
+    benchmark: DataFrame | None = None,
+    decontaminate_ngram: int = 8,
+    scrub: bool = True,
+    val_bps: int = 500,
+    test_bps: int = 500,
+) -> DataFrame:
+    """The full curated corpus as a lazy DataFrame: survivors of the
+    gate chain, optionally decontaminated against ``benchmark``, PII
+    scrubbed, with train/val/test split labels. Caller writes it
+    (typically ``.write.partitionBy("split").parquet(...)``)."""
+    ann = annotate_documents(
+        df, text_col=text_col, id_col=id_col, lang=lang,
+        min_quality=min_quality, max_top_bigram=max_top_bigram,
+        max_dup_trigram=max_dup_trigram,
+    )
+    out = ann.filter(F.col("dedup_ok"))
+    if benchmark is not None:
+        flags = CU.decontaminate(
+            out, benchmark, text_col=text_col, id_col=id_col,
+            ngram=decontaminate_ngram,
+        ).filter(F.col("contaminated")).select(id_col)
+        out = out.join(flags, id_col, "left_anti")
+    if scrub:
+        out = out.withColumn(text_col, CU.scrub_pii(F.col(text_col)))
+    out = CU.assign_splits(out, id_col=id_col, val_bps=val_bps,
+                           test_bps=test_bps)
+    keep = [id_col, text_col, "lang_pred", "quality", "dup_count", "split"]
+    extra = [c for c in df.columns if c not in (id_col, text_col)]
+    return out.select(*([id_col] + extra + keep[1:]))

@@ -413,4 +413,8 @@ def demo_media_payloads() -> list:
         (7, CX.encode_mp4_mjpeg(
             [JX.encode_jpeg(rgb, quality=90),
              JX.encode_jpeg(rgb[::-1].copy(), quality=90)], 12, 7)),
+        # 12x7 12-bit extended-sequential JPEG (SOF1, Pq=1 tables) — the
+        # high-bit-depth profile decodes for real since round 5
+        (8, JX.encode_jpeg_12bit((rgb.astype(np.uint16) << 4) | 0x8,
+                                 quality=90)),
     ]

@@ -1,0 +1,278 @@
+"""Unit tests for operators/curation.py — the corpus-curation chain
+(sampling, splits, PII scrubbing, chunk dedup, decontamination, mixture
+stats). Hand-computed expectations; oracle parity lives in
+test_entry_oracle.py (hash_split / stratified_sample / pii_scrub /
+chunk_dedup / decontaminate / domain_mix rows)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from firmwarescraper_spark.operators import curation as CU
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / splits
+# ---------------------------------------------------------------------------
+
+def test_assign_splits_deterministic_and_sized(spark):
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    a = CU.assign_splits(df).groupBy("split").count().collect()
+    sizes = {r["split"]: r["count"] for r in a}
+    # 5% / 5% / 90% in expectation over a uniform hash; wide tolerance
+    assert 100 < sizes["val"] < 320
+    assert 100 < sizes["test"] < 320
+    assert sizes["train"] > 3300
+    # deterministic: same assignment on rerun
+    b = CU.assign_splits(df).collect()
+    c = CU.assign_splits(df).collect()
+    assert sorted(map(tuple, b)) == sorted(map(tuple, c))
+
+
+def test_sample_fraction_stable_under_growth(spark):
+    """Membership is a pure function of the id, so the sample over a
+    grown corpus is a superset of the sample over the original — the
+    property random() sampling lacks and the reason splits key on ids."""
+    small = CU.sample_fraction(
+        spark.range(0, 1000).withColumnRenamed("id", "doc_id"), keep_bps=2000)
+    big = CU.sample_fraction(
+        spark.range(0, 3000).withColumnRenamed("id", "doc_id"), keep_bps=2000)
+    s = {r["doc_id"] for r in small.collect()}
+    b = {r["doc_id"] for r in big.collect()}
+    assert s and s <= b
+    assert s == {x for x in b if x < 1000}
+
+
+def test_stratified_salted_invariance(spark):
+    """The two-phase salted quota sample must select EXACTLY the same
+    rows as the single-window version, including on a skewed group —
+    same argument as the politeness-dequeue salt invariance."""
+    rows = [(i, "hot" if i < 900 else f"cold{i % 7}", f"t{i}")
+            for i in range(1000)]
+    df = _docs(spark, rows)
+    plain = {(r["doc_id"], r["source"])
+             for r in CU.stratified_sample(df, quota=25).collect()}
+    for buckets in (2, 8):
+        salted = {(r["doc_id"], r["source"])
+                  for r in CU.stratified_sample_salted(
+                      df, quota=25, salt_buckets=buckets).collect()}
+        assert salted == plain, buckets
+    # the hot group is actually capped
+    hot = [d for d, s in plain if s == "hot"]
+    assert len(hot) == 25
+
+
+def test_stratified_sample_stable_under_growth(spark):
+    """Growing a group can only displace members by smaller hashes —
+    verify the overlap is large (stability), and the quota exact."""
+    base = _docs(spark, [(i, "s", f"t{i}") for i in range(200)])
+    grown = _docs(spark, [(i, "s", f"t{i}") for i in range(400)])
+    a = {r["doc_id"] for r in CU.stratified_sample(base, quota=50).collect()}
+    b = {r["doc_id"] for r in CU.stratified_sample(grown, quota=50).collect()}
+    assert len(a) == len(b) == 50
+    # every survivor-of-growth that was eligible before was selected before
+    assert all(x in a for x in b if x < 200)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+def test_scrub_pii_hand_values(spark):
+    rows = [
+        (0, "s", "mail bob.smith+x@corp.example.co for details"),
+        (1, "s", "ssn is 123-45-6789 thanks"),
+        (2, "s", "host 192.168.2.17 and 10.0.0.1 up"),
+        (3, "s", "call +1 650 555-0199 now"),
+        (4, "s", "clean text no pii at all"),
+        (5, "s", "both 987-65-4321 and +49 30-1234567 8"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in _docs(spark, rows)
+        .select("doc_id", CU.scrub_pii(F.col("text")).alias("t"),
+                *[v.alias(k) for k, v in CU.pii_counts(F.col("text")).items()])
+        .collect()
+    }
+    assert out[0]["t"] == "mail <EMAIL> for details"
+    assert out[0]["email"] == 1
+    assert out[1]["t"] == "ssn is <SSN> thanks"
+    # SSN claimed by the SSN pattern, NOT the phone pattern (order)
+    assert out[1]["ssn"] == 1 and out[1]["phone"] == 0
+    assert out[2]["t"] == "host <IP> and <IP> up"
+    assert out[2]["ipv4"] == 2
+    assert out[3]["t"] == "call <PHONE> now"
+    assert out[4]["t"] == "clean text no pii at all"
+    assert all(out[4][k] == 0 for k in ("email", "ssn", "ipv4", "phone"))
+    # greedy match: the spaced trailing digit group is part of the number
+    assert out[5]["t"] == "both <SSN> and <PHONE>"
+
+
+# ---------------------------------------------------------------------------
+# chunk-level dedup
+# ---------------------------------------------------------------------------
+
+def test_chunk_dedup_hand_values(spark):
+    shared = " ".join(f"w{i}" for i in range(10))        # exactly one chunk
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(5))          # short tail chunk
+    rows = [
+        (0, "s", f"{shared} {uniq_a}"),   # 2 chunks, 1 shared
+        (1, "s", f"{shared} {uniq_b}"),   # 2 chunks (one short), 1 shared
+        (2, "s", "totally different words only here"),
+    ]
+    out = {r["doc_id"]: r
+           for r in CU.chunk_dedup_stats(_docs(spark, rows)).collect()}
+    assert (out[0]["n_chunks"], out[0]["n_dup_chunks"]) == (2, 1)
+    assert out[0]["dup_chunk_frac"] == 0.5
+    assert (out[1]["n_chunks"], out[1]["n_dup_chunks"]) == (2, 1)
+    assert (out[2]["n_chunks"], out[2]["n_dup_chunks"]) == (1, 0)
+
+
+def test_chunk_dedup_within_doc_repeat_not_dup(spark):
+    """A chunk repeated WITHIN one doc but present in no other doc is not
+    corpus-duplicated (doc-frequency semantics, like CCNet's paragraph
+    doc counting)."""
+    c = " ".join(f"x{i}" for i in range(10))
+    out = CU.chunk_dedup_stats(
+        _docs(spark, [(0, "s", f"{c} {c}")])).collect()
+    assert out[0]["n_dup_chunks"] == 0
+    # the within-doc repeat collapses to ONE distinct chunk of the doc's 2
+    assert out[0]["n_chunks"] == 1
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_hand_values(spark):
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train_rows = [
+        # shares the 8-gram "beta ... iota" with the benchmark
+        (0, "s", "pre beta gamma delta epsilon zeta eta theta iota post"),
+        # shares words but no 8-gram run
+        (1, "s", "alpha beta gamma off delta epsilon zeta off eta theta"),
+        (2, "s", "completely unrelated training text with other words"),
+    ]
+    out = {r["doc_id"]: r for r in CU.decontaminate(
+        _docs(spark, train_rows),
+        _docs(spark, [(100, "b", bench_text)]),
+        ngram=8,
+    ).collect()}
+    assert out[0]["contaminated"] and out[0]["n_hits"] == 1
+    assert not out[1]["contaminated"] and out[1]["n_hits"] == 0
+    assert not out[2]["contaminated"]
+
+
+def test_decontaminate_short_benchmark_doc(spark):
+    """Benchmark items shorter than the n-gram window still decontaminate
+    via their whole-text gram."""
+    out = CU.decontaminate(
+        _docs(spark, [(0, "s", "tiny quiz answer"),
+                      (1, "s", "tiny quiz answer plus context")]),
+        _docs(spark, [(9, "b", "tiny quiz answer")]),
+        ngram=8,
+    ).collect()
+    got = {r["doc_id"]: r["contaminated"] for r in out}
+    # doc 0 IS the benchmark text (whole-text gram matches); doc 1's
+    # whole-text gram differs, so it stays clean under this rule
+    assert got[0] is True and got[1] is False
+
+
+# ---------------------------------------------------------------------------
+# mixture stats
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# the composed curation pipeline (plans/curate.py) + CLI
+# ---------------------------------------------------------------------------
+
+_EN = "the and of to is in that it with for"      # quality 1.0, lang en
+_DE = "der die das und ist nicht mit ein für von"  # lang de
+
+
+def test_curate_documents_hand_values(spark):
+    from firmwarescraper_spark.plans import curate as C
+
+    rows = [
+        (0, "s", _EN),                 # survivor of the dup pair
+        (1, "s", _EN),                 # exact dup of 0
+        (2, "s", _DE),                 # language-gated
+        (3, "s", "the for " * 20),     # lang=en but repetition-gated
+        (4, "s", _EN + " extra words here friend"),  # distinct survivor
+    ]
+    ann = C.annotate_documents(_docs(spark, rows))
+    rep = C.curation_report(ann)
+    assert rep["input_docs"] == 5
+    assert rep["lang_pass"] == 4          # doc 2 out
+    assert rep["repetition_pass"] == 3    # doc 3 out
+    assert rep["dedup_survivors"] == 2    # docs 0 and 4
+    out = {r["doc_id"]: r for r in C.curate_documents(_docs(spark, rows)).collect()}
+    assert set(out) == {0, 4}
+    assert out[0]["dup_count"] == 2
+    assert out[4]["dup_count"] == 1
+    assert out[0]["split"] in ("train", "val", "test")
+
+
+def test_curate_decontaminate_removes_benchmark_overlap(spark):
+    from firmwarescraper_spark.plans import curate as C
+
+    # doc 4 must NOT embed _EN as a substring: any doc containing the
+    # benchmark text verbatim shares all its 8-grams and is correctly
+    # flagged — reversing the word order keeps lang/quality identical
+    # while guaranteeing no 8 consecutive words match
+    clean = " ".join(reversed(_EN.split())) + " extra words here friend"
+    rows = [(0, "s", _EN), (4, "s", clean)]
+    bench = _docs(spark, [(99, "b", _EN)])
+    out = C.curate_documents(_docs(spark, rows), benchmark=bench,
+                             decontaminate_ngram=8)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    # doc 0 shares its 8-grams with the benchmark text; doc 4 shares none
+    assert 0 not in ids and 4 in ids
+
+
+def test_curate_cli_end_to_end(spark, tmp_path):
+    """`python -m firmwarescraper_spark curate` over the driver's
+    documents table: funnel is monotone, output parquet is partitioned
+    by split and readable, scrub leaves no raw emails behind."""
+    from firmwarescraper_spark.__main__ import main
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    inp = str(tmp_path / "docs_in")
+    docs.withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" mail me: a"), F.col("doc_id"),
+                 F.lit("@ex.org")),
+    ).write.parquet(inp)
+    bench = str(tmp_path / "bench")
+    docs.filter(F.col("doc_id") % 7 == 0).write.parquet(bench)
+    out_dir = str(tmp_path / "curated")
+    rep = main([
+        "curate", "--input", inp, "--out", out_dir,
+        "--benchmark", bench, "--decontaminate-ngram", "8",
+        "--min-quality", "0.3",
+    ], spark=spark)
+    assert (rep["input_docs"] >= rep["lang_pass"] >= rep["quality_pass"]
+            >= rep["repetition_pass"] >= rep["dedup_survivors"]
+            >= rep["output_docs"] >= 0)
+    assert rep["output_docs"] > 0
+    written = spark.read.parquet(out_dir)
+    assert set(written.select("split").distinct().toPandas()["split"]) <= {
+        "train", "val", "test"}
+    leaked = written.filter(F.col("text").rlike("@ex\\.org")).count()
+    assert leaked == 0
+    scrubbed = written.filter(F.col("text").contains("<EMAIL>")).count()
+    assert scrubbed == rep["output_docs"]
+
+
+def test_domain_mix_hand_values(spark):
+    rows = [(0, "a", "one two three"), (1, "a", "four five"),
+            (2, "b", "six seven eight nine ten")]
+    out = {r["source"]: r for r in CU.domain_mix(_docs(spark, rows)).collect()}
+    assert out["a"]["n_docs"] == 2 and out["a"]["n_tokens"] == 5
+    assert out["b"]["n_docs"] == 1 and out["b"]["n_tokens"] == 5
+    assert out["a"]["token_share"] == pytest.approx(0.5)
+    assert out["b"]["token_share"] == pytest.approx(0.5)

@@ -190,3 +190,140 @@ def test_byte_stuffing_and_negative_ac():
     assert np.array_equal(img[0], exp)
     img2 = decode_jpeg(_gray_jpeg(8, 16, bw2.to_bytes()))
     assert np.all(img2[:, 8:] == 128)
+
+
+# ---------------------------------------------------------------------------
+# 12-bit extended sequential (SOF1) — round-5 spec fixtures
+# ---------------------------------------------------------------------------
+
+# Flat full-range tables, restated here by hand (T.81 F.1.2 category
+# ranges) rather than imported from the codec, so an encoder/decoder-
+# symmetric table bug cannot pass.
+DC12_BITS = [0, 0, 0, 15, 1] + [0] * 11
+DC12_VALS = list(range(16))
+AC12_BITS = [0, 0, 0, 0, 0, 0, 0, 226] + [0] * 8
+AC12_VALS = sorted(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 15)])
+
+
+def _dqt16(tid, table64):
+    body = bytes([0x10 | tid])
+    for v in table64:
+        body += int(v).to_bytes(2, "big")
+    return _seg(0xDB, body)
+
+
+def _sof1(h, w, comps, prec=12):
+    p = bytes([prec]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([len(comps)])
+    for cid, samp, qid in comps:
+        p += bytes([cid, samp, qid])
+    return _seg(0xC1, p)
+
+
+def _stream12(entropy_bits: str) -> bytes:
+    """SOI..EOI wrapper for one 8x8 12-bit grayscale scan with unit
+    quantization (every dequantized coefficient = its decoded value)."""
+    bw = _HandBitWriter()
+    bw.put(entropy_bits)
+    return (
+        b"\xff\xd8"
+        + _dqt16(0, [1] * 64)
+        + _sof1(8, 8, [(1, 0x11, 0)])
+        + _dht(0, 0, DC12_BITS, DC12_VALS)
+        + _dht(1, 0, AC12_BITS, AC12_VALS)
+        + _sos([(1, 0, 0)])
+        + bw.to_bytes()
+        + b"\xff\xd9"
+    )
+
+
+def test_12bit_flat_block_closed_form():
+    """DC-only block: diff 800 (category 10, code '1010' in the flat DC
+    table), EOB. Every pixel = 2048 + 800/8 = 2148 exactly."""
+    bits = "1010" + format(800, "010b") + "00000000"
+    img = decode_jpeg(_stream12(bits))
+    assert img.dtype == np.uint16 and img.shape == (8, 8, 1)
+    assert np.all(img == 2148)
+
+
+def test_12bit_single_ac_closed_form():
+    """DC 0, one AC coefficient 1000 at zigzag index 1 (natural (0,1) — a
+    horizontal cosine ramp), EOB. Expected pixels are the closed-form
+    basis values: 2048 + 1000 * (1/sqrt(8)) * sqrt(2/8)*cos((2x+1)pi/16)."""
+    # DC cat 0 -> code 0000; AC symbol 0x0A (run 0, size 10) is index 10
+    # of the sorted flat table -> 8-bit code 00001010
+    bits = "0000" + "00001010" + format(1000, "010b") + "00000000"
+    img = decode_jpeg(_stream12(bits))[:, :, 0].astype(np.int64)
+    for x in range(8):
+        basis = math.sqrt(1 / 8) * math.sqrt(2 / 8) * math.cos(
+            (2 * x + 1) * math.pi / 16)
+        want = int(min(max(2048 + 1000 * basis, 0), 4095) + 0.5)
+        assert np.all(img[:, x] == want), x
+    assert img.min() >= 2048 - 340 and img.max() <= 2048 + 340
+
+
+def test_12bit_roundtrip_constant_gray():
+    from firmwarescraper_spark.multimodal.jpeg import encode_jpeg_12bit
+
+    arr = np.full((16, 24), 3000, dtype=np.uint16)
+    out = decode_jpeg(encode_jpeg_12bit(arr, quality=97))
+    assert out.dtype == np.uint16 and out.shape == (16, 24, 1)
+    assert int(np.abs(out[:, :, 0].astype(np.int64) - 3000).max()) <= 1
+
+
+def test_12bit_roundtrip_gradient_gray():
+    from firmwarescraper_spark.multimodal.jpeg import encode_jpeg_12bit
+
+    y, x = np.mgrid[0:16, 0:16]
+    arr = (x * 200 + y * 50).astype(np.uint16)          # smooth ramp
+    out = decode_jpeg(encode_jpeg_12bit(arr, quality=97))[:, :, 0]
+    err = np.abs(out.astype(np.int64) - arr.astype(np.int64))
+    # 12-bit quant steps are 16x the 8-bit tables; a smooth ramp stays
+    # within a few steps everywhere
+    assert int(err.max()) <= 96 and float(err.mean()) <= 24
+
+
+def test_12bit_roundtrip_constant_rgb():
+    from firmwarescraper_spark.multimodal.jpeg import encode_jpeg_12bit
+
+    arr = np.zeros((8, 8, 3), dtype=np.uint16)
+    arr[:, :, 0], arr[:, :, 1], arr[:, :, 2] = 1000, 2000, 3000
+    out = decode_jpeg(encode_jpeg_12bit(arr, quality=97))
+    assert out.dtype == np.uint16 and out.shape == (8, 8, 3)
+    for c, want in enumerate((1000, 2000, 3000)):
+        assert int(np.abs(out[:, :, c].astype(np.int64) - want).max()) <= 24, c
+
+
+def test_12bit_input_validation():
+    from firmwarescraper_spark.multimodal.jpeg import encode_jpeg_12bit
+
+    with pytest.raises(ValueError):
+        encode_jpeg_12bit(np.zeros((8, 8), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        encode_jpeg_12bit(np.full((8, 8), 4096, dtype=np.uint16))
+
+
+def test_12bit_progressive_rejected():
+    """12-bit + SOF2 stays out of scope and must fail loudly (stub path
+    downstream), not decode garbage."""
+    from firmwarescraper_spark.multimodal.jpeg import encode_jpeg_12bit
+
+    payload = bytearray(encode_jpeg_12bit(
+        np.full((8, 8), 100, dtype=np.uint16)))
+    i = bytes(payload).index(b"\xff\xc1")
+    payload[i + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(payload))
+
+
+def test_12bit_dims_and_binary_integration():
+    from firmwarescraper_spark.multimodal.binary import _try_decode_image
+    from firmwarescraper_spark.multimodal.jpeg import encode_jpeg_12bit
+
+    payload = encode_jpeg_12bit(np.full((10, 14), 2400, dtype=np.uint16))
+    assert jpeg_dims(payload) == (14, 10)
+    arr, container = _try_decode_image(payload)
+    # binary.py normalizes 12-bit rasters to the uniform 8-bit contract
+    assert container == "jpeg" and arr.dtype == np.uint8
+    assert int(np.abs(arr.astype(np.int64) - (2400 >> 4)).max()) <= 1
