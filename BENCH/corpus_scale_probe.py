@@ -23,10 +23,14 @@ size (11 rounds vs 4), and pagination is inherently sequential (scrapy
 serializes those POSTs identically) — while the BUCKETED steady round,
 the scale-relevant number, should hold roughly flat per page.
 
-Scaling knobs: page volume scales via families-per-vendor and pad pages
-(hosts and mirror structure held constant, so the politeness/dequeue
-shape is identical and only per-host volume grows — the "same web, more
-pages" model).
+Scaling knobs: page volume scales via families-per-vendor (hosts and
+mirror structure held constant, so the politeness/dequeue shape is
+identical and only per-host volume grows — the "same web, more pages"
+model). Pad entries per page (bytes-per-page) are held CONSTANT by
+default — see _phase_gen; SPARK_GRAFT_PROBE_SCALE_PAD=1 scales them
+too, which turns this into a bytes-scaling probe (x4 pages x 4x page
+size = 16x bytes). The output reports corpus bytes and steady MB/s
+alongside URLs/s so both models stay interpretable.
 
 Each phase (corpus gen / fixpoint / steady round) runs in its OWN python
 subprocess: a long chain of SparkSession start/stop cycles in one
@@ -57,12 +61,23 @@ def _phase_gen(corpus: str, scale: int):
     from firmwarescraper_spark.sources import generate as G
 
     spark = B._make_spark(B.CPUS, max(B.CPUS, 16))
+    # n_pad is held CONSTANT across scales: pad entries are appended to
+    # EVERY device page, so scaling them scales bytes-per-page — the
+    # first full probe run scaled both (x4 = 4x pages x 4x page size =
+    # 16.5x bytes, 121 MB -> 2.0 GB) and its URLs/s "cliff" was mostly
+    # the honest cost of 4x-bigger pages (per-BYTE throughput was flat).
+    # Constant n_pad gives the probe the model its docstring claims:
+    # same web shape + page size, 4x more pages. Set
+    # SPARK_GRAFT_PROBE_SCALE_PAD=1 to reproduce the 16x-bytes variant
+    # (a bytes-scaling datapoint, reported separately in BASELINE.md).
+    pad_scale = scale if os.environ.get(
+        "SPARK_GRAFT_PROBE_SCALE_PAD") == "1" else 1
     n = G.write_corpus(
         spark, corpus,
         n_avm=B.N_AVM * scale, n_linksys=B.N_LINKSYS * scale,
         partitions=B.CPUS, n_mirrors=B.N_MIRRORS,
         n_avm_mirror=B.N_AVM_MIRROR * scale,
-        n_pad=B.N_PAD * scale,
+        n_pad=B.N_PAD * pad_scale,
     )
     spark.stop()
     print(json.dumps({"pages": n}))
@@ -117,7 +132,9 @@ def main():
         for label, scale in (("x1", 1), ("x4", 4)):
             corpus = os.path.join(workdir, f"pages_{label}")
             gen = _sub(["gen", corpus, str(scale)])
-            out[label] = {"pages": gen["pages"]}
+            import bench as B
+            out[label] = {"pages": gen["pages"],
+                          "corpus_mb": round(B._dir_bytes(corpus) / 2**20, 1)}
             if os.environ.get("SPARK_GRAFT_PROBE_SKIP_FIXPOINT") != "1":
                 fix = _sub(["fixpoint", corpus, workdir])
                 out[label].update(
@@ -127,11 +144,14 @@ def main():
                 )
             steady = _sub(["steady", corpus, workdir])
             bucketed = _sub(["steady_bucketed", corpus, workdir])
+            mb = out[label]["corpus_mb"]
             out[label].update(
                 steady_urls_per_sec=steady["urls_per_sec"],
                 steady_sec=steady["seconds"],
+                steady_mb_per_sec=round(mb / steady["seconds"], 2),
                 steady_bucketed_urls_per_sec=bucketed["urls_per_sec"],
                 steady_bucketed_sec=bucketed["seconds"],
+                steady_bucketed_mb_per_sec=round(mb / bucketed["seconds"], 2),
             )
             shutil.rmtree(corpus, ignore_errors=True)
         out["pages_ratio"] = round(out["x4"]["pages"] / out["x1"]["pages"], 2)

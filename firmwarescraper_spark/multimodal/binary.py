@@ -16,8 +16,8 @@ Decode status (honest inventory):
     (track dims from tkhd, duration from mvhd, sample-entry fourcc) is a
     real box-tree parse (multimodal/codecs.py ``mp4_meta``); NON-MJPEG frame
     DECODE kernels (no ffmpeg in this container) and the remaining
-    exotic JPEG profiles (arithmetic coding, 12-bit progressive,
-    hierarchical — 12-bit EXTENDED SEQUENTIAL decodes for real since
+    exotic JPEG profiles (arithmetic coding, hierarchical — 12-bit
+    EXTENDED SEQUENTIAL **and** 12-bit PROGRESSIVE decode for real since
     round 5, normalized to 8-bit at this layer) fall through to
     ``_decode_stub`` and are tagged ``codec = "stub"`` per row so
     downstream consumers can tell. At deployment, swap the stub for the

@@ -320,7 +320,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             # 12-bit progressive is spec-legal but out of scope)
             prec = body[0]
             progressive = marker == 0xC2
-            allowed = (8, 12) if marker == 0xC1 else (8,)
+            allowed = (8,) if marker == 0xC0 else (8, 12)
             if prec not in allowed:
                 raise ValueError(
                     f"unsupported sample precision {prec} for "
@@ -541,8 +541,14 @@ def _decode_progressive_scan(payload, data_start, frame, scan, ss, se,
 
 def _reconstruct_from_coeffs(frame, coeffs, qt):
     """Dequantize + IDCT the accumulated progressive coefficient store,
-    then upsample/color-convert exactly like the baseline path."""
+    then upsample/color-convert exactly like the baseline path. Sample
+    depth follows the frame precision (level shift 2^(P-1), clamp to
+    2^P - 1; 12-bit rasters come back as uint16)."""
     h, w, comps = frame[:3]
+    prec = frame[3] if len(frame) > 3 else 8
+    level = float(1 << (prec - 1))
+    maxval = (1 << prec) - 1
+    out_dtype = np.uint8 if prec == 8 else np.uint16
     mcus_x, mcus_y, geo = _comp_geometry(frame)
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -558,19 +564,19 @@ def _reconstruct_from_coeffs(frame, coeffs, qt):
                 block = np.zeros(64, dtype=np.float64)
                 block[ZIGZAG] = store[by, bx] * qtbl[ZIGZAG]
                 plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
-                    Tt @ block.reshape(8, 8) @ _T + 128.0)
+                    Tt @ block.reshape(8, 8) @ _T + level)
         if hs != hmax or vs != vmax:
             plane = np.repeat(
                 np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
         out.append(plane[:h, :w])
     if len(out) == 1:
-        return (np.clip(out[0], 0, 255) + 0.5).astype(np.uint8)[:, :, None]
-    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+        return (np.clip(out[0], 0, maxval) + 0.5).astype(out_dtype)[:, :, None]
+    y, cb, cr = out[0], out[1] - level, out[2] - level
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
-    return (np.clip(rgb, 0, 255) + 0.5).astype(np.uint8)
+    return (np.clip(rgb, 0, maxval) + 0.5).astype(out_dtype)
 
 
 def _decode_scan(payload, data_start, frame, scan, qt, huff_dc, huff_ac,
@@ -744,11 +750,24 @@ def _pad_to(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
     return pad
 
 
-def _encode_prep(arr: np.ndarray, quality: int, subsampling: str):
+def _encode_prep(arr: np.ndarray, quality: int, subsampling: str,
+                 prec: int = 8):
     """Shared encoder front half: color convert, subsample, MCU-pad.
     Returns (gray, h, w, lum_q, chr_q, padded, mcus_x, mcus_y) where
-    padded = [(plane, hs, vs, qtbl, dc_codes, ac_codes)]."""
-    arr = np.asarray(arr, dtype=np.uint8)
+    padded = [(plane, hs, vs, qtbl, dc_codes, ac_codes)].
+
+    ``prec`` 12 expects uint16 samples in [0, 4095]; quantization tables
+    scale x16 (same relative step sizes over the 16x dynamic range) and
+    the Huffman code maps switch to the full-category 12-bit tables
+    (DC12/AC12), mirroring :func:`encode_jpeg_12bit`."""
+    if prec == 8:
+        arr = np.asarray(arr, dtype=np.uint8)
+    else:
+        arr = np.asarray(arr)
+        if arr.dtype != np.uint16:
+            raise ValueError("12-bit encoder expects uint16 samples")
+        if arr.size and int(arr.max()) > 4095:
+            raise ValueError("12-bit samples must be in [0, 4095]")
     if arr.ndim == 3 and arr.shape[2] == 1:
         arr = arr[:, :, 0]
     gray = arr.ndim == 2
@@ -756,12 +775,22 @@ def _encode_prep(arr: np.ndarray, quality: int, subsampling: str):
     if subsampling not in ("444", "422", "420"):
         raise ValueError("subsampling must be '444', '422' or '420'")
 
-    lum_q = _quality_scale(STD_LUM_QT, quality)
-    chr_q = _quality_scale(STD_CHR_QT, quality)
+    if prec == 8:
+        lum_q = _quality_scale(STD_LUM_QT, quality)
+        chr_q = _quality_scale(STD_CHR_QT, quality)
+        dc_l, ac_l = _build_codes(*DC_LUM), _build_codes(*AC_LUM)
+        dc_c, ac_c = _build_codes(*DC_CHR), _build_codes(*AC_CHR)
+    else:
+        lum_q = np.clip(
+            _quality_scale(STD_LUM_QT, quality).astype(np.int64) * 16,
+            1, 65535).astype(np.int32)
+        chr_q = np.clip(
+            _quality_scale(STD_CHR_QT, quality).astype(np.int64) * 16,
+            1, 65535).astype(np.int32)
+        dc_l = dc_c = _build_codes(*DC12)
+        ac_l = ac_c = _build_codes(*AC12)
 
-    dc_l, ac_l = _build_codes(*DC_LUM), _build_codes(*AC_LUM)
-    dc_c, ac_c = _build_codes(*DC_CHR), _build_codes(*AC_CHR)
-
+    level = float(1 << (prec - 1))
     # components: (plane, hs, vs, qtbl, dc_codes, ac_codes)
     if gray:
         comps = [(arr.astype(np.float64), 1, 1, lum_q, dc_l, ac_l)]
@@ -769,8 +798,8 @@ def _encode_prep(arr: np.ndarray, quality: int, subsampling: str):
         rgb = arr.astype(np.float64)
         r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + level
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + level
         if subsampling in ("420", "422"):
             # box-average chroma downsample: 2x2 for 4:2:0, 1x2 for 4:2:2
             # (pad odd dims first)
@@ -872,9 +901,10 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
 # progressive encoder (SOF2: spectral selection + successive approximation)
 # ---------------------------------------------------------------------------
 
-def _quantize_store(padded):
+def _quantize_store(padded, level: float = 128.0):
     """DCT + quantize every padded plane into a zigzag-ordered coefficient
-    store: list of (bh, bw, 64) int32 per component."""
+    store: list of (bh, bw, 64) int32 per component. ``level`` is the
+    sample level shift (2^(P-1): 128 for 8-bit, 2048 for 12-bit)."""
     stores = []
     for plane, hs, vs, qtbl, _dc, _ac in padded:
         ph, pw = plane.shape
@@ -884,7 +914,7 @@ def _quantize_store(padded):
         for by in range(bh):
             for bx in range(bw_):
                 block = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
-                coeffs = _T @ (block - 128.0) @ _T.T
+                coeffs = _T @ (block - level) @ _T.T
                 q = np.round(coeffs.ravel() / qf).astype(np.int32)
                 store[by, bx] = q[ZIGZAG]
         stores.append(store)
@@ -900,6 +930,16 @@ def _quantize_store(padded):
 _AC_PROG_VALS = ([r << 4 for r in range(15)] + [0xF0]
                  + [(r << 4) | s for r in range(16) for s in range(1, 11)])
 AC_PROG = ([0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0], _AC_PROG_VALS)
+
+# 12-bit variant: AC magnitude categories run to 14 (T.81 F.1.2), so the
+# symbol set is EOB0..EOB14 + ZRL + (r,s) for s=1..14 = 240 symbols,
+# still a valid flat 8-bit table (240 <= 255 per DHT Li byte; the
+# all-ones code stays unused).
+_AC_PROG12_VALS = sorted(
+    [r << 4 for r in range(15)] + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 15)])
+AC_PROG12 = ([0, 0, 0, 0, 0, 0, 0, 240, 0, 0, 0, 0, 0, 0, 0, 0],
+             _AC_PROG12_VALS)
 
 
 class _ProgACWriter:
@@ -997,7 +1037,8 @@ class _ProgACWriter:
 
 
 def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85,
-                            subsampling: str = "444") -> bytes:
+                            subsampling: str = "444",
+                            precision: int = 8) -> bytes:
     """(H, W, 3) uint8 RGB or (H, W[, 1]) gray -> progressive JFIF (SOF2)
     bytes. The scan script exercises both progressive mechanisms:
 
@@ -1009,10 +1050,17 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85,
     The quantized coefficients are identical to the baseline encoder's, so
     `decode_jpeg(encode_jpeg_progressive(x)) ==
     decode_jpeg(encode_jpeg(x))` pixel-for-pixel — progressive is a
-    lossless reorganization of the same data (pinned by test)."""
+    lossless reorganization of the same data (pinned by test).
+
+    ``precision`` 12 takes uint16 samples in [0, 4095] and emits a
+    12-bit progressive stream (SOF2 P=12, Pq=1 quantization tables,
+    full-category DC12/AC_PROG12 Huffman tables) — the successive-
+    approximation entropy coding itself is precision-independent."""
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
     gray, h, w, lum_q, chr_q, padded, mcus_x, mcus_y = _encode_prep(
-        arr, quality, subsampling)
-    stores = _quantize_store(padded)
+        arr, quality, subsampling, prec=precision)
+    stores = _quantize_store(padded, level=float(1 << (precision - 1)))
     ncomp = len(padded)
 
     def seg(marker, body):
@@ -1020,18 +1068,32 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85,
 
     out = bytearray(b"\xff\xd8")
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, bytes([0x00]) + bytes(lum_q[ZIGZAG].astype(np.uint8)))
-    if not gray:
-        out += seg(0xDB, bytes([0x01]) + bytes(chr_q[ZIGZAG].astype(np.uint8)))
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    if precision == 8:
+        out += seg(0xDB, bytes([0x00]) + bytes(lum_q[ZIGZAG].astype(np.uint8)))
+        if not gray:
+            out += seg(0xDB,
+                       bytes([0x01]) + bytes(chr_q[ZIGZAG].astype(np.uint8)))
+    else:
+        # Pq=1: precision nibble set, 16-bit big-endian entries
+        out += seg(0xDB, bytes([0x10]) + lum_q[ZIGZAG].astype(">u2").tobytes())
+        if not gray:
+            out += seg(0xDB,
+                       bytes([0x11]) + chr_q[ZIGZAG].astype(">u2").tobytes())
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
     for i, (_, hs, vs, *_rest) in enumerate(padded):
         sof += bytes([i + 1, (hs << 4) | vs, 0 if i == 0 else 1])
     out += seg(0xC2, sof)                              # SOF2: progressive
-    # DC tables: Annex K. AC table: the progressive table (id 0, shared by
-    # all components — baseline Annex K AC tables lack the EOBn symbols).
-    dht = [(0x00, DC_LUM), (0x10, AC_PROG)]
-    if not gray:
-        dht.append((0x01, DC_CHR))
+    # DC tables: Annex K (8-bit) or full-category DC12. AC table: the
+    # progressive table (id 0, shared by all components — baseline AC
+    # tables lack the EOBn symbols).
+    if precision == 8:
+        dht = [(0x00, DC_LUM), (0x10, AC_PROG)]
+        if not gray:
+            dht.append((0x01, DC_CHR))
+    else:
+        dht = [(0x00, DC12), (0x10, AC_PROG12)]
+        if not gray:
+            dht.append((0x01, DC12))
     for tc_th, (bits, vals) in dht:
         out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
 
@@ -1086,7 +1148,7 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85,
         ch = -(-h * vs // vmax)
         return -(-ch // 8), -(-cw // 8)
 
-    ac_prog_codes = _build_codes(*AC_PROG)
+    ac_prog_codes = _build_codes(*(AC_PROG if precision == 8 else AC_PROG12))
     bands = [(1, 5), (6, 63)]
     for ci in range(ncomp):          # first passes, Al=1
         bh_u, bw_u = used_grid(ci)

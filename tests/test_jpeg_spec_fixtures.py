@@ -304,17 +304,47 @@ def test_12bit_input_validation():
         encode_jpeg_12bit(np.full((8, 8), 4096, dtype=np.uint16))
 
 
-def test_12bit_progressive_rejected():
-    """12-bit + SOF2 stays out of scope and must fail loudly (stub path
-    downstream), not decode garbage."""
-    from firmwarescraper_spark.multimodal.jpeg import encode_jpeg_12bit
+def test_12bit_progressive_roundtrip_equals_sequential():
+    """12-bit progressive (SOF2 P=12, Pq=1 tables, DC12/AC_PROG12) is a
+    lossless reorganization of the same quantized coefficients as the
+    12-bit extended-sequential stream: identical uint16 rasters, both
+    color and grayscale."""
+    from firmwarescraper_spark.multimodal.jpeg import (
+        encode_jpeg_12bit, encode_jpeg_progressive)
 
-    payload = bytearray(encode_jpeg_12bit(
-        np.full((8, 8), 100, dtype=np.uint16)))
-    i = bytes(payload).index(b"\xff\xc1")
-    payload[i + 1] = 0xC2
-    with pytest.raises(ValueError):
-        decode_jpeg(bytes(payload))
+    rng = np.random.default_rng(21)
+    rgb = rng.integers(0, 4096, size=(9, 13, 3)).astype(np.uint16)
+    gray = rng.integers(0, 4096, size=(8, 10)).astype(np.uint16)
+    for arr in (rgb, gray):
+        prog = decode_jpeg(encode_jpeg_progressive(
+            arr, quality=90, precision=12))
+        seq = decode_jpeg(encode_jpeg_12bit(arr, quality=90))
+        assert prog.dtype == np.uint16
+        assert np.array_equal(prog, seq)
+
+
+def test_12bit_progressive_subsampled_decodes():
+    """12-bit SOF2 with 4:2:0 chroma subsampling exercises the
+    progressive per-component block grids at P=12; values stay inside
+    the 12-bit range and the constant-color fixture reconstructs flat."""
+    from firmwarescraper_spark.multimodal.jpeg import encode_jpeg_progressive
+
+    arr = np.full((11, 9, 3), 3000, dtype=np.uint16)
+    out = decode_jpeg(encode_jpeg_progressive(
+        arr, quality=95, subsampling="420", precision=12))
+    assert out.dtype == np.uint16 and out.shape == (11, 9, 3)
+    assert int(np.abs(out.astype(np.int64) - 3000).max()) <= 48
+
+
+def test_12bit_progressive_binary_normalization():
+    from firmwarescraper_spark.multimodal.binary import _try_decode_image
+    from firmwarescraper_spark.multimodal.jpeg import encode_jpeg_progressive
+
+    payload = encode_jpeg_progressive(
+        np.full((10, 14), 2400, dtype=np.uint16), quality=95, precision=12)
+    arr, container = _try_decode_image(payload)
+    assert container == "jpeg" and arr.dtype == np.uint8
+    assert int(np.abs(arr.astype(np.int64) - (2400 >> 4)).max()) <= 1
 
 
 def test_12bit_dims_and_binary_integration():

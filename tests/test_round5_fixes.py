@@ -506,3 +506,27 @@ def test_cli_robots_http_wiring(argv, expected):
     if robots_http is None:
         robots_http = bool(args.http)
     assert robots_http is expected
+
+
+# ---------------------------------------------------------------------------
+# r5 corpus-scale probe follow-up: shuffle partitions sized by corpus bytes
+# ---------------------------------------------------------------------------
+
+def test_sized_shuffle_partitions(tmp_path):
+    """The steady-round bench sizes shuffle partitions by corpus on-disk
+    bytes (~32 MiB per partition): a fixed COUNT makes per-partition
+    working sets grow with the corpus until they spill — the measured
+    x4-corpus super-linearity. The 1x bench corpus must still resolve to
+    the r4 headline's 4 partitions so scaling pairs stay comparable."""
+    import bench as B
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.parquet").write_bytes(b"\0" * 1024)
+    assert B._sized_shuffle_partitions(str(d)) == 4          # floor
+    (d / "b.parquet").write_bytes(b"\0" * (200 << 20))
+    assert B._sized_shuffle_partitions(str(d)) == 7          # ceil(201/32)
+    big = d / "c.parquet"
+    with open(big, "wb") as f:
+        f.truncate(100 << 30)                                 # sparse 100 GiB
+    assert B._sized_shuffle_partitions(str(d)) == 256        # cap
