@@ -418,6 +418,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, qv, k=10, planes=8, multiprobe_hamming=1
         ).select("vec_id", "cos")
 
+    def q_ivf_topk(spark, sf):
+        """IVF ANN scale path (operators/similarity.ivf_*): deterministic
+        md5-seeded centroids, max-inner-product coarse assignment as a
+        zero-shuffle literal projection, nprobe=4 of 16 inverted lists
+        probed, exact cosine top-k inside them. The oracle replays the
+        identical index (same md5 seed rule, same sequential-fold inner
+        product) so the candidate set matches exactly."""
+        from firmwarescraper_spark.operators import similarity as SIM
+
+        emb = _t(spark, sf, "embeddings")
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        cents = SIM.ivf_centroids(emb, k=16)
+        return SIM.ivf_topk(
+            emb, qv, cents, k=10, nprobe=4
+        ).select("vec_id", "cos")
+
     def q_langid(spark, sf):
         docs = _t(spark, sf, "documents")
         return docs.select("doc_id", TX.langid_col(F.col("text")).alias("lang_pred"))
@@ -640,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
+        "ivf_topk": q_ivf_topk,
         "langid": q_langid,
         "quality": q_quality,
         "token_counts": q_token_counts,
@@ -749,6 +767,31 @@ _COSINE_TOPK_LSH_SQL = """
            round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cos
     FROM embeddings e JOIN cand USING (vec_id),
          (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY cos DESC, e.vec_id ASC LIMIT 10
+"""
+
+_IVF_TOPK_SQL = """
+    WITH c AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+             embedding::DOUBLE[] AS v
+      FROM (SELECT * FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    cprobe AS (
+      SELECT cid FROM c, q
+      ORDER BY list_inner_product(c.v, q.qv) DESC, cid ASC LIMIT 4),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_inner_product(e.embedding::DOUBLE[], c.v) DESC,
+                          c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN c) WHERE rn = 1)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS cos
+    FROM embeddings e JOIN assign USING (vec_id)
+         JOIN cprobe USING (cid), q
     ORDER BY cos DESC, e.vec_id ASC LIMIT 10
 """
 
@@ -1163,6 +1206,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cos DESC, e.vec_id ASC LIMIT 10
         """,
         "cosine_topk_lsh": _COSINE_TOPK_LSH_SQL,
+        "ivf_topk": _IVF_TOPK_SQL,
         "langid": _LANGID_SQL,
         "quality": _QUALITY_SQL,
         "pipeline_filter": _PIPELINE_FILTER_SQL,

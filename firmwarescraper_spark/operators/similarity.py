@@ -99,3 +99,153 @@ def _hyperplane_sig(vec, dim: int, planes: int) -> int:
         if dot >= 0:
             sig |= 1 << p
     return sig
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path next to hyperplane LSH.
+#
+# Coarse quantizer: max-inner-product against a small centroid table (the
+# FAISS IndexIVF IP-metric shape). Centroid seeding is DETERMINISTIC — the k
+# rows with the smallest md5(vec_id) — so any engine (DuckDB oracle included)
+# reproduces the identical index with no RNG state. Assignment is a pure
+# zero-shuffle projection (a least() over k literal structs) for small k, or
+# a vectorized numpy argmax via mapInPandas for large k; both paths are
+# tested equal. At cluster scale `cid` is the partition/cluster key: a query
+# touches only its nprobe inverted lists.
+# ---------------------------------------------------------------------------
+
+
+def _ip(a: Column, b: Column) -> Column:
+    """Inner product as a sequential left fold — the same operation order as
+    DuckDB's list_inner_product, so doubles match bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def ivf_centroids(
+    emb: DataFrame, k: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> list:
+    """Deterministic seed centroids: the k rows with the smallest
+    md5(str(id)), ties by id; centroid ids are 0..k-1 in that order.
+    Returns [(cid, [float, ...]), ...] driver-side — the centroid table is an
+    index structure the size of a broadcast dim (k * dim doubles), never the
+    data. At 100 TB pick k ~ sqrt(N)/1000 lists and refine on a sample
+    (ivf_refine); the seed rule keeps every engine's index identical."""
+    rows = (
+        emb.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "_id")
+        .limit(k)
+        .collect()
+    )
+    return [(i, [float(x) for x in r["_v"]]) for i, r in enumerate(rows)]
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: list,
+    vec_col: str = "embedding", out_col: str = "cid",
+    via: str = "literal",
+) -> DataFrame:
+    """Add the coarse-quantizer cell id: argmax inner product over the
+    centroid table (ties -> lowest cid).
+
+    via="literal": least() over k literal (−ip, cid) structs — zero shuffle,
+    whole-stage-codegen, right for k <= ~64.
+    via="pandas": one numpy matmul per Arrow batch (mapInPandas) — right for
+    large k where k*dim literals would bloat codegen; still zero shuffle."""
+    if via == "literal":
+        v = F.col(vec_col).cast("array<double>")
+        cands = [
+            F.struct(
+                (-_ip(v, _literal_vec(cv))).alias("d"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cv in centroids
+        ]
+        return emb.withColumn(out_col, F.least(*cands)["cid"])
+    if via == "pandas":
+        import numpy as np
+
+        cmat = np.array([cv for _, cv in centroids], dtype=np.float64).T
+        fields = emb.schema.fields
+        out_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in fields
+        ) + f", {out_col} int"
+
+        def _assign(batches):
+            for pdf in batches:
+                vecs = np.array(
+                    [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+                )
+                if len(vecs):
+                    pdf[out_col] = (vecs @ cmat).argmax(axis=1).astype("int32")
+                else:
+                    pdf[out_col] = pdf.get(out_col, [])
+                yield pdf
+
+        return emb.mapInPandas(_assign, schema=out_schema)
+    raise ValueError(f"unknown ivf_assign via={via!r}")
+
+
+def ivf_topk(
+    emb: DataFrame, query_vec, centroids: list,
+    k: int = 10, nprobe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: rank centroids by inner product with the query
+    (driver-side — the centroid table is already local), scan only the
+    nprobe nearest inverted lists, exact cosine top-k within them. The
+    filter on cid prunes before the scored projection; at scale cid is the
+    partition key so unprobed lists are never read."""
+    scored_c = sorted(
+        centroids,
+        key=lambda c: (-sum(float(x) * y for x, y in zip(query_vec, c[1])), c[0]),
+    )
+    probe = [cid for cid, _ in scored_c[:nprobe]]
+    assigned = ivf_assign(emb, centroids, vec_col=vec_col)
+    return cosine_topk(
+        assigned.filter(F.col("cid").isin(probe)).drop("cid"),
+        query_vec, k, id_col, vec_col,
+    )
+
+
+def ivf_refine(
+    emb: DataFrame, centroids: list, iters: int = 1,
+    vec_col: str = "embedding", sample_fraction: float = 1.0,
+) -> list:
+    """Lloyd refinement of the seed centroids: assign (zero-shuffle
+    projection) then per-dimension mean per cell. One posexplode pass +
+    one (cid, dim) aggregation per iteration; rows*dim exploded records, so
+    at corpus scale refine on a sample (sample_fraction) — k-means quality
+    needs samples-per-centroid, not the full corpus. Empty cells keep their
+    previous centroid. Deterministic given deterministic seeds."""
+    cur = centroids
+    base = (
+        emb.sample(fraction=sample_fraction, seed=7)
+        if sample_fraction < 1.0 else emb
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(base, cur, vec_col=vec_col)
+        means = (
+            assigned.select(
+                "cid", F.posexplode(F.col(vec_col).cast("array<double>"))
+                .alias("pos", "val")
+            )
+            .groupBy("cid", "pos").agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        got = {r["cid"]: [float(x) for x in r["centroid"]] for r in means}
+        cur = [(cid, got.get(cid, cv)) for cid, cv in cur]
+    return cur

@@ -179,6 +179,51 @@ def test_embedding_neardup_and_topk(spark):
     assert ann[0]["vec_id"] == 0
 
 
+def test_ivf_topk_and_assign_paths(spark):
+    """IVF ANN: deterministic centroids, literal == pandas assignment,
+    nprobe search finds the brute-force answer on real testdata."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = SIM.ivf_centroids(emb, k=8)
+    assert [cid for cid, _ in cents] == list(range(8))
+    assert cents == SIM.ivf_centroids(emb, k=8)  # deterministic
+
+    lit = {r["vec_id"]: r["cid"]
+           for r in SIM.ivf_assign(emb, cents).select("vec_id", "cid").collect()}
+    pnd = {r["vec_id"]: r["cid"]
+           for r in SIM.ivf_assign(emb, cents, via="pandas")
+           .select("vec_id", "cid").collect()}
+    assert lit == pnd and len(lit) == emb.count()
+    assert set(lit.values()) <= set(range(8))
+
+    qv = [float(x) for x in
+          emb.filter("vec_id = 7").first()["embedding"]]
+    ann = [r["vec_id"] for r in SIM.ivf_topk(emb, qv, cents, k=5, nprobe=3).collect()]
+    assert ann[0] == 7  # the query's own row lives in a probed list
+    brute = [r["vec_id"] for r in SIM.cosine_topk(emb, qv, k=5).collect()]
+    # nprobe=3/8 lists must still recover most of the exact top-5
+    assert len(set(ann) & set(brute)) >= 3
+
+
+def test_ivf_refine_matches_numpy_lloyd(spark):
+    import numpy as np
+
+    vecs = [(i, [float((i * 7 + j * 3) % 11) / 11.0 for j in range(4)])
+            for i in range(40)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = SIM.ivf_centroids(emb, k=4)
+    refined = SIM.ivf_refine(emb, cents, iters=2)
+
+    X = np.array([v for _, v in vecs])
+    C = np.array([c for _, c in cents])
+    for _ in range(2):
+        assign = (X @ C.T).argmax(axis=1)
+        for cid in range(4):
+            if (assign == cid).any():
+                C[cid] = X[assign == cid].mean(axis=0)
+    for (cid, got), want in zip(refined, C):
+        assert np.allclose(got, want, atol=1e-9), (cid, got, want)
+
+
 # --- text ops -----------------------------------------------------------------------
 
 def test_langid(spark):
