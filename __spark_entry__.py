@@ -333,6 +333,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             num_hashes=8, bands=4,
         )
 
+    def q_neardup_components(spark, sf):
+        """Near-dup GROUPS from LSH pairs (operators/dedup.py
+        connected_components): min-label propagation with pointer jumping
+        over the minhash_lsh_pairs graph; every document labeled with the
+        min doc_id of its component (singletons label themselves). The
+        oracle computes the same fixpoint via a recursive transitive
+        closure — tiny at oracle scale, which is exactly why Spark uses
+        the O(log d) propagation instead."""
+        docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+        pairs = DD.minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+        return DD.neardup_components(docs, pairs)
+
     def q_simhash(spark, sf):
         return DD.simhash(
             _t(spark, sf, "documents").filter(F.col("doc_id") < 200), bits=16
@@ -650,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_skew_agg": q_salted_skew_agg,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "neardup_components": q_neardup_components,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -718,6 +731,21 @@ _MINHASH_PAIRS_SQL = (
     + ")\n"
     "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a "
     "JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id"
+)
+
+_NEARDUP_COMPONENTS_SQL = (
+    "WITH RECURSIVE prs AS (" + _MINHASH_PAIRS_SQL + "),\n"
+    "edges AS (SELECT id_a AS u, id_b AS v FROM prs\n"
+    "          UNION SELECT id_b, id_a FROM prs),\n"
+    "reach(u, v) AS (\n"
+    "  SELECT u, v FROM edges\n"
+    "  UNION\n"
+    "  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),\n"
+    "cc AS (SELECT u AS doc_id, least(u, min(v)) AS component\n"
+    "       FROM reach GROUP BY u)\n"
+    "SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS component\n"
+    "FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d\n"
+    "LEFT JOIN cc USING (doc_id)"
 )
 
 _SIMHASH_PAIRS_SQL = (
@@ -1189,6 +1217,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_signatures": _MINHASH_SIGS_SQL,
         "minhash_lsh_pairs": _MINHASH_PAIRS_SQL,
+        "neardup_components": _NEARDUP_COMPONENTS_SQL,
         "simhash": _SIMHASH_SQL,
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,

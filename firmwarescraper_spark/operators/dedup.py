@@ -107,6 +107,93 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: each node gets
+    ``component`` = the minimum node id reachable from it. This is the step
+    that turns LSH candidate PAIRS into dedup GROUPS (keep the row where
+    id == component, drop the rest).
+
+    Algorithm: min-label propagation with pointer jumping — per round,
+    label(u) := min(label(u), min over neighbors of their labels), then
+    compress label(u) := label(label(u)). Pointer jumping makes convergence
+    O(log diameter) rounds instead of O(diameter), the property that matters
+    at 10^10 nodes (cf. Kiveris et al., "Connected Components in MapReduce
+    and Beyond" — same doubling idea as their star operations). Each round
+    is two shuffles on node id; labels are localCheckpoint'ed per round so
+    lineage stays flat over the iteration (same discipline as the crawl
+    loop's state tables). Near-dup graphs converge in 2-4 rounds in
+    practice: cluster diameters are tiny.
+
+    Driver-side work per round is one count (the convergence check) — no
+    collect of node data.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("u").alias("id")).distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["v"] == labels["id"])
+            .groupBy("u").agg(F.min("component").alias("nmin"))
+        )
+        prop = (
+            labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce("nmin", "component"))
+                .alias("component"),
+            )
+        )
+        ptr = prop.select(
+            F.col("id").alias("pid"), F.col("component").alias("pcomp")
+        )
+        jumped = (
+            prop.join(ptr, prop["component"] == ptr["pid"], "left")
+            .select(
+                "id", F.coalesce("pcomp", "component").alias("component")
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels
+
+
+def neardup_components(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+) -> DataFrame:
+    """Every row of ``df`` labeled with its near-dup component (min id in
+    the component; singletons label themselves). ``component == id`` marks
+    the canonical survivor — filtering on that IS the dedup."""
+    cc = connected_components(pairs).withColumnRenamed("id", id_col)
+    # no forced broadcast: the component table is nodes-that-had-a-pair and
+    # can be arbitrarily large on a dirty corpus — let AQE pick the strategy
+    return (
+        df.select(id_col)
+        .join(cc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -162,6 +162,63 @@ def test_ngram_jaccard(spark, docs_df):
     assert (0, 3) not in pairs
 
 
+def test_connected_components(spark):
+    # two components: a 4-chain 0-1-2-3 (diameter 3, exercises pointer
+    # jumping) and a triangle 10-11-12; 99 is an isolated doc
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    cc = {r["id"]: r["component"]
+          for r in DD.connected_components(pairs).collect()}
+    assert cc == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 12: 10}
+
+    docs = spark.createDataFrame(
+        [(i,) for i in [0, 1, 2, 3, 10, 11, 12, 99]], "doc_id long")
+    lab = {r["doc_id"]: r["component"]
+           for r in DD.neardup_components(docs, pairs).collect()}
+    assert lab[99] == 99  # singleton labels itself
+    assert lab[3] == 0 and lab[12] == 10
+    # canonical-survivor filter == one doc per component + singletons
+    keep = sorted(d for d, c in lab.items() if d == c)
+    assert keep == [0, 10, 99]
+
+
+def test_connected_components_matches_union_find(spark):
+    # randomized-but-deterministic graph vs a pure-python union-find
+    import random
+
+    rng = random.Random(42)
+    edges = sorted({(rng.randrange(60), rng.randrange(60)) for _ in range(70)})
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = list(range(60))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    for n in nodes:
+        want[n] = find(n)
+    # union-find roots are not guaranteed min-of-component; normalize
+    groups = {}
+    for n, r in want.items():
+        groups.setdefault(r, []).append(n)
+    want = {n: min(g) for g in groups.values() for n in g}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in DD.connected_components(pairs).collect()}
+    assert got == want
+
+
 def test_embedding_neardup_and_topk(spark):
     vecs = [
         (0, [1.0, 0.0, 0.0]),
