@@ -51,6 +51,29 @@ def synth_docs(spark, n: int, words_per_doc: int = 40):
     )
 
 
+def synth_docs_grouped(spark, n: int, words_per_doc: int = 40, group: int = 3):
+    """Like synth_docs but every ``group`` consecutive docs share one text:
+    a corpus with a dup-cluster count that grows linearly with N, so the
+    pairs→components pipeline has real (and linearly many) components to
+    find at every scale."""
+    from pyspark.sql import functions as F
+
+    vocab = max(50, n // 5)
+    base = F.col("id") - F.pmod(F.col("id"), F.lit(group))
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
+                lambda k: F.concat(
+                    F.lit("w"), F.pmod(F.xxhash64(base, k), F.lit(vocab)),
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+
+
 EMB_DIM = 32  # ANN probe vector dim: big enough to cost, small enough
                # that candidate verify (not codegen setup) dominates
 
@@ -79,11 +102,19 @@ def main():
                       shuffle_partitions=32)
     spark.sparkContext.setLogLevel("FATAL")
 
-    def ops(docs, emb, planes):
+    def ops(docs, docs_dup, emb, planes):
         from firmwarescraper_spark.operators import similarity as SIM
 
         # a fixed deterministic query vector (dim matches synth_embeddings)
         query = [((i * 37) % 200 - 100) / 100.0 for i in range(EMB_DIM)]
+        # IVF index build (centroid selection) happens here, OUTSIDE the
+        # timed region — index build vs query cost are separate budgets at
+        # deployment too. nlist is held FIXED across scales: the probe
+        # measures the QUERY path (assignment + nprobe scan, both linear
+        # in N at fixed nlist). The deployment sizing rule nlist ∝ sqrt(N)
+        # trades index-build flops (N·nlist matmul) for a smaller scanned
+        # fraction — an index-build knob, not a query-path scaling property.
+        ivf_cents = SIM.ivf_centroids(emb, k=64)
         return {
             "minhash_lsh_pairs": lambda: DD.minhash_lsh_pairs(docs),
             # the 10^10-row simhash config: 48-bit signatures (sparse true-pair
@@ -108,6 +139,16 @@ def main():
                 multiprobe_hamming=1),
             "cosine_topk_lsh": lambda: SIM.lsh_bucketed_topk(
                 emb, query, k=10, planes=planes, multiprobe_hamming=1),
+            # IVF query path at fixed nlist=64, nprobe=8: assignment is one
+            # numpy matmul per Arrow batch (the large-k path), probed lists
+            # hold nprobe/nlist = 1/8 of the corpus at any scale — linear.
+            "ivf_topk": lambda: SIM.ivf_topk(
+                emb, query, ivf_cents, k=10, nprobe=8, assign_via="pandas"),
+            # pairs -> groups on a corpus whose dup-cluster count grows
+            # linearly with N (every 3 consecutive docs identical): measures
+            # banded pair-gen + pointer-jumping label propagation end-to-end.
+            "neardup_components": lambda: DD.neardup_components(
+                docs_dup, DD.minhash_lsh_pairs(docs_dup)),
         }
 
     import math
@@ -115,11 +156,12 @@ def main():
     out = {}
     for label, n in (("n", n_lo), ("n4", n_hi)):
         docs = synth_docs(spark, n).persist()
+        docs_dup = synth_docs_grouped(spark, n).persist()
         emb = synth_embeddings(spark, n, dim=EMB_DIM).persist()
         # materialize: measure the operator, not the generator
-        docs.count(), emb.count()
+        docs.count(), docs_dup.count(), emb.count()
         planes = round(math.log2(n / 25))  # ~25-row buckets at any scale
-        for name, fn in ops(docs, emb, planes).items():
+        for name, fn in ops(docs, docs_dup, emb, planes).items():
             best = None
             for _ in range(2):  # best-of-2 defeats one-off stalls
                 t0 = time.monotonic()
@@ -131,6 +173,7 @@ def main():
             if name in ("embedding_neardup_lsh", "cosine_topk_lsh"):
                 out[name][f"{label}_planes"] = planes
         docs.unpersist()
+        docs_dup.unpersist()
         emb.unpersist()
     for name, rec in out.items():
         rec["ratio"] = round(rec["n4_sec"] / max(rec["n_sec"], 1e-9), 2)

@@ -141,12 +141,16 @@ def cmd_curate(args, spark=None) -> dict:
             benchmark=bench, decontaminate_ngram=args.decontaminate_ngram,
             scrub=not args.no_scrub,
             val_bps=args.val_bps, test_bps=args.test_bps,
+            neardup=getattr(args, "neardup", None),
         )
         out.write.mode("overwrite").partitionBy("split").parquet(args.out)
         written = spark.read.parquet(args.out)
         report["output_docs"] = written.count()
         if bench is not None:
             report["decontaminated_removed"] = (
+                report["dedup_survivors"] - report["output_docs"])
+        elif getattr(args, "neardup", None):
+            report["neardup_removed"] = (
                 report["dedup_survivors"] - report["output_docs"])
         report["out"] = args.out
         return report
@@ -216,6 +220,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="eval-set parquet to decontaminate against "
                         "(doc_id, text)")
     u.add_argument("--decontaminate-ngram", type=int, default=8)
+    u.add_argument("--neardup", choices=["minhash", "simhash"],
+                   help="also collapse NEAR-duplicates: LSH pairs -> "
+                        "connected components -> keep min-id canonical")
     u.add_argument("--no-scrub", action="store_true",
                    help="skip PII scrubbing")
     u.add_argument("--val-bps", type=int, default=500,

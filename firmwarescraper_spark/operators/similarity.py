@@ -196,6 +196,7 @@ def ivf_topk(
     emb: DataFrame, query_vec, centroids: list,
     k: int = 10, nprobe: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    assign_via: str = "literal",
 ) -> DataFrame:
     """IVF ANN top-k: rank centroids by inner product with the query
     (driver-side — the centroid table is already local), scan only the
@@ -207,7 +208,7 @@ def ivf_topk(
         key=lambda c: (-sum(float(x) * y for x, y in zip(query_vec, c[1])), c[0]),
     )
     probe = [cid for cid, _ in scored_c[:nprobe]]
-    assigned = ivf_assign(emb, centroids, vec_col=vec_col)
+    assigned = ivf_assign(emb, centroids, vec_col=vec_col, via=assign_via)
     return cosine_topk(
         assigned.filter(F.col("cid").isin(probe)).drop("cid"),
         query_vec, k, id_col, vec_col,

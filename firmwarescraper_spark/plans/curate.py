@@ -109,17 +109,39 @@ def curate_documents(
     scrub: bool = True,
     val_bps: int = 500,
     test_bps: int = 500,
+    neardup: str | None = None,
 ) -> DataFrame:
     """The full curated corpus as a lazy DataFrame: survivors of the
-    gate chain, optionally decontaminated against ``benchmark``, PII
-    scrubbed, with train/val/test split labels. Caller writes it
-    (typically ``.write.partitionBy("split").parquet(...)``)."""
+    gate chain, optionally near-dup-grouped (``neardup`` in
+    {"minhash", "simhash"} — LSH pairs -> connected components -> keep
+    the min-id canonical per component), optionally decontaminated
+    against ``benchmark``, PII scrubbed, with train/val/test split
+    labels. Caller writes it (typically
+    ``.write.partitionBy("split").parquet(...)``).
+
+    Near-dup runs AFTER the exact-dedup survivor pick on purpose: exact
+    dup clusters collapse first (cheap hash window), so the expensive
+    pair generation sees each distinct text once."""
     ann = annotate_documents(
         df, text_col=text_col, id_col=id_col, lang=lang,
         min_quality=min_quality, max_top_bigram=max_top_bigram,
         max_dup_trigram=max_dup_trigram,
     )
     out = ann.filter(F.col("dedup_ok"))
+    if neardup is not None:
+        from ..operators import dedup as DD
+
+        if neardup == "minhash":
+            pairs = DD.minhash_lsh_pairs(out, text_col=text_col, id_col=id_col)
+        elif neardup == "simhash":
+            pairs = DD.simhash_neardup_pairs(
+                out, id_col=id_col
+            ).select("id_a", "id_b")
+        else:
+            raise ValueError(f"unknown neardup mode {neardup!r}")
+        comp = DD.neardup_components(out, pairs, id_col=id_col)
+        canon = comp.filter(F.col(id_col) == F.col("component")).select(id_col)
+        out = out.join(canon, id_col, "left_semi")
     if benchmark is not None:
         flags = CU.decontaminate(
             out, benchmark, text_col=text_col, id_col=id_col,

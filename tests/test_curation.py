@@ -217,6 +217,34 @@ def test_curate_documents_hand_values(spark):
     assert out[0]["split"] in ("train", "val", "test")
 
 
+def test_curate_neardup_stage(spark):
+    from firmwarescraper_spark.plans import curate as C
+
+    # docs 0 and 5 are near (not exact) dups: one word differs out of 11,
+    # so most 3-shingles agree and minhash LSH pairs them; doc 4 is far
+    near = _EN + " friend"
+    near2 = _EN + " fellow"
+    rows = [
+        (0, "s", near),
+        (5, "s", near2),
+        # reversed stopword order: same lang/quality gates pass, but NO
+        # 3-shingle in common with _EN (forward order) -> never paired
+        (4, "s", " ".join(reversed(_EN.split())) + " unique tail tokens"),
+    ]
+    base = {r["doc_id"] for r in
+            C.curate_documents(_docs(spark, rows)).select("doc_id").collect()}
+    assert base == {0, 4, 5}  # exact dedup alone keeps both near-dups
+    out = {r["doc_id"] for r in
+           C.curate_documents(_docs(spark, rows), neardup="minhash")
+           .select("doc_id").collect()}
+    # canonical (min id) survives, the near-dup collapses, distinct stays
+    assert out == {0, 4}
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        C.curate_documents(_docs(spark, rows), neardup="nope").collect()
+
+
 def test_curate_decontaminate_removes_benchmark_overlap(spark):
     from firmwarescraper_spark.plans import curate as C
 
