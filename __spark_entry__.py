@@ -333,6 +333,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             num_hashes=8, bands=4,
         )
 
+    def q_pack_sequences(spark, sf):
+        """Sequence packing (operators/curation.pack_sequences): greedy
+        concat-in-id-order slicing into 256-token training sequences via
+        the two-phase distributed prefix sum (per-bucket totals + within-
+        bucket window) — a global orderBy window would single-task the
+        corpus. The oracle is the straight single-window cumulative sum,
+        which must agree exactly."""
+        from firmwarescraper_spark.operators import curation as CU
+
+        docs = _t(spark, sf, "documents")
+        return CU.pack_sequences(docs, max_tokens=256, buckets=16)
+
     def q_neardup_components(spark, sf):
         """Near-dup GROUPS from LSH pairs (operators/dedup.py
         connected_components): min-label propagation with pointer jumping
@@ -663,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "neardup_components": q_neardup_components,
+        "pack_sequences": q_pack_sequences,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -732,6 +745,26 @@ _MINHASH_PAIRS_SQL = (
     "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a "
     "JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id"
 )
+
+_PACK_SEQUENCES_SQL = """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS start_token
+      FROM t)
+    SELECT doc_id, n_tokens, start_token,
+           start_token // 256 AS seq_id,
+           start_token % 256 AS seq_offset,
+           (start_token + n_tokens - 1) // 256 - start_token // 256 + 1
+             AS n_seqs
+    FROM c
+"""
 
 _NEARDUP_COMPONENTS_SQL = (
     "WITH RECURSIVE prs AS (" + _MINHASH_PAIRS_SQL + "),\n"
@@ -1218,6 +1251,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _MINHASH_SIGS_SQL,
         "minhash_lsh_pairs": _MINHASH_PAIRS_SQL,
         "neardup_components": _NEARDUP_COMPONENTS_SQL,
+        "pack_sequences": _PACK_SEQUENCES_SQL,
         "simhash": _SIMHASH_SQL,
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,

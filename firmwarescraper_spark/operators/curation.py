@@ -325,3 +325,74 @@ def domain_mix(
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.round(F.col("n_tokens") / F.col("_tot"), 4).alias("token_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 256,
+) -> DataFrame:
+    """Greedy sequence packing: documents are concatenated in ascending id
+    order and sliced into fixed-length training sequences of ``max_tokens``
+    whitespace tokens. Each doc gets its global token offset and the
+    sequence coordinates a packer/tokenizer downstream needs:
+    ``start_token``, ``seq_id`` (sequence containing the doc's first
+    token), ``seq_offset`` (position within it), ``n_seqs`` (how many
+    sequences the doc spans).
+
+    The global running sum is the whole problem at scale: a single
+    ``Window.orderBy(id)`` with no partition key collapses the corpus into
+    ONE task. This implements the classic two-phase distributed prefix sum
+    instead: docs land in id-range buckets (bucket b's ids all precede
+    bucket b+1's, so cross-bucket order is free); phase 1 computes
+    per-bucket token totals (a ``buckets``-row table — window over it is
+    trivially cheap); phase 2 adds the broadcast bucket offset to a
+    within-bucket cumulative window. Wide work is per-bucket, never
+    global. One scalar max(id) job sizes the bucket width up front."""
+    mx = df.agg(F.max(F.col(id_col)).alias("m")).first()["m"]
+    width = max(1, (int(mx) + buckets) // buckets)
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    base = df.select(
+        F.col(id_col),
+        n_tok.cast("bigint").alias("n_tokens"),
+        # integer `div`, not `/`: float division of a 10^14-token offset
+        # loses exactness past 2^53 and can mis-bucket boundary docs
+        F.expr(f"cast({id_col} as bigint) div {width}").alias("_b"),
+    )
+    bucket_tot = base.groupBy("_b").agg(F.sum("n_tokens").alias("_bt"))
+    w_b = (
+        Window.orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket_off = bucket_tot.select(
+        "_b", F.coalesce(F.sum("_bt").over(w_b), F.lit(0)).alias("_boff")
+    )
+    w_in = (
+        Window.partitionBy("_b").orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = (
+        F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)) + F.col("_boff")
+    ).alias("start_token")
+    out = base.join(F.broadcast(bucket_off), "_b").select(
+        id_col, "n_tokens", start
+    )
+    m = int(max_tokens)
+    return out.select(
+        id_col,
+        "n_tokens",
+        "start_token",
+        F.expr(f"start_token div {m}").alias("seq_id"),
+        F.pmod(F.col("start_token"), F.lit(m)).cast("bigint").alias("seq_offset"),
+        F.expr(f"(start_token + n_tokens - 1) div {m}").alias("_last"),
+    ).select(
+        id_col, "n_tokens", "start_token", "seq_id", "seq_offset",
+        (F.col("_last") - F.col("seq_id") + 1).cast("bigint").alias("n_seqs"),
+    )

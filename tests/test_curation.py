@@ -187,6 +187,58 @@ def test_decontaminate_short_benchmark_doc(spark):
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
+# sequence packing (distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_hand_values(spark):
+    rows = [
+        (0, "s", "a b c"),            # 3 tokens, start 0
+        (1, "s", "d e"),              # 2 tokens, start 3 -> spans the 4-boundary
+        (2, "s", "f"),                # 1 token,  start 5
+        (7, "s", "g h i j k l m n"),  # 8 tokens, start 6 -> spans seqs 1..3
+    ]
+    out = {r["doc_id"]: r for r in
+           CU.pack_sequences(_docs(spark, rows), max_tokens=4,
+                             buckets=2).collect()}
+    assert out[0]["start_token"] == 0 and out[0]["seq_id"] == 0
+    assert out[0]["seq_offset"] == 0 and out[0]["n_seqs"] == 1
+    assert out[1]["start_token"] == 3 and out[1]["seq_id"] == 0
+    assert out[1]["seq_offset"] == 3 and out[1]["n_seqs"] == 2
+    assert out[2]["start_token"] == 5 and out[2]["seq_id"] == 1
+    assert out[7]["start_token"] == 6 and out[7]["seq_id"] == 1
+    assert out[7]["n_seqs"] == 3      # tokens 6..13 touch seqs 1, 2, 3
+
+
+def test_pack_sequences_bucket_invariance(spark):
+    """The two-phase prefix sum is an implementation detail: any bucket
+    count gives the identical packing (sparse, non-contiguous ids)."""
+    rows = [(i * 37 % 101, "s", "w " * (i % 7 + 1)) for i in range(40)]
+    rows = [(i, s, t.strip()) for i, s, t in
+            {r[0]: r for r in rows}.values()]
+    ref = None
+    for b in (1, 3, 64):
+        got = sorted(
+            (r["doc_id"], r["start_token"], r["seq_id"], r["n_seqs"])
+            for r in CU.pack_sequences(
+                _docs(spark, rows), max_tokens=8, buckets=b).collect()
+        )
+        if ref is None:
+            ref = got
+        assert got == ref, f"buckets={b} diverged"
+    # global invariant: starts are the exclusive prefix sum in id order
+    by_id = sorted(
+        (r["doc_id"], r["n_tokens"], r["start_token"])
+        for r in CU.pack_sequences(
+            _docs(spark, rows), max_tokens=8, buckets=5).collect()
+    )
+    run = 0
+    for _, n, start in by_id:
+        assert start == run
+        run += n
+
+
+# ---------------------------------------------------------------------------
 # the composed curation pipeline (plans/curate.py) + CLI
 # ---------------------------------------------------------------------------
 
