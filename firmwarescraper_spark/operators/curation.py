@@ -357,7 +357,7 @@ def pack_sequences(
     within-bucket cumulative window. Wide work is per-bucket, never
     global. One scalar max(id) job sizes the bucket width up front."""
     mx = df.agg(F.max(F.col(id_col)).alias("m")).first()["m"]
-    width = max(1, (int(mx) + buckets) // buckets)
+    width = max(1, (int(mx) + buckets) // buckets) if mx is not None else 1
     n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
     base = df.select(
         F.col(id_col),

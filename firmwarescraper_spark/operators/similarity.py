@@ -158,6 +158,8 @@ def ivf_assign(
     whole-stage-codegen, right for k <= ~64.
     via="pandas": one numpy matmul per Arrow batch (mapInPandas) — right for
     large k where k*dim literals would bloat codegen; still zero shuffle."""
+    if not centroids:
+        raise ValueError("ivf_assign needs a non-empty centroid table")
     if via == "literal":
         v = F.col(vec_col).cast("array<double>")
         cands = [

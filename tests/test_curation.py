@@ -210,6 +210,12 @@ def test_pack_sequences_hand_values(spark):
     assert out[7]["n_seqs"] == 3      # tokens 6..13 touch seqs 1, 2, 3
 
 
+def test_pack_sequences_empty_input(spark):
+    out = CU.pack_sequences(
+        _docs(spark, []).filter("doc_id < 0"), max_tokens=8)
+    assert out.count() == 0  # no max-id: must not crash, just be empty
+
+
 def test_pack_sequences_bucket_invariance(spark):
     """The two-phase prefix sum is an implementation detail: any bucket
     count gives the identical packing (sparse, non-contiguous ids)."""

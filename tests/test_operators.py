@@ -261,6 +261,15 @@ def test_ivf_topk_and_assign_paths(spark):
     assert len(set(ann) & set(brute)) >= 3
 
 
+def test_ivf_assign_rejects_empty_centroids(spark):
+    import pytest as _pt
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    with _pt.raises(ValueError):
+        SIM.ivf_assign(emb, [])
+
+
 def test_ivf_refine_matches_numpy_lloyd(spark):
     import numpy as np
 
