@@ -17,10 +17,10 @@ Decode status (honest inventory):
     real box-tree parse (multimodal/codecs.py ``mp4_meta``); NON-MJPEG frame
     DECODE kernels (no ffmpeg in this container) and the remaining
     exotic JPEG profiles (arithmetic coding, hierarchical — 12-bit
-    EXTENDED SEQUENTIAL **and** 12-bit PROGRESSIVE decode for real since
-    round 5, normalized to 8-bit at this layer) fall through to
-    ``_decode_stub`` and are tagged ``codec = "stub"`` per row so
-    downstream consumers can tell. At deployment, swap the stub for the
+    EXTENDED SEQUENTIAL, 12-bit PROGRESSIVE **and** LOSSLESS SOF3 with
+    all 7 predictors decode for real since round 5, normalized to 8-bit
+    at this layer) fall through to ``_decode_stub`` and are tagged
+    ``codec = "stub"`` per row so downstream consumers can tell. At deployment, swap the stub for the
     native lib; every schema and mapInPandas batch contract stays
     identical.
 

@@ -357,3 +357,61 @@ def test_12bit_dims_and_binary_integration():
     # binary.py normalizes 12-bit rasters to the uniform 8-bit contract
     assert container == "jpeg" and arr.dtype == np.uint8
     assert int(np.abs(arr.astype(np.int64) - (2400 >> 4)).max()) <= 1
+
+
+# ---------------------------------------------------------------------------
+# lossless (SOF3, T.81 Annex H)
+# ---------------------------------------------------------------------------
+
+def test_lossless_hand_assembled_fixture():
+    """Hand-built SOF3 stream, expected pixels derived on paper (NOT via
+    the repo's own encoder): 2x2 gray samples [[100,101],[102,104]],
+    predictor 1, Pt 0. First sample predicts 2^(8-1)=128 (diff -28,
+    category 5, value bits 00011); rest of first line uses Ra; first
+    sample of line 2 uses Rb; (1,1) uses Ra. DC16 canonical codes: cats
+    0-13 are 4-bit 0000..1101, cats 14-16 are 5-bit 11100..11110."""
+    from firmwarescraper_spark.multimodal.jpeg import DC16
+
+    dht = _seg(0xC4, bytes([0x00]) + bytes(DC16[0]) + bytes(DC16[1]))
+    sof = _seg(0xC3, bytes([8, 0, 2, 0, 2, 1, 1, 0x11, 0]))
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 1, 0, 0]))   # Ss=1 (pred), Al=0
+    entropy = bytes([0x51, 0x8C, 0xA2, 0xBF])
+    payload = b"\xff\xd8" + dht + sof + sos + entropy + b"\xff\xd9"
+    out = decode_jpeg(payload)
+    assert out.dtype == np.uint8 and out.shape == (2, 2, 1)
+    assert out[:, :, 0].tolist() == [[100, 101], [102, 104]]
+    assert jpeg_dims(payload) == (2, 2)
+
+
+@pytest.mark.parametrize("pred", list(range(1, 8)))
+def test_lossless_roundtrip_all_predictors(pred):
+    from firmwarescraper_spark.multimodal.jpeg import encode_jpeg_lossless
+
+    rng = np.random.RandomState(pred)
+    arr = rng.randint(0, 256, (9, 7, 3)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_lossless(arr, predictor=pred))
+    assert out.dtype == np.uint8 and (out == arr).all()
+
+
+def test_lossless_16bit_and_point_transform():
+    from firmwarescraper_spark.multimodal.jpeg import encode_jpeg_lossless
+
+    rng = np.random.RandomState(42)
+    a16 = rng.randint(0, 65536, (6, 5)).astype(np.uint16)
+    out = decode_jpeg(encode_jpeg_lossless(a16, predictor=4))
+    assert out.dtype == np.uint16 and (out[:, :, 0] == a16).all()
+
+    a8 = rng.randint(0, 256, (5, 6)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_lossless(a8, predictor=2, pt=3))
+    assert (out[:, :, 0] == (a8 >> 3) << 3).all()
+
+
+def test_lossless_binary_integration():
+    from firmwarescraper_spark.multimodal.binary import _try_decode_image
+    from firmwarescraper_spark.multimodal.jpeg import encode_jpeg_lossless
+
+    payload = encode_jpeg_lossless(
+        np.full((10, 14), 200, dtype=np.uint8), predictor=7)
+    arr, container = _try_decode_image(payload)
+    assert container == "jpeg" and arr.dtype == np.uint8
+    assert int(arr.max()) == 200 and int(arr.min()) == 200
