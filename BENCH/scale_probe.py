@@ -103,6 +103,7 @@ def main():
     spark.sparkContext.setLogLevel("FATAL")
 
     def ops(docs, docs_dup, emb, planes):
+        from firmwarescraper_spark.operators import curation as CU
         from firmwarescraper_spark.operators import similarity as SIM
 
         # a fixed deterministic query vector (dim matches synth_embeddings)
@@ -149,6 +150,11 @@ def main():
             # banded pair-gen + pointer-jumping label propagation end-to-end.
             "neardup_components": lambda: DD.neardup_components(
                 docs_dup, DD.minhash_lsh_pairs(docs_dup)),
+            # two-phase distributed prefix sum: bucket totals + within-
+            # bucket window — the row proves the packing offsets cost
+            # stays linear (a naive global window would serialize)
+            "pack_sequences": lambda: CU.pack_sequences(
+                docs, max_tokens=512, buckets=64),
         }
 
     import math
