@@ -5,9 +5,12 @@ zlib-compressed) containers need none of them — these codecs are REAL
 implementations from the public format specs, not stubs:
 
   * BMP   — 24-bit uncompressed BI_RGB (BITMAPINFOHEADER), both directions.
-  * PNG   — 8-bit gray/RGB/RGBA, non-interlaced; decode handles all five
-            scanline filters (None/Sub/Up/Average/Paeth, per the PNG spec
-            §9); encode writes filter 0 with one zlib stream.
+  * PNG   — 8-bit gray/RGB/RGBA plus palette (color type 3, depths
+            1/2/4/8, PLTE applied) — sequential AND Adam7-interlaced
+            (seven independently filtered passes recomposed on the pass
+            grid, spec §8.2); decode handles all five scanline filters
+            (None/Sub/Up/Average/Paeth, per the PNG spec §9); encoders
+            for all three layouts (filter 0, one zlib stream).
   * WAV   — PCM16 via the stdlib ``wave`` module + numpy frombuffer.
 
 Baseline JPEG lives in the sibling ``multimodal/jpeg.py`` (real SOF0
@@ -113,6 +116,57 @@ def encode_png(arr: np.ndarray) -> bytes:
             + _png_chunk(b"IEND", b""))
 
 
+def encode_png_interlaced(arr: np.ndarray) -> bytes:
+    """(H, W[, {1,3,4}]) uint8 -> Adam7-interlaced PNG (filter 0 per
+    scanline within each pass) — fixture source for the interlaced
+    decode path."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)
+    scan = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = arr[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for y in range(sub.shape[0]):
+            scan += b"\x00" + sub[y].tobytes()
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(scan)))
+            + _png_chunk(b"IEND", b""))
+
+
+def encode_png_palette(indices: np.ndarray, palette: np.ndarray,
+                       depth: int = 8) -> bytes:
+    """(H, W) uint8 palette indices + (N, 3) palette -> color-type-3 PNG
+    at depth 1/2/4/8 (indices packed big-endian within each byte, rows
+    padded to a whole byte per spec)."""
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"bad palette depth {depth}")
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+    if int(idx.max(initial=0)) >= min(len(pal), 1 << depth):
+        raise ValueError("palette index out of range")
+    h, w = idx.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    per = 8 // depth
+    stride = -(-w // per)
+    scan = bytearray()
+    for y in range(h):
+        row = np.zeros(stride * per, dtype=np.uint16)
+        row[:w] = idx[y]
+        packed = np.zeros(stride, dtype=np.uint16)
+        for k in range(per):
+            packed |= row[k::per] << (8 - depth * (k + 1))
+        scan += b"\x00" + packed.astype(np.uint8).tobytes()
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"PLTE", pal.tobytes())
+            + _png_chunk(b"IDAT", zlib.compress(bytes(scan)))
+            + _png_chunk(b"IEND", b""))
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -121,12 +175,74 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per PNG spec §8.2
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _defilter(raw: bytes, offset: int, h: int, stride: int,
+              bpp: int) -> tuple:
+    """Undo the five PNG scanline filters over ``h`` lines of ``stride``
+    bytes starting at ``offset`` (each prefixed by its filter byte).
+    ``bpp`` is the filter's left-neighbor distance in BYTES (1 for
+    sub-byte depths, per spec §9.2). Returns ((h, stride) uint8, end)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = offset
+    for y in range(h):
+        if pos + 1 + stride > len(raw):
+            raise ValueError("PNG data size mismatch")
+        ftype = raw[pos]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=pos + 1
+        ).astype(np.int32)
+        pos += 1 + stride
+        if ftype == 0:                      # None
+            recon = line
+        elif ftype == 2:                    # Up
+            recon = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):            # Sub / Average / Paeth (sequential)
+            recon = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = recon[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 1:
+                    recon[x] = (line[x] + a) & 0xFF
+                elif ftype == 3:
+                    recon[x] = (line[x] + (a + b) // 2) & 0xFF
+                else:
+                    cc = prev[x - bpp] if x >= bpp else 0
+                    recon[x] = (line[x] + _paeth(a, b, cc)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = recon.astype(np.uint8)
+        prev = recon
+    return out, pos
+
+
+def _unpack_indices(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """(h, stride) packed palette indices -> (h, w) uint8 (depth 1/2/4/8)."""
+    if depth == 8:
+        return rows[:, :w]
+    per = 8 // depth
+    mask = (1 << depth) - 1
+    h = rows.shape[0]
+    idx = np.zeros((h, rows.shape[1] * per), dtype=np.uint8)
+    for k in range(per):
+        shift = 8 - depth * (k + 1)
+        idx[:, k::per] = (rows >> shift) & mask
+    return idx[:, :w]
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """PNG -> (H, W, C) uint8. 8-bit gray/RGB/RGBA, non-interlaced; all
-    five scanline filters per the public PNG spec."""
+    """PNG -> (H, W, C) uint8. 8-bit gray/RGB/RGBA plus palette
+    (color type 3 at depth 1/2/4/8, PLTE applied -> RGB), sequential or
+    Adam7-interlaced (each of the seven passes is an independently
+    filtered sub-image, recomposed on the pass grid); all five scanline
+    filters per the public PNG spec."""
     if not payload or not payload.startswith(_PNG_SIG):
         raise ValueError("not a PNG payload")
-    pos, idat, ihdr = 8, [], None
+    pos, idat, ihdr, plte = 8, [], None, None
     while pos + 8 <= len(payload):
         (length,), tag = struct.unpack_from(">I", payload, pos), payload[pos + 4:pos + 8]
         body = payload[pos + 8:pos + 8 + length]
@@ -134,6 +250,8 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError("truncated PNG chunk")
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
@@ -142,43 +260,49 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or color_type not in _CHANNELS or interlace != 0:
-        raise ValueError(
-            f"unsupported PNG (depth={depth}, color={color_type}, interlace={interlace})"
-        )
-    c = _CHANNELS[color_type]
+    paletted = color_type == 3
+    if paletted:
+        if depth not in (1, 2, 4, 8) or plte is None:
+            raise ValueError(f"unsupported palette PNG (depth={depth})")
+        c = 1
+    else:
+        if depth != 8 or color_type not in _CHANNELS:
+            raise ValueError(
+                f"unsupported PNG (depth={depth}, color={color_type})")
+        c = _CHANNELS[color_type]
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace {interlace}")
     raw = zlib.decompress(b"".join(idat))
-    stride = w * c
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG data size mismatch")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        ftype = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).astype(np.int32)
-        if ftype == 0:                      # None
-            recon = line
-        elif ftype == 2:                    # Up
-            recon = (line + prev) & 0xFF
-        elif ftype in (1, 3, 4):            # Sub / Average / Paeth (sequential)
-            recon = np.zeros(stride, dtype=np.int32)
-            for x in range(stride):
-                a = recon[x - c] if x >= c else 0
-                b = prev[x]
-                if ftype == 1:
-                    recon[x] = (line[x] + a) & 0xFF
-                elif ftype == 3:
-                    recon[x] = (line[x] + (a + b) // 2) & 0xFF
-                else:
-                    cc = prev[x - c] if x >= c else 0
-                    recon[x] = (line[x] + _paeth(a, b, cc)) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG filter {ftype}")
-        out[y] = recon.astype(np.uint8)
-        prev = recon
-    return out.reshape(h, w, c)
+    bpp = max(1, depth * c // 8)
+
+    def stride_of(width):
+        return -(-width * depth * c // 8)
+
+    if interlace == 0:
+        rows, end = _defilter(raw, 0, h, stride_of(w), bpp)
+        if end != len(raw):
+            raise ValueError("PNG data size mismatch")
+        grid = (_unpack_indices(rows, w, depth) if paletted
+                else rows.reshape(h, w, c))
+    else:
+        grid = np.zeros((h, w) if paletted else (h, w, c), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, off = _defilter(raw, off, ph, stride_of(pw), bpp)
+            sub = (_unpack_indices(rows, pw, depth) if paletted
+                   else rows.reshape(ph, pw, c))
+            grid[y0::dy, x0::dx] = sub
+        if off != len(raw):
+            raise ValueError("PNG data size mismatch")
+    if paletted:
+        if int(grid.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        return plte[grid]
+    return grid
 
 
 # ---------------------------------------------------------------------------

@@ -94,6 +94,59 @@ def test_bmp_png_roundtrip():
     assert np.array_equal(CX.decode_png(CX.encode_png(gray))[:, :, 0], gray)
 
 
+def test_png_adam7_grid_covers_tile_exactly_once():
+    """Spec pin for the pass grid itself (§8.2): the seven Adam7 passes
+    must tile the 8x8 base cell with no gap and no overlap — the invariant
+    a wrong constant table breaks silently when encode and decode share
+    it."""
+    import numpy as np
+
+    from firmwarescraper_spark.multimodal import codecs as CX
+
+    cov = np.zeros((8, 8), dtype=int)
+    for x0, y0, dx, dy in CX._ADAM7:
+        cov[y0::dy, x0::dx] += 1
+    assert (cov == 1).all()
+
+
+def test_png_adam7_interlaced_roundtrip():
+    import numpy as np
+
+    from firmwarescraper_spark.multimodal import codecs as CX
+
+    rng = np.random.RandomState(3)
+    # shapes straddling the 8x8 cell: sub-cell, exact, ragged, degenerate
+    for shape in [(13, 9, 3), (8, 8, 1), (5, 21, 4), (1, 1, 3), (3, 2, 1)]:
+        arr = rng.randint(0, 256, shape).astype(np.uint8)
+        out = CX.decode_png(CX.encode_png_interlaced(arr))
+        assert out.shape == arr.shape and np.array_equal(out, arr), shape
+
+
+def test_png_palette_all_depths():
+    import numpy as np
+
+    from firmwarescraper_spark.multimodal import codecs as CX
+
+    rng = np.random.RandomState(5)
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    for depth in (1, 2, 4, 8):
+        n = min(1 << depth, 16)
+        idx = rng.randint(0, n, (7, 11)).astype(np.uint8)
+        out = CX.decode_png(CX.encode_png_palette(idx, pal[:n], depth=depth))
+        assert out.shape == (7, 11, 3)
+        assert np.array_equal(out, pal[:n][idx]), depth
+    # an index past the palette must raise, not read garbage
+    import pytest as _pt
+
+    bad = CX.encode_png_palette(
+        np.zeros((2, 2), dtype=np.uint8), pal[:4], depth=8)
+    # corrupt: shrink PLTE after encode by rebuilding with a 1-entry palette
+    with _pt.raises(ValueError):
+        CX.encode_png_palette(np.full((2, 2), 3, dtype=np.uint8),
+                              pal[:2], depth=8)
+    assert CX.decode_png(bad).shape == (2, 2, 3)
+
+
 def test_png_all_filters_decode():
     """The decoder must handle filters 1-4, which our encoder never emits:
     hand-build a PNG using each filter type and check the reconstruction."""
