@@ -6,7 +6,8 @@ implementations from the public format specs, not stubs:
 
   * BMP   — 24-bit uncompressed BI_RGB (BITMAPINFOHEADER), both directions.
   * PNG   — 8-bit gray/RGB/RGBA plus palette (color type 3, depths
-            1/2/4/8, PLTE applied) — sequential AND Adam7-interlaced
+            1/2/4/8, PLTE applied; tRNS alpha -> RGBA) — sequential AND
+            Adam7-interlaced
             (seven independently filtered passes recomposed on the pass
             grid, spec §8.2); decode handles all five scanline filters
             (None/Sub/Up/Average/Paeth, per the PNG spec §9); encoders
@@ -139,10 +140,11 @@ def encode_png_interlaced(arr: np.ndarray) -> bytes:
 
 
 def encode_png_palette(indices: np.ndarray, palette: np.ndarray,
-                       depth: int = 8) -> bytes:
+                       depth: int = 8, alpha: np.ndarray = None) -> bytes:
     """(H, W) uint8 palette indices + (N, 3) palette -> color-type-3 PNG
     at depth 1/2/4/8 (indices packed big-endian within each byte, rows
-    padded to a whole byte per spec)."""
+    padded to a whole byte per spec). ``alpha`` (per-entry uint8) emits a
+    tRNS chunk; the decoder then returns RGBA."""
     if depth not in (1, 2, 4, 8):
         raise ValueError(f"bad palette depth {depth}")
     idx = np.asarray(indices, dtype=np.uint8)
@@ -161,8 +163,10 @@ def encode_png_palette(indices: np.ndarray, palette: np.ndarray,
         for k in range(per):
             packed |= row[k::per] << (8 - depth * (k + 1))
         scan += b"\x00" + packed.astype(np.uint8).tobytes()
+    trns = (b"" if alpha is None else
+            _png_chunk(b"tRNS", np.asarray(alpha, dtype=np.uint8).tobytes()))
     return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
-            + _png_chunk(b"PLTE", pal.tobytes())
+            + _png_chunk(b"PLTE", pal.tobytes()) + trns
             + _png_chunk(b"IDAT", zlib.compress(bytes(scan)))
             + _png_chunk(b"IEND", b""))
 
@@ -242,7 +246,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     filters per the public PNG spec."""
     if not payload or not payload.startswith(_PNG_SIG):
         raise ValueError("not a PNG payload")
-    pos, idat, ihdr, plte = 8, [], None, None
+    pos, idat, ihdr, plte, trns = 8, [], None, None, None
     while pos + 8 <= len(payload):
         (length,), tag = struct.unpack_from(">I", payload, pos), payload[pos + 4:pos + 8]
         body = payload[pos + 8:pos + 8 + length]
@@ -252,6 +256,8 @@ def decode_png(payload: bytes) -> np.ndarray:
             ihdr = struct.unpack(">IIBBBBB", body)
         elif tag == b"PLTE":
             plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
@@ -301,6 +307,13 @@ def decode_png(payload: bytes) -> np.ndarray:
     if paletted:
         if int(grid.max(initial=0)) >= len(plte):
             raise ValueError("palette index out of range")
+        if trns is not None:
+            # tRNS (spec 11.3.2): per-palette-entry alpha, entries past
+            # the table's end are opaque -> RGBA output
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[:min(len(trns), len(plte))] = trns[:len(plte)]
+            return np.concatenate(
+                [plte[grid], alpha[grid][:, :, None]], axis=2)
         return plte[grid]
     return grid
 

@@ -147,6 +147,22 @@ def test_png_palette_all_depths():
     assert CX.decode_png(bad).shape == (2, 2, 3)
 
 
+def test_png_palette_trns_alpha():
+    import numpy as np
+
+    from firmwarescraper_spark.multimodal import codecs as CX
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    # tRNS shorter than PLTE: entries past its end are opaque (spec 11.3.2)
+    png = CX.encode_png_palette(idx, pal, depth=8,
+                                alpha=np.array([0, 128], dtype=np.uint8))
+    out = CX.decode_png(png)
+    assert out.shape == (2, 2, 4)
+    assert np.array_equal(out[:, :, :3], pal[idx])
+    assert out[:, :, 3].tolist() == [[0, 128], [255, 0]]
+
+
 def test_png_all_filters_decode():
     """The decoder must handle filters 1-4, which our encoder never emits:
     hand-build a PNG using each filter type and check the reconstruction."""
