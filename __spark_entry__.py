@@ -19,6 +19,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# fixed keyword query for the BM25 retrieval row (terms from the synthetic
+# documents vocabulary, mixed common/rare so idf actually discriminates)
+_BM25_TERMS = ["spark", "window", "vector", "hash"]
+
+
 # ---------------------------------------------------------------------------
 # entry — flagship: one crawl round's hot path (seen anti-join + salted
 # politeness dequeue + corpus-join + per-host metrics) over sf0.001 tables
@@ -649,6 +654,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents")
         return CU.domain_mix(docs)
 
+    def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Gap-based sessionization over events (streaming.events
+        sessionize_batch — the backfill/verification twin of the
+        applyInPandasWithState stateful operator). Per-user window lag +
+        running sum; output timestamps formatted so the hash compare is
+        timezone-stable."""
+        from firmwarescraper_spark.streaming import events as EV
+
+        ev = _t(spark, sf_dir, "events")
+        out = EV.sessionize_batch(ev, gap_minutes=30)
+        fmt = "yyyy-MM-dd HH:mm:ss"
+        return out.select(
+            "user_id", "session_events",
+            F.date_format("session_start", fmt).alias("session_start"),
+            F.date_format("session_end", fmt).alias("session_end"),
+        )
+
+    def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """BM25 ranked retrieval (textops.bm25_topk) for a fixed keyword
+        query over the documents corpus — filtered explode (query-term
+        hits only), broadcast df/stats, TakeOrderedAndProject top-k."""
+        docs = _t(spark, sf_dir, "documents")
+        return TX.bm25_topk(docs, _BM25_TERMS, k=20)
+
     return {
         "anti_join_seen": q_anti_join_seen,
         "bloom_anti_join": q_bloom_anti_join,
@@ -698,6 +727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "decontaminate": q_decontaminate,
         "domain_mix": q_domain_mix,
+        "sessionize": q_sessionize,
+        "bm25_topk": q_bm25_topk,
     }
 
 
@@ -1291,6 +1322,66 @@ def oracle_sql() -> dict[str, str]:
         "chunk_dedup": _CHUNK_DEDUP_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "domain_mix": _DOMAIN_MIX_SQL,
+        # gap-based sessionization: lag/cumsum session ids, then per-session
+        # rollup. floor(epoch()) mirrors Spark's timestamp->long truncation;
+        # boundaries depend only on consecutive-ts gaps so tie order among
+        # equal timestamps cannot change the result.
+        "sessionize": """
+            WITH marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN floor(epoch(ts))::BIGINT
+                                 - lag(floor(epoch(ts))::BIGINT)
+                                   OVER (PARTITION BY user_id ORDER BY ts)
+                                 > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ), sid AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts) AS session_id
+                FROM marked
+            )
+            SELECT user_id, count(*)::INT AS session_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+            FROM sid GROUP BY user_id, session_id
+        """,
+        # BM25: tokenize once, restrict to query terms before unnest, tiny
+        # df/stats sides, per-term partials rounded to 6 and summed in
+        # term-sorted order (fixed reduction order on both engines), rank
+        # on the rounded score.
+        "bm25_topk": """
+            WITH dl AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   t -> t <> '') AS toks
+                FROM documents
+            ), dl2 AS (
+                SELECT doc_id, len(toks) AS dl, toks FROM dl
+            ), stats AS (
+                SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl2
+            ), tf AS (
+                SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+                FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl2)
+                WHERE term IN ('hash', 'spark', 'vector', 'window')
+                GROUP BY doc_id, dl, term
+            ), dfq AS (
+                SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+            ), partials AS (
+                SELECT tf.doc_id, tf.term,
+                       round(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                             * tf.tf * (1.2 + 1.0)
+                             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)),
+                             6) AS p
+                FROM tf JOIN dfq USING (term) CROSS JOIN stats
+            ), scored AS (
+                SELECT doc_id,
+                       round(list_sum(list(p ORDER BY term)), 4) AS bm25
+                FROM partials GROUP BY doc_id
+            )
+            SELECT doc_id, bm25 FROM scored
+            ORDER BY bm25 DESC, doc_id LIMIT 20
+        """,
         "repetition": r"""
             WITH d AS (
                 SELECT doc_id, string_split(trim(lower(text)), ' ') AS w

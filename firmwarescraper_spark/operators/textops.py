@@ -193,3 +193,101 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
             4,
         ).alias("dup_trigram_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval (Robertson/Spärck Jones; the standard lexical
+# ranking used to mine topical subsets out of a web corpus and to audit
+# benchmark contamination by keyword). Reference analogue: the spiders'
+# SEARCH_TEXT keyword matching (e.g. /root/reference/firmware/spiders/
+# linksys.py) generalized to ranked retrieval over the whole corpus.
+# ---------------------------------------------------------------------------
+
+_BM25_TOKEN_RE = r"[^a-z0-9]+"
+
+
+def _bm25_tokens(text: Column) -> Column:
+    """Lower-cased alphanumeric tokens; empties dropped (split on a
+    leading/trailing separator yields '' on both engines)."""
+    return F.filter(F.split(F.lower(text), _BM25_TOKEN_RE),
+                    lambda t: t != "")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score for ``query_terms``.
+
+    Scale shape (the 100-TB plan):
+
+    * ONE tokenizing pass over the corpus computes per-doc length; the
+      explode is restricted to query-term occurrences (``F.filter`` on the
+      token array BEFORE ``explode``), so the shuffled row volume is
+      O(query-term hits), not O(corpus tokens).
+    * Corpus-level stats (N, avgdl) and per-term document frequencies are
+      tiny one-row / |terms|-row frames — broadcast joined, never shuffled
+      against the corpus.
+    * The final top-k is ``orderBy(...).limit(k)`` which Spark plans as
+      TakeOrderedAndProject: per-partition heaps + a k-row driver merge,
+      no global sort.
+
+    Float determinism (the driver hash-compares against DuckDB): each
+    per-term partial is rounded to 6 decimals, partials are summed in
+    term-sorted order via ``aggregate(array_sort(collect_list(...)))`` so
+    the reduction order is fixed, and the final score is rounded to 4.
+    """
+    terms = sorted(set(query_terms))
+    toks = docs.select(
+        F.col(id_col), _bm25_tokens(F.col(text_col)).alias("_toks")
+    ).withColumn("_dl", F.size("_toks"))
+    stats = toks.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+    qt = F.array(*[F.lit(t) for t in terms])
+    tf = (
+        toks.select(
+            id_col, "_dl",
+            F.explode(F.filter("_toks",
+                               lambda t: F.array_contains(qt, t))).alias("_term"),
+        )
+        .groupBy(id_col, "_dl", "_term")
+        .agg(F.count("*").cast("double").alias("_tf"))
+    )
+    df_t = tf.groupBy("_term").agg(F.count("*").cast("double").alias("_df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "_term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "_partial",
+            F.round(
+                F.log(1.0 + (F.col("_n") - F.col("_df") + 0.5)
+                      / (F.col("_df") + 0.5))
+                * F.col("_tf") * (k1 + 1.0)
+                / (F.col("_tf")
+                   + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))),
+                6,
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("_term", "_partial"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["_partial"],
+            ).alias("_s")
+        )
+    )
+    # rank on the ROUNDED score + id: a total order both engines agree on
+    # even when raw sums differ in the last ulp
+    return (
+        scored.select(id_col, F.round("_s", 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.col(id_col))
+        .limit(k)
+    )

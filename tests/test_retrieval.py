@@ -1,0 +1,63 @@
+"""BM25 ranked retrieval (textops.bm25_topk) — hand-computed values and
+rank semantics, plus the sessionize driver row's shape. The full DuckDB
+oracle parity for both runs in test_entry_oracle.py."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from firmwarescraper_spark.operators import textops as TX
+
+
+def _bm25_hand(tf, df, n, dl, avgdl, k1=1.2, b=0.75):
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    return idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def test_bm25_hand_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark shuffle"),          # tf(spark)=2, dl=3
+            (2, "spark joins a table"),          # tf(spark)=1, dl=4
+            (3, "nothing relevant here at all"), # no hit,      dl=5
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["bm25"]
+           for r in TX.bm25_topk(docs, ["spark"], k=10).collect()}
+    # df(spark)=2 over n=3 docs, avgdl=4
+    exp1 = round(round(_bm25_hand(2, 2, 3, 3, 4.0), 6), 4)
+    exp2 = round(round(_bm25_hand(1, 2, 3, 4, 4.0), 6), 4)
+    assert out == {1: pytest.approx(exp1, abs=1e-9),
+                   2: pytest.approx(exp2, abs=1e-9)}
+    assert out[1] > out[2]  # higher tf, shorter doc ranks first
+
+
+def test_bm25_multi_term_and_topk(spark):
+    docs = spark.createDataFrame(
+        [(i, "common word " + ("rare " if i == 7 else "") + "tail") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    top = TX.bm25_topk(docs, ["common", "rare"], k=3).collect()
+    assert len(top) == 3
+    # the only doc containing the rare term outranks pure-common docs
+    assert top[0]["doc_id"] == 7
+    # deterministic tie-break among equal-scored docs: ascending doc_id
+    assert [r["doc_id"] for r in top[1:]] == [0, 1]
+
+
+def test_bm25_empty_and_nonmatching_query(spark):
+    docs = spark.createDataFrame([(1, "alpha beta")], ["doc_id", "text"])
+    assert TX.bm25_topk(docs, ["missing"], k=5).count() == 0
+
+
+def test_sessionize_query_shape(spark):
+    import __spark_entry__ as entry
+
+    out = entry.queries()["sessionize"](spark, "/root/testdata/sf0.001")
+    assert out.columns == ["user_id", "session_events",
+                           "session_start", "session_end"]
+    row = out.orderBy("user_id", "session_start").first()
+    assert row["session_events"] >= 1
+    assert len(row["session_start"]) == 19  # formatted, tz-stable
