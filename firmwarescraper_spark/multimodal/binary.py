@@ -15,10 +15,11 @@ Decode status (honest inventory):
   * **REAL metadata, stubbed frames**: MP4/ISO-BMFF container metadata
     (track dims from tkhd, duration from mvhd, sample-entry fourcc) is a
     real box-tree parse (multimodal/codecs.py ``mp4_meta``); NON-MJPEG frame
-    DECODE kernels (no ffmpeg in this container) and the remaining
-    exotic JPEG profiles (arithmetic coding, hierarchical — 12-bit
-    EXTENDED SEQUENTIAL, 12-bit PROGRESSIVE **and** LOSSLESS SOF3 with
-    all 7 predictors decode for real since round 5, normalized to 8-bit
+    DECODE kernels (no ffmpeg in this container) and the one remaining
+    exotic JPEG profile (hierarchical — 12-bit EXTENDED SEQUENTIAL,
+    12-bit PROGRESSIVE, LOSSLESS SOF3 with all 7 predictors **and**
+    ARITHMETIC-CODED sequential SOF9 via the jpeg_arith QM coder all
+    decode for real since round 5, normalized to 8-bit
     at this layer) fall through to ``_decode_stub`` and are tagged
     ``codec = "stub"`` per row so downstream consumers can tell. At deployment, swap the stub for the
     native lib; every schema and mapInPandas batch contract stays

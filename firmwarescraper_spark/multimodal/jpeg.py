@@ -13,9 +13,12 @@ Scope:
     entropy stream, restart intervals (DRI/RSTn), multiple DQT/DHT
     segments, DHT redefinition between scans; AND lossless sequential
     (SOF3, T.81 Annex H: all 7 predictors, point transform, 2-16 bit
-    precision, exact reconstruction). Arithmetic coding and
-    hierarchical SOF markers are rejected with a ValueError (those
-    payloads fall back to the tagged stub path in binary.py).
+    precision, exact reconstruction); AND arithmetic-coded extended
+    sequential (SOF9 — QM coder + DAC conditioning, implemented in
+    jpeg_arith.py and dispatched from here). Arithmetic PROGRESSIVE
+    (SOF10) and hierarchical SOF markers are rejected with a
+    ValueError (those payloads fall back to the tagged stub path in
+    binary.py).
   * encode — baseline (``encode_jpeg``), progressive
     (``encode_jpeg_progressive``), and 12-bit extended sequential
     (``encode_jpeg_12bit``: SOF1 + Pq=1 quant tables + flat custom
@@ -265,7 +268,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     sequential (SOF1). Baseline/extended decode block-streaming;
     progressive (SOF2, spectral selection AND successive approximation)
     accumulates the coefficient store across scans and reconstructs at
-    EOI. Arithmetic coding / 12-bit progressive / hierarchical profiles
+    EOI. Arithmetic-coded sequential (SOF9) dispatches to jpeg_arith.
+    Arithmetic progressive / 12-bit progressive / hierarchical profiles
     raise ValueError."""
     if not payload or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -274,6 +278,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     frame = None            # (h, w, [(cid, hs, vs, qid)])
     progressive = False
     lossless = False
+    arith = False
+    dc_cond, ac_cond = {}, {}   # DAC conditioning (jpeg_arith defaults)
     coeffs = None           # progressive: cid -> (bh, bw, 64) int32 (zigzag)
     restart_interval = 0
     pos = 2
@@ -316,12 +322,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 table = _build_decode_map(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 bpos += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
             # SOF0 baseline (8-bit) / SOF1 extended sequential (8- or
             # 12-bit, T.81 table B.2) / SOF2 progressive (8-bit here;
-            # 12-bit progressive is spec-legal but out of scope)
+            # 12-bit progressive is spec-legal but out of scope) / SOF9
+            # extended sequential with ARITHMETIC entropy coding
             prec = body[0]
             progressive = marker == 0xC2
+            arith = marker == 0xC9
             allowed = (8,) if marker == 0xC0 else (8, 12)
             if prec not in allowed:
                 raise ValueError(
@@ -356,8 +364,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * i]))
             frame = (h, w, comps, prec)
         elif marker in (0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported SOF marker 0xFF{marker:02X}")
+        elif marker == 0xCC:        # DAC: arithmetic conditioning (B.2.4.3)
+            bpos = 0
+            while bpos + 1 < len(body):
+                tc, tb = body[bpos] >> 4, body[bpos] & 0x0F
+                cs = body[bpos + 1]
+                if tc == 0:
+                    dc_cond[tb] = (cs & 0x0F, cs >> 4)     # (L, U)
+                else:
+                    ac_cond[tb] = cs                        # Kx
+                bpos += 2
         elif marker == 0xDD:        # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:        # SOS -> entropy data follows
@@ -377,6 +395,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 return _decode_lossless_scan(
                     payload, data_start, frame, scan, huff_dc,
                     restart_interval, predictor, pt)
+            if arith:
+                from firmwarescraper_spark.multimodal import jpeg_arith
+                return jpeg_arith.decode_arith_scan(
+                    payload, data_start, frame, scan, qt, dc_cond,
+                    ac_cond, restart_interval)
             if not progressive:
                 return _decode_scan(
                     payload, data_start, frame, scan, qt, huff_dc, huff_ac,

@@ -1,0 +1,113 @@
+"""Arithmetic-coded JPEG (SOF9, multimodal/jpeg_arith.py).
+
+No arithmetic-JPEG producer exists in this container (PIL/libjpeg builds
+are Huffman-only), so conformance is pinned by the three-way strategy the
+module docstring documents: raw-coder roundtrips over adaptive contexts,
+cross-profile PIXEL EXACTNESS against the Huffman baseline (both entropy
+stages share one quantized-coefficient store), and the marker/stuffing
+discipline."""
+
+import numpy as np
+import pytest
+
+from firmwarescraper_spark.multimodal import jpeg as J
+from firmwarescraper_spark.multimodal import jpeg_arith as JA
+
+
+def _img(shape, seed=7):
+    rng = np.random.default_rng(seed)
+    if len(shape) == 2:
+        return rng.integers(0, 256, shape, dtype=np.uint8)
+    return (rng.integers(0, 256, shape).astype(np.float64) * 0.35
+            + np.linspace(0, 190, shape[1])[None, :, None] * 0.65
+            ).astype(np.uint8)
+
+
+def test_qm_coder_roundtrip_randomized():
+    import random
+
+    random.seed(1234)
+    for _ in range(8):
+        n = random.choice([50, 500, 5000])
+        nctx = random.choice([1, 8, 64])
+        biases = [random.random() for _ in range(nctx)]
+        decisions = [
+            (c, 1 if random.random() < biases[c] else 0)
+            for c in (random.randrange(nctx) for _ in range(n))
+        ]
+        enc = JA.ArithEncoder()
+        st = bytearray(nctx)
+        for c, d in decisions:
+            enc.encode(st, c, d)
+        data = enc.flush()
+        dec = JA.ArithDecoder(bytes(data) + b"\xff\xd9", 0)
+        st2 = bytearray(nctx)
+        assert all(dec.decode(st2, c) == d for c, d in decisions)
+
+
+def test_qm_fixed_bin_stays_fixed():
+    enc = JA.ArithEncoder()
+    st = bytearray(256)
+    st[JA._FIXED_BIN_IDX_AC] = 113
+    for i in range(1000):
+        enc.encode(st, JA._FIXED_BIN_IDX_AC, i & 1)
+    assert st[JA._FIXED_BIN_IDX_AC] == 113     # never adapts, never switches
+    # ~0.5 probability: 1000 decisions cost ~125 bytes
+    assert 110 <= len(enc.flush()) <= 140
+
+
+@pytest.mark.parametrize("shape,sub", [
+    ((16, 16), "444"),
+    ((24, 40, 3), "444"),
+    ((33, 31, 3), "420"),
+    ((48, 40, 3), "422"),
+])
+def test_arith_pixel_exact_vs_huffman(shape, sub):
+    img = _img(shape)
+    blob_h = J.encode_jpeg(img, quality=80, subsampling=sub)
+    blob_a = JA.encode_jpeg_arith(img, quality=80, subsampling=sub)
+    assert np.array_equal(J.decode_jpeg(blob_h), J.decode_jpeg(blob_a))
+    # the point of arithmetic coding: smaller files, same pixels
+    assert len(blob_a) < len(blob_h)
+
+
+def test_arith_restart_intervals_pixel_exact():
+    img = _img((48, 64, 3), seed=11)
+    ref = J.decode_jpeg(J.encode_jpeg(img, quality=75, subsampling="420",
+                                      restart_interval=2))
+    for ri in (1, 2, 5):
+        blob = JA.encode_jpeg_arith(img, quality=75, subsampling="420",
+                                    restart_interval=ri)
+        assert np.array_equal(J.decode_jpeg(blob), ref)
+
+
+def test_arith_dac_conditioning_variants():
+    img = _img((32, 32, 3), seed=3)
+    ref = J.decode_jpeg(J.encode_jpeg(img, quality=75, subsampling="444"))
+    for dc_cond, kx in [((0, 1), 5), ((1, 3), 1), ((2, 5), 63)]:
+        blob = JA.encode_jpeg_arith(img, quality=75, subsampling="444",
+                                    dc_cond=dc_cond, ac_kx=kx)
+        assert np.array_equal(J.decode_jpeg(blob), ref)
+
+
+def test_arith_stream_is_stuffed():
+    img = _img((40, 40, 3), seed=5)
+    blob = JA.encode_jpeg_arith(img, quality=60, subsampling="444")
+    sos = blob.index(b"\xff\xda")
+    body = blob[sos + 2 + int.from_bytes(blob[sos + 2:sos + 4], "big"):-2]
+    i = 0
+    while i < len(body):
+        if body[i] == 0xFF:
+            assert body[i + 1] == 0x00, f"bare 0xFF at {i}"
+            i += 2
+        else:
+            i += 1
+
+
+def test_sof10_still_rejected():
+    img = _img((16, 16))
+    blob = bytearray(JA.encode_jpeg_arith(img))
+    i = blob.index(b"\xff\xc9")
+    blob[i + 1] = 0xCA                          # flip SOF9 -> SOF10
+    with pytest.raises(ValueError):
+        J.decode_jpeg(bytes(blob))

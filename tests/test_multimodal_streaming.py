@@ -322,15 +322,19 @@ def test_jpeg_422_and_restart_intervals():
 
 
 def test_jpeg_rejects_unsupported_profiles():
+    # SOF9 (arithmetic sequential) decodes for real since round 5
+    # (jpeg_arith.py); the still-unsupported profiles keep rejecting:
+    # SOF10 arithmetic progressive and SOF5 hierarchical.
     import pytest as pt
 
     from firmwarescraper_spark.multimodal import jpeg as J
 
-    enc = bytearray(J.encode_jpeg(_gradient_rgb(8, 8)))
-    sof = enc.find(b"\xff\xc0")
-    enc[sof + 1] = 0xC9  # rebrand as arithmetic-coded sequential SOF9
-    with pt.raises(ValueError):
-        J.decode_jpeg(bytes(enc))
+    for marker in (0xCA, 0xC5):
+        enc = bytearray(J.encode_jpeg(_gradient_rgb(8, 8)))
+        sof = enc.find(b"\xff\xc0")
+        enc[sof + 1] = marker
+        with pt.raises(ValueError):
+            J.decode_jpeg(bytes(enc))
 
 
 def test_jpeg_spark_pipeline(spark):
