@@ -989,6 +989,7 @@ def _media_meta_sql() -> str:
         6: ("video", "mp4", 640, 360),  # ISO BMFF skeleton, real tkhd dims
         7: ("video", "mp4", 12, 7),    # Motion-JPEG: real sample table
         8: ("image", "jpeg", 12, 7),   # 12-bit extended sequential (SOF1)
+        9: ("image", "jpeg", 12, 7),   # arithmetic-coded (SOF9, QM coder)
     }
 
     def lit(x):

@@ -417,4 +417,13 @@ def demo_media_payloads() -> list:
         # high-bit-depth profile decodes for real since round 5
         (8, JX.encode_jpeg_12bit((rgb.astype(np.uint16) << 4) | 0x8,
                                  quality=90)),
+        # 12x7 arithmetic-coded sequential JPEG (SOF9, QM coder) — real
+        # decode since round 5 (multimodal/jpeg_arith.py)
+        (9, _arith_jpeg(rgb)),
     ]
+
+
+def _arith_jpeg(rgb):
+    from firmwarescraper_spark.multimodal import jpeg_arith as JA
+
+    return JA.encode_jpeg_arith(rgb, quality=90)
