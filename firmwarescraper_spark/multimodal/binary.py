@@ -18,9 +18,9 @@ Decode status (honest inventory):
     DECODE kernels (no ffmpeg in this container) and the one remaining
     exotic JPEG profile (hierarchical — 12-bit EXTENDED SEQUENTIAL,
     12-bit PROGRESSIVE, LOSSLESS SOF3 with all 7 predictors **and**
-    ARITHMETIC-CODED sequential SOF9 via the jpeg_arith QM coder all
-    decode for real since round 5, normalized to 8-bit
-    at this layer) fall through to ``_decode_stub`` and are tagged
+    ARITHMETIC-CODED sequential SOF9 + progressive SOF10 via the
+    jpeg_arith QM coder all decode for real since round 5, normalized
+    to 8-bit at this layer) fall through to ``_decode_stub`` and are tagged
     ``codec = "stub"`` per row so downstream consumers can tell. At deployment, swap the stub for the
     native lib; every schema and mapInPandas batch contract stays
     identical.

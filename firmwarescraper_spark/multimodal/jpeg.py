@@ -14,11 +14,11 @@ Scope:
     segments, DHT redefinition between scans; AND lossless sequential
     (SOF3, T.81 Annex H: all 7 predictors, point transform, 2-16 bit
     precision, exact reconstruction); AND arithmetic-coded extended
-    sequential (SOF9 — QM coder + DAC conditioning, implemented in
-    jpeg_arith.py and dispatched from here). Arithmetic PROGRESSIVE
-    (SOF10) and hierarchical SOF markers are rejected with a
-    ValueError (those payloads fall back to the tagged stub path in
-    binary.py).
+    sequential (SOF9) + arithmetic-coded progressive (SOF10) — QM coder
+    + DAC conditioning, implemented in jpeg_arith.py and dispatched
+    from here. Hierarchical and lossless-arithmetic SOF markers are
+    rejected with a ValueError (those payloads fall back to the tagged
+    stub path in binary.py).
   * encode — baseline (``encode_jpeg``), progressive
     (``encode_jpeg_progressive``), and 12-bit extended sequential
     (``encode_jpeg_12bit``: SOF1 + Pq=1 quant tables + flat custom
@@ -268,8 +268,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     sequential (SOF1). Baseline/extended decode block-streaming;
     progressive (SOF2, spectral selection AND successive approximation)
     accumulates the coefficient store across scans and reconstructs at
-    EOI. Arithmetic-coded sequential (SOF9) dispatches to jpeg_arith.
-    Arithmetic progressive / 12-bit progressive / hierarchical profiles
+    EOI. Arithmetic-coded sequential (SOF9) and progressive (SOF10)
+    dispatch to jpeg_arith. Hierarchical / lossless-arithmetic profiles
     raise ValueError."""
     if not payload or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -322,14 +322,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 table = _build_decode_map(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 bpos += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
             # SOF0 baseline (8-bit) / SOF1 extended sequential (8- or
-            # 12-bit, T.81 table B.2) / SOF2 progressive (8-bit here;
-            # 12-bit progressive is spec-legal but out of scope) / SOF9
-            # extended sequential with ARITHMETIC entropy coding
+            # 12-bit, T.81 table B.2) / SOF2 progressive / SOF9 extended
+            # sequential with ARITHMETIC entropy coding / SOF10
+            # progressive arithmetic
             prec = body[0]
-            progressive = marker == 0xC2
-            arith = marker == 0xC9
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
             allowed = (8,) if marker == 0xC0 else (8, 12)
             if prec not in allowed:
                 raise ValueError(
@@ -364,7 +364,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * i]))
             frame = (h, w, comps, prec)
         elif marker in (0xC5, 0xC6, 0xC7,
-                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                        0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported SOF marker 0xFF{marker:02X}")
         elif marker == 0xCC:        # DAC: arithmetic conditioning (B.2.4.3)
             bpos = 0
@@ -395,7 +395,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 return _decode_lossless_scan(
                     payload, data_start, frame, scan, huff_dc,
                     restart_interval, predictor, pt)
-            if arith:
+            if arith and not progressive:
                 from firmwarescraper_spark.multimodal import jpeg_arith
                 return jpeg_arith.decode_arith_scan(
                     payload, data_start, frame, scan, qt, dc_cond,
@@ -406,10 +406,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     restart_interval)
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ahal = body[3 + 2 * ns]
-            pos = _decode_progressive_scan(
-                payload, data_start, frame, scan, ss, se,
-                ahal >> 4, ahal & 0x0F, huff_dc, huff_ac,
-                restart_interval, coeffs)
+            if arith:
+                from firmwarescraper_spark.multimodal import jpeg_arith
+                pos = jpeg_arith.decode_arith_progressive_scan(
+                    payload, data_start, frame, scan, ss, se,
+                    ahal >> 4, ahal & 0x0F, dc_cond, ac_cond,
+                    restart_interval, coeffs)
+            else:
+                pos = _decode_progressive_scan(
+                    payload, data_start, frame, scan, ss, se,
+                    ahal >> 4, ahal & 0x0F, huff_dc, huff_ac,
+                    restart_interval, coeffs)
             continue
         pos += length
     if progressive and coeffs is not None:

@@ -1,5 +1,6 @@
-"""Arithmetic-coded JPEG (ITU-T T.81 Annexes D + F): the QM coder and the
-sequential-DCT arithmetic entropy stage (SOF9), encoder AND decoder.
+"""Arithmetic-coded JPEG (ITU-T T.81 Annexes D + F + G.1.3): the QM coder
+plus the sequential (SOF9) AND progressive (SOF10) arithmetic entropy
+stages, encoder AND decoder.
 
 Reference parity note: the reference repo never decodes media at all
 (/root/reference handles firmware blobs as opaque bytes); this module is
@@ -639,5 +640,341 @@ def encode_jpeg_arith(arr, quality: int = 85, subsampling: str = "444",
     sos += b"\x00\x3f\x00"
     out += seg(0xDA, sos)
     out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive arithmetic coding (SOF10, T.81 G.1.3): the four scan kinds
+# reuse the sequential statistical models — DC first codes scaled diffs
+# through the Annex F DC model, AC first codes the Ss..Se band through the
+# AC model, and the refinement passes use per-k correction bins (st+2) /
+# newly-significant bins (st+1) plus a non-adaptive fixed bin for signs
+# and DC refinement bits. Statistics reset at every scan (and restart).
+# ---------------------------------------------------------------------------
+
+
+def _encode_ac_first(enc, zz, ac_stats, fixed, ss, se, al, kx):
+    """AC first pass over one block's zigzag band (G.1.3.2)."""
+    ke = 0
+    for k in range(se, ss - 1, -1):
+        if (abs(int(zz[k])) >> al) != 0:
+            ke = k
+            break
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        enc.encode(ac_stats, st, 0)              # not EOB
+        while (abs(int(zz[k])) >> al) == 0:
+            enc.encode(ac_stats, st + 1, 0)
+            st += 3
+            k += 1
+        enc.encode(ac_stats, st + 1, 1)
+        v = int(zz[k])
+        if v > 0:
+            enc.encode(fixed, 0, 0)
+            v >>= al
+        else:
+            enc.encode(fixed, 0, 1)
+            v = (-v) >> al
+        _encode_mag(enc, ac_stats, st + 2, 189 if k <= kx else 217, v)
+        k += 1
+    if ke < se:
+        enc.encode(ac_stats, 3 * (k - 1), 1)     # EOB
+
+
+def _decode_ac_first(dec, zz, ac_stats, fixed, ss, se, al, kx):
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if dec.decode(ac_stats, st):
+            break
+        while dec.decode(ac_stats, st + 1) == 0:
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("arith AC band overflow")
+        sign = dec.decode(fixed, 0)
+        v = _decode_mag(dec, ac_stats, st + 2, 189 if k <= kx else 217)
+        zz[k] = (-v << al) if sign else (v << al)
+        k += 1
+
+
+def _encode_ac_refine(enc, zz, ac_stats, fixed, ss, se, ah, al):
+    """AC refinement pass (G.1.3.3): correction bits for previously
+    significant coefficients, significance + sign for newly significant
+    ones, EOB decisions only past the previous stage's band end."""
+    ke = 0
+    for k in range(se, ss - 1, -1):
+        if (abs(int(zz[k])) >> al) != 0:
+            ke = k
+            break
+    kex = 0                       # previous-stage EOB index
+    for k in range(ke, ss - 1, -1):
+        if (abs(int(zz[k])) >> ah) != 0:
+            kex = k
+            break
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        if k > kex:
+            enc.encode(ac_stats, st, 0)          # not EOB
+        while True:
+            v = int(zz[k])
+            t = abs(v) >> al
+            if t:
+                if t >> 1:                        # previously significant
+                    enc.encode(ac_stats, st + 2, t & 1)
+                else:                             # newly significant
+                    enc.encode(ac_stats, st + 1, 1)
+                    enc.encode(fixed, 0, 0 if v > 0 else 1)
+                break
+            enc.encode(ac_stats, st + 1, 0)
+            st += 3
+            k += 1
+        k += 1
+    if ke < se:
+        enc.encode(ac_stats, 3 * (k - 1), 1)     # EOB
+
+
+def _decode_ac_refine(dec, zz, ac_stats, fixed, ss, se, al):
+    p1 = 1 << al
+    m1 = -1 << al
+    kex = 0
+    for k in range(se, ss - 1, -1):
+        if int(zz[k]) != 0:
+            kex = k
+            break
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex:
+            if dec.decode(ac_stats, st):
+                break
+        while True:
+            v = int(zz[k])
+            if v:                                 # previously significant
+                if dec.decode(ac_stats, st + 2):
+                    zz[k] = v + (m1 if v < 0 else p1)
+                break
+            if dec.decode(ac_stats, st + 1):      # newly significant
+                zz[k] = m1 if dec.decode(fixed, 0) else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("arith AC refine overflow")
+        k += 1
+
+
+def decode_arith_progressive_scan(payload, data_start, frame, scan, ss, se,
+                                  ah, al, dc_cond, ac_cond,
+                                  restart_interval, coeffs):
+    """Decode one SOF10 progressive scan into the shared coefficient
+    store; returns the position of the next marker."""
+    from firmwarescraper_spark.multimodal import jpeg as J
+
+    comps = frame[2]
+    mcus_x, mcus_y, geo = J._comp_geometry(frame)
+    dec = ArithDecoder(payload, data_start)
+    fixed = bytearray([113])
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        dc_ids = sorted({td for _, td, _ in scan})
+        dc_stats = {td: bytearray(_DC_STATS_SIZE) for td in dc_ids}
+        pred = {cid: 0 for cid, _, _ in scan}
+        dctx = {cid: 0 for cid, _, _ in scan}
+        interleaved = len(scan) > 1
+        if interleaved:
+            units = []
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    blocks = []
+                    for cid, td, _ta in scan:
+                        hs, vs = geo[cid][0], geo[cid][1]
+                        blocks += [(cid, td, my * vs + by, mx * hs + bx)
+                                   for by in range(vs) for bx in range(hs)]
+                    units.append(blocks)
+        else:
+            cid0, td0, _ = scan[0]
+            _, _, _, _, bw_u, bh_u = geo[cid0]
+            units = [[(cid0, td0, by, bx)]
+                     for by in range(bh_u) for bx in range(bw_u)]
+        for i, unit in enumerate(units):
+            if restart_interval and i and i % restart_interval == 0:
+                p = _find_rst(payload, dec.marker_pos())
+                dec = ArithDecoder(payload, p + 2)
+                for td in dc_stats:
+                    dc_stats[td][:] = bytes(_DC_STATS_SIZE)
+                fixed[0] = 113
+                pred = {c: 0 for c in pred}
+                dctx = {c: 0 for c in dctx}
+            for cid, td, by, bx in unit:
+                block = coeffs[cid][by, bx]
+                if ah == 0:
+                    lo, hi = dc_cond.get(td, (0, 1))
+                    st = dctx[cid]
+                    stats = dc_stats[td]
+                    if dec.decode(stats, st) == 0:
+                        dctx[cid] = 0
+                    else:
+                        sign = dec.decode(stats, st + 1)
+                        v = _decode_mag(dec, stats, st + 2 + sign, 20)
+                        diff = -v if sign else v
+                        dctx[cid] = _classify_dc(diff, lo, hi)
+                        pred[cid] += diff
+                    block[0] = pred[cid] << al
+                else:
+                    if dec.decode(fixed, 0):
+                        block[0] |= (1 << al)
+    else:
+        if len(scan) != 1:
+            raise ValueError("interleaved AC scan is illegal in progressive")
+        cid, _td, ta = scan[0]
+        kx = ac_cond.get(ta, 5)
+        ac_stats = bytearray(_AC_STATS_SIZE)
+        _, _, _, _, bw_u, bh_u = geo[cid]
+        unit_i = 0
+        for by in range(bh_u):
+            for bx in range(bw_u):
+                if restart_interval and unit_i and \
+                        unit_i % restart_interval == 0:
+                    p = _find_rst(payload, dec.marker_pos())
+                    dec = ArithDecoder(payload, p + 2)
+                    ac_stats[:] = bytes(_AC_STATS_SIZE)
+                    fixed[0] = 113
+                unit_i += 1
+                block = coeffs[cid][by, bx]
+                if ah == 0:
+                    _decode_ac_first(dec, block, ac_stats, fixed,
+                                     ss, se, al, kx)
+                else:
+                    _decode_ac_refine(dec, block, ac_stats, fixed,
+                                      ss, se, al)
+    return J._find_next_marker(payload, dec.marker_pos())
+
+
+def encode_jpeg_arith_progressive(arr, quality: int = 85,
+                                  subsampling: str = "444",
+                                  dc_cond=(0, 1), ac_kx: int = 5) -> bytes:
+    """(H, W, 3) uint8 RGB or gray -> progressive arithmetic-coded JFIF
+    (SOF10). Same scan script as the Huffman progressive encoder (DC
+    first Al=1 interleaved -> DC refine -> per-component AC bands (1,5)
+    and (6,63) at Al=1 -> AC refinements), same quantized coefficients,
+    so the decode is pixel-identical to baseline/progressive Huffman."""
+    from firmwarescraper_spark.multimodal import jpeg as J
+    from firmwarescraper_spark.multimodal.jpeg import ZIGZAG
+
+    gray, h, w, lum_q, chr_q, padded, mcus_x, mcus_y = J._encode_prep(
+        arr, quality, subsampling)
+    stores = J._quantize_store(padded)
+    ncomp = len(padded)
+    lo, hi = dc_cond
+    tids = [0] + [1] * (ncomp - 1)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(lum_q[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, bytes([0x01]) + bytes(chr_q[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i, (_, hs, vs, *_rest) in enumerate(padded):
+        sof += bytes([i + 1, (hs << 4) | vs, 0 if i == 0 else 1])
+    out += seg(0xCA, sof)                        # SOF10
+    dac = b""
+    for t in sorted(set(tids)):
+        dac += bytes([0x00 | t, (hi << 4) | lo])
+        dac += bytes([0x10 | t, ac_kx])
+    out += seg(0xCC, dac)
+
+    def sos_header(comp_idxs, ss, se, ah, al):
+        body = bytes([len(comp_idxs)])
+        for ci in comp_idxs:
+            t = tids[ci]
+            body += bytes([ci + 1, (t << 4) | t])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    # --- scan 1: interleaved DC first, Al=1
+    out += sos_header(list(range(ncomp)), 0, 0, 0, 1)
+    enc = ArithEncoder()
+    dc_stats = {t: bytearray(_DC_STATS_SIZE) for t in set(tids)}
+    preds = [0] * ncomp
+    dctxs = [0] * ncomp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (_, hs, vs, *_r) in enumerate(padded):
+                t = tids[ci]
+                stats = dc_stats[t]
+                for by in range(vs):
+                    for bx in range(hs):
+                        v = int(stores[ci][my * vs + by, mx * hs + bx][0]) >> 1
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        st = dctxs[ci]
+                        if diff == 0:
+                            enc.encode(stats, st, 0)
+                            dctxs[ci] = 0
+                        else:
+                            enc.encode(stats, st, 1)
+                            if diff > 0:
+                                enc.encode(stats, st + 1, 0)
+                                _encode_mag(enc, stats, st + 2, 20, diff)
+                            else:
+                                enc.encode(stats, st + 1, 1)
+                                _encode_mag(enc, stats, st + 3, 20, -diff)
+                            dctxs[ci] = _classify_dc(diff, lo, hi)
+    out += enc.flush()
+
+    # --- scan 2: DC refinement Ah=1 -> Al=0 (fixed-bin raw bits)
+    out += sos_header(list(range(ncomp)), 0, 0, 1, 0)
+    enc = ArithEncoder()
+    fixed = bytearray([113])
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (_, hs, vs, *_r) in enumerate(padded):
+                for by in range(vs):
+                    for bx in range(hs):
+                        v = int(stores[ci][my * vs + by, mx * hs + bx][0])
+                        enc.encode(fixed, 0, v & 1)
+    out += enc.flush()
+
+    # --- scans 3..: per component AC bands at Al=1, then refinements.
+    # Non-interleaved scans traverse the component's own USED block grid
+    # (T.81 A.2.2), not the MCU-padded grid.
+    hmax = max(p[1] for p in padded)
+    vmax = max(p[2] for p in padded)
+
+    def used_grid(ci):
+        hs, vs = padded[ci][1], padded[ci][2]
+        cw = -(-w * hs // hmax)
+        ch = -(-h * vs // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    for bands, ah_al in (([(1, 5), (6, 63)], (0, 1)),
+                         ([(1, 5), (6, 63)], (1, 0))):
+        ah, al = ah_al
+        for ci in range(ncomp):
+            bh_u, bw_u = used_grid(ci)
+            for (bss, bse) in bands:
+                out += sos_header([ci], bss, bse, ah, al)
+                enc = ArithEncoder()
+                fixed = bytearray([113])
+                ac_stats = bytearray(_AC_STATS_SIZE)
+                for by in range(bh_u):
+                    for bx in range(bw_u):
+                        zz = stores[ci][by, bx]
+                        if ah == 0:
+                            _encode_ac_first(enc, zz, ac_stats, fixed,
+                                             bss, bse, al, ac_kx)
+                        else:
+                            _encode_ac_refine(enc, zz, ac_stats, fixed,
+                                              bss, bse, ah, al)
+                out += enc.flush()
+
     out += b"\xff\xd9"
     return bytes(out)

@@ -104,10 +104,38 @@ def test_arith_stream_is_stuffed():
             i += 1
 
 
-def test_sof10_still_rejected():
+def test_sof11_still_rejected():
     img = _img((16, 16))
     blob = bytearray(JA.encode_jpeg_arith(img))
     i = blob.index(b"\xff\xc9")
-    blob[i + 1] = 0xCA                          # flip SOF9 -> SOF10
+    blob[i + 1] = 0xCB                 # flip SOF9 -> SOF11 (lossless arith)
     with pytest.raises(ValueError):
         J.decode_jpeg(bytes(blob))
+
+
+@pytest.mark.parametrize("shape,sub", [
+    ((16, 16), "444"),
+    ((24, 40, 3), "444"),
+    ((33, 31, 3), "420"),
+    ((64, 48, 3), "422"),
+    ((7, 9, 3), "420"),
+])
+def test_arith_progressive_pixel_exact(shape, sub):
+    """SOF10: the progressive arithmetic scan script decodes to EXACTLY
+    the baseline-Huffman pixels (shared coefficient store), and beats the
+    Huffman progressive encoding in size."""
+    img = _img(shape, seed=9)
+    ref = J.decode_jpeg(J.encode_jpeg(img, quality=80, subsampling=sub))
+    blob = JA.encode_jpeg_arith_progressive(img, quality=80, subsampling=sub)
+    assert np.array_equal(ref, J.decode_jpeg(blob))
+    assert len(blob) < len(
+        J.encode_jpeg_progressive(img, quality=80, subsampling=sub))
+
+
+def test_arith_progressive_dac_conditioning():
+    img = _img((32, 24, 3), seed=13)
+    ref = J.decode_jpeg(J.encode_jpeg(img, quality=70, subsampling="444"))
+    for dc_cond, kx in [((1, 3), 1), ((0, 2), 63)]:
+        blob = JA.encode_jpeg_arith_progressive(
+            img, quality=70, subsampling="444", dc_cond=dc_cond, ac_kx=kx)
+        assert np.array_equal(ref, J.decode_jpeg(blob))

@@ -322,14 +322,14 @@ def test_jpeg_422_and_restart_intervals():
 
 
 def test_jpeg_rejects_unsupported_profiles():
-    # SOF9 (arithmetic sequential) decodes for real since round 5
-    # (jpeg_arith.py); the still-unsupported profiles keep rejecting:
-    # SOF10 arithmetic progressive and SOF5 hierarchical.
+    # SOF9/SOF10 (arithmetic sequential/progressive) decode for real
+    # since round 5 (jpeg_arith.py); the still-unsupported profiles keep
+    # rejecting: SOF5 hierarchical and SOF11 lossless-arithmetic.
     import pytest as pt
 
     from firmwarescraper_spark.multimodal import jpeg as J
 
-    for marker in (0xCA, 0xC5):
+    for marker in (0xC5, 0xCB):
         enc = bytearray(J.encode_jpeg(_gradient_rgb(8, 8)))
         sof = enc.find(b"\xff\xc0")
         enc[sof + 1] = marker
