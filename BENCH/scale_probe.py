@@ -91,6 +91,22 @@ def synth_embeddings(spark, n: int, dim: int = 64):
     )
 
 
+def synth_events(spark, n: int, events_per_user: int = 50):
+    """n events over n/events_per_user users, hash-scattered timestamps
+    across 30 days — the user count (and so the session count) grows
+    linearly with N, like a growing clickstream."""
+    from pyspark.sql import functions as F
+
+    users = max(1, n // events_per_user)
+    return spark.range(n).select(
+        F.pmod(F.col("id"), F.lit(users)).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000)
+            + F.pmod(F.xxhash64(F.col("id")), F.lit(86_400 * 30))
+        ).alias("ts"),
+    )
+
+
 def main():
     n_lo = int(sys.argv[1]) if len(sys.argv) > 1 else 25_000
     n_hi = 4 * n_lo
@@ -102,9 +118,10 @@ def main():
                       shuffle_partitions=32)
     spark.sparkContext.setLogLevel("FATAL")
 
-    def ops(docs, docs_dup, emb, planes):
+    def ops(docs, docs_dup, emb, events, planes):
         from firmwarescraper_spark.operators import curation as CU
         from firmwarescraper_spark.operators import similarity as SIM
+        from firmwarescraper_spark.streaming import events as EV
 
         # a fixed deterministic query vector (dim matches synth_embeddings)
         query = [((i * 37) % 200 - 100) / 100.0 for i in range(EMB_DIM)]
@@ -155,6 +172,16 @@ def main():
             # stays linear (a naive global window would serialize)
             "pack_sequences": lambda: CU.pack_sequences(
                 docs, max_tokens=512, buckets=64),
+            # BM25: the explode is pre-filtered to query-term hits and the
+            # df/stats sides broadcast, so cost is one tokenizing scan +
+            # O(hits) shuffle; the vocab grows with N so per-term hit
+            # counts stay ~constant per doc (webby growth, as above)
+            "bm25_topk": lambda: TX.bm25_topk(
+                docs, ["w1", "w2", "w3", "w5"], k=20),
+            # gap sessionization: one shuffle on user_id + per-user sort;
+            # user count grows with N so partitions stay balanced
+            "sessionize": lambda: EV.sessionize_batch(events,
+                                                      gap_minutes=30),
         }
 
     import math
@@ -164,10 +191,11 @@ def main():
         docs = synth_docs(spark, n).persist()
         docs_dup = synth_docs_grouped(spark, n).persist()
         emb = synth_embeddings(spark, n, dim=EMB_DIM).persist()
+        events = synth_events(spark, n).persist()
         # materialize: measure the operator, not the generator
-        docs.count(), docs_dup.count(), emb.count()
+        docs.count(), docs_dup.count(), emb.count(), events.count()
         planes = round(math.log2(n / 25))  # ~25-row buckets at any scale
-        for name, fn in ops(docs, docs_dup, emb, planes).items():
+        for name, fn in ops(docs, docs_dup, emb, events, planes).items():
             best = None
             for _ in range(2):  # best-of-2 defeats one-off stalls
                 t0 = time.monotonic()
@@ -181,6 +209,7 @@ def main():
         docs.unpersist()
         docs_dup.unpersist()
         emb.unpersist()
+        events.unpersist()
     for name, rec in out.items():
         rec["ratio"] = round(rec["n4_sec"] / max(rec["n_sec"], 1e-9), 2)
     print(json.dumps(out))

@@ -559,17 +559,25 @@ def decode_arith_scan(payload, data_start, frame, scan, qt, dc_cond,
 
 def encode_jpeg_arith(arr, quality: int = 85, subsampling: str = "444",
                       restart_interval: int = 0,
-                      dc_cond=(0, 1), ac_kx: int = 5) -> bytes:
+                      dc_cond=(0, 1), ac_kx: int = 5,
+                      precision: int = 8) -> bytes:
     """(H, W, 3) uint8 RGB or (H, W[, 1]) gray -> SOF9 arithmetic-coded
     JFIF bytes. Shares the DCT/quantization front half with the Huffman
     encoder (identical coefficient store — the basis of the cross-profile
     pixel-exactness test), emits an explicit DAC segment, and honors
-    restart intervals (coder flush + statistics/predictor reset)."""
+    restart intervals (coder flush + statistics/predictor reset).
+
+    ``precision`` 12 takes uint16 samples in [0, 4095] (SOF9 P=12, Pq=1
+    16-bit quantization tables) — the Annex F statistical model is
+    category-unbounded (unary magnitude trees), so the entropy stage is
+    precision-independent."""
     from firmwarescraper_spark.multimodal import jpeg as J
 
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
     gray, h, w, lum_q, chr_q, padded, mcus_x, mcus_y = J._encode_prep(
-        arr, quality, subsampling)
-    stores = J._quantize_store(padded)
+        arr, quality, subsampling, prec=precision)
+    stores = J._quantize_store(padded, level=float(1 << (precision - 1)))
     lo, hi = dc_cond
 
     enc = ArithEncoder()
@@ -618,10 +626,19 @@ def encode_jpeg_arith(arr, quality: int = 85, subsampling: str = "444",
     from firmwarescraper_spark.multimodal.jpeg import ZIGZAG
     out = bytearray(b"\xff\xd8")
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, bytes([0x00]) + bytes(lum_q[ZIGZAG].astype(np.uint8)))
-    if not gray:
-        out += seg(0xDB, bytes([0x01]) + bytes(chr_q[ZIGZAG].astype(np.uint8)))
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    if precision == 8:
+        out += seg(0xDB,
+                   bytes([0x00]) + bytes(lum_q[ZIGZAG].astype(np.uint8)))
+        if not gray:
+            out += seg(0xDB,
+                       bytes([0x01]) + bytes(chr_q[ZIGZAG].astype(np.uint8)))
+    else:                                       # Pq=1: 16-bit entries
+        out += seg(0xDB,
+                   bytes([0x10]) + lum_q[ZIGZAG].astype(">u2").tobytes())
+        if not gray:
+            out += seg(0xDB,
+                       bytes([0x11]) + chr_q[ZIGZAG].astype(">u2").tobytes())
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
     for i, (_, hs, vs, *_rest) in enumerate(padded):
         sof += bytes([i + 1, (hs << 4) | vs, 0 if i == 0 else 1])
     out += seg(0xC9, sof)                      # SOF9

@@ -139,3 +139,18 @@ def test_arith_progressive_dac_conditioning():
         blob = JA.encode_jpeg_arith_progressive(
             img, quality=70, subsampling="444", dc_cond=dc_cond, ac_kx=kx)
         assert np.array_equal(ref, J.decode_jpeg(blob))
+
+
+def test_arith_12bit_pixel_exact():
+    """SOF9 P=12 (Pq=1 tables, uint16 rasters): exact vs the 12-bit
+    Huffman extended-sequential path, at half the bytes."""
+    rng = np.random.default_rng(21)
+    img = ((rng.integers(0, 4096, (24, 32, 3)).astype(np.float64) * 0.3
+            + np.linspace(0, 3800, 32)[None, :, None] * 0.7)
+           ).astype(np.uint16)
+    ref = J.decode_jpeg(J.encode_jpeg_12bit(img, quality=85))
+    blob = JA.encode_jpeg_arith(img, quality=85, precision=12)
+    out = J.decode_jpeg(blob)
+    assert out.dtype == np.uint16
+    assert np.array_equal(ref, out)
+    assert len(blob) < len(J.encode_jpeg_12bit(img, quality=85))
