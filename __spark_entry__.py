@@ -678,6 +678,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents")
         return TX.bm25_topk(docs, _BM25_TERMS, k=20)
 
+    def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Bigram-LM perplexity filtering (textops.lm_score — the CCNet/
+        KenLM-style fluency score): add-one bigram model pruned to the
+        top 500 bigrams (broadcastable, like a pruned KenLM binary),
+        mean log-prob per doc with fixed reduction order."""
+        docs = _t(spark, sf_dir, "documents")
+        return TX.lm_score(docs, top_bigrams=500)
+
     return {
         "anti_join_seen": q_anti_join_seen,
         "bloom_anti_join": q_bloom_anti_join,
@@ -729,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": q_domain_mix,
         "sessionize": q_sessionize,
         "bm25_topk": q_bm25_topk,
+        "lm_score": q_lm_score,
     }
 
 
@@ -1382,6 +1391,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, bm25 FROM scored
             ORDER BY bm25 DESC, doc_id LIMIT 20
+        """,
+        # add-one bigram LM pruned to top-500 bigrams (count desc, bigram
+        # asc tie-break); per-bigram logs rounded to 6 and summed in
+        # document position order, mean rounded to 4 — mirrors lm_score.
+        "lm_score": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   t -> t <> '') AS toks
+                FROM documents
+            ), uni AS (
+                SELECT w, count(*)::DOUBLE AS cu
+                FROM (SELECT unnest(toks) AS w FROM toks) GROUP BY w
+            ), vocab AS (
+                SELECT count(*)::DOUBLE AS v FROM uni
+            ), bgs AS (
+                SELECT doc_id,
+                       [toks[i] || ' ' || toks[i+1]
+                        FOR i IN generate_series(1, len(toks)-1)] AS bgs
+                FROM toks WHERE len(toks) >= 2
+            ), big AS (
+                SELECT bg, count(*)::DOUBLE AS cb
+                FROM (SELECT unnest(bgs) AS bg FROM bgs) GROUP BY bg
+                ORDER BY cb DESC, bg LIMIT 500
+            ), pos_bg AS (
+                SELECT doc_id, unnest(bgs) AS bg,
+                       generate_subscripts(bgs, 1) AS pos
+                FROM bgs
+            ), lp AS (
+                SELECT p.doc_id, p.pos,
+                       round(ln((coalesce(big.cb, 0) + 1.0)
+                                / (coalesce(uni.cu, 0) + vocab.v)), 6) AS logp
+                FROM pos_bg p
+                LEFT JOIN big ON p.bg = big.bg
+                LEFT JOIN uni ON string_split(p.bg, ' ')[1] = uni.w
+                CROSS JOIN vocab
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                   round(list_sum(list(logp ORDER BY pos)) / count(*), 4)
+                       AS lm_logprob
+            FROM lp GROUP BY doc_id
         """,
         "repetition": r"""
             WITH d AS (

@@ -291,3 +291,93 @@ def bm25_topk(
         .orderBy(F.desc("bm25"), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model scoring (the CCNet/KenLM-style perplexity filter:
+# score each document by mean log-probability under an n-gram LM trained
+# on a reference corpus, keep the fluent tail). Here the LM is a pruned
+# add-one bigram model — the pruning (top-M bigrams) is what makes the
+# model BROADCASTABLE, exactly like shipping a pruned KenLM binary to
+# every executor.
+# ---------------------------------------------------------------------------
+
+
+def lm_score(
+    docs: DataFrame,
+    lm_docs: DataFrame | None = None,
+    top_bigrams: int = 50_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mean bigram log-probability per document under an add-one bigram
+    LM trained on ``lm_docs`` (default: ``docs`` itself).
+
+    Model: P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V), with the bigram table
+    pruned to the ``top_bigrams`` most frequent bigrams (ties broken by
+    bigram text) — pruned-out and unseen bigrams share the smoothed
+    floor. Output: (id, n_bigrams, lm_logprob).
+
+    Scale shape: unigram counts and the PRUNED bigram table are
+    vocab-sized aggregates — broadcast joined; the corpus-sized explode
+    shuffles once per aggregation during LM *training*, and scoring
+    itself is scan + broadcast joins only (the deployment path trains
+    the LM on a sample, scores the full corpus). The pruned-table
+    selection plans as TakeOrderedAndProject, not a global sort. Float
+    determinism: per-bigram logs rounded to 6, summed in document
+    position order (fixed reduction order), final mean rounded to 4.
+    """
+    if lm_docs is None:
+        lm_docs = docs
+    train_toks = lm_docs.select(
+        _bm25_tokens(F.col(text_col)).alias("_toks"))
+    uni = (
+        train_toks.select(F.explode("_toks").alias("_w"))
+        .groupBy("_w").agg(F.count("*").cast("double").alias("_cu"))
+    )
+    vocab = uni.agg(F.count("*").cast("double").alias("_v"))
+    bg_of = lambda toks: F.transform(       # noqa: E731
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat(F.element_at(toks, i + 1), F.lit(" "),
+                           F.element_at(toks, i + 2)),
+    )
+    big = (
+        train_toks.filter(F.size("_toks") >= 2)
+        .select(F.explode(bg_of(F.col("_toks"))).alias("_bg"))
+        .groupBy("_bg").agg(F.count("*").cast("double").alias("_cb"))
+        .orderBy(F.desc("_cb"), F.col("_bg"))
+        .limit(top_bigrams)
+    )
+    scored = (
+        docs.select(F.col(id_col), _bm25_tokens(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") >= 2)
+        .select(
+            id_col,
+            F.posexplode(bg_of(F.col("_toks"))).alias("_pos", "_bg"),
+        )
+        .withColumn("_w1", F.split("_bg", " ")[0])
+        .join(F.broadcast(big), "_bg", "left")
+        .join(F.broadcast(uni.withColumnRenamed("_w", "_w1")), "_w1", "left")
+        .join(F.broadcast(vocab))
+        .withColumn(
+            "_logp",
+            F.round(
+                F.log((F.coalesce(F.col("_cb"), F.lit(0.0)) + 1.0)
+                      / (F.coalesce(F.col("_cu"), F.lit(0.0)) + F.col("_v"))),
+                6,
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("_pos", "_logp"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["_logp"],
+            ).alias("_sum"),
+        )
+    )
+    return scored.select(
+        id_col, "n_bigrams",
+        F.round(F.col("_sum") / F.col("n_bigrams"), 4).alias("lm_logprob"),
+    )

@@ -61,3 +61,36 @@ def test_sessionize_query_shape(spark):
     row = out.orderBy("user_id", "session_start").first()
     assert row["session_events"] >= 1
     assert len(row["session_start"]) == 19  # formatted, tz-stable
+
+
+def test_lm_score_hand_values(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "b z")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in TX.lm_score(docs, top_bigrams=100).collect()}
+    # unigrams: a=3, b=4, z=1 -> V=3
+    # bigrams:  "a b"=3, "b a"=1, "b z"=1
+    def lp(cb, cu):
+        return round(math.log((cb + 1.0) / (cu + 3.0)), 6)
+
+    d1 = round((lp(3, 3) + lp(1, 4) + lp(3, 3)) / 3, 4)   # a b, b a, a b
+    d2 = round(lp(3, 3) / 1, 4)
+    d3 = round(lp(1, 4) / 1, 4)
+    assert out[1]["n_bigrams"] == 3 and out[1]["lm_logprob"] == pytest.approx(d1, abs=1e-9)
+    assert out[2]["lm_logprob"] == pytest.approx(d2, abs=1e-9)
+    assert out[3]["lm_logprob"] == pytest.approx(d3, abs=1e-9)
+    # the common-pattern doc scores higher (less negative) than the rare one
+    assert out[2]["lm_logprob"] > out[3]["lm_logprob"]
+
+
+def test_lm_score_pruning_floor(spark):
+    """A bigram pruned out of the top-M table gets the unseen floor."""
+    rows = [(i, "x y") for i in range(10)] + [(99, "q r")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["lm_logprob"]
+           for r in TX.lm_score(docs, top_bigrams=1).collect()}
+    # "x y" (count 10) survives the prune; "q r" doesn't -> floor
+    assert out[0] > out[99]
