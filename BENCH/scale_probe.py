@@ -182,6 +182,10 @@ def main():
             # user count grows with N so partitions stay balanced
             "sessionize": lambda: EV.sessionize_batch(events,
                                                       gap_minutes=30),
+            # pruned bigram LM: training aggregations shuffle vocab-sized
+            # tables, scoring is scan + broadcast joins; the prune cap is
+            # FIXED across scales (the broadcastability invariant)
+            "lm_score": lambda: TX.lm_score(docs, top_bigrams=20_000),
         }
 
     import math

@@ -678,6 +678,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents")
         return TX.bm25_topk(docs, _BM25_TERMS, k=20)
 
+    def q_revenue_by_segment(spark: SparkSession, sf: str) -> DataFrame:
+        """Star-schema analytic join (customer ⋈ orders ⋈ lineitem):
+        revenue by market segment for 1996 orders — the catalyst-friendly
+        declarative shape: dimension filter pushed to the scan, small
+        build sides broadcast, one final segment aggregate."""
+        cust = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+        orders = _t(spark, sf, "orders").filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        ).select("o_orderkey", "o_custkey")
+        li = _t(spark, sf, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount")
+        return (
+            li.join(F.broadcast(orders),
+                    li["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(cust),
+                  orders["o_custkey"] == cust["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 2).alias("revenue"),
+                F.count("*").alias("n_items"),
+            )
+        )
+
+    def q_length_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+        """Per-language exact length quantiles (median/p90 of n_chars,
+        linear interpolation) — the curation dashboard stat; exact
+        percentile is a per-group sort over a bounded group, the approx
+        sketch (percentile_approx/t-digest) is the 10^10-row variant."""
+        docs = _t(spark, sf, "documents")
+        return docs.groupBy("lang").agg(
+            F.round(F.expr("percentile(n_chars, 0.5)"), 2).alias("p50"),
+            F.round(F.expr("percentile(n_chars, 0.9)"), 2).alias("p90"),
+            F.count("*").alias("n"),
+        )
+
     def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Bigram-LM perplexity filtering (textops.lm_score — the CCNet/
         KenLM-style fluency score): add-one bigram model pruned to the
@@ -738,6 +775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "bm25_topk": q_bm25_topk,
         "lm_score": q_lm_score,
+        "revenue_by_segment": q_revenue_by_segment,
+        "length_quantiles": q_length_quantiles,
     }
 
 
@@ -1432,6 +1471,25 @@ def oracle_sql() -> dict[str, str]:
                    round(list_sum(list(logp ORDER BY pos)) / count(*), 4)
                        AS lm_logprob
             FROM lp GROUP BY doc_id
+        """,
+        "revenue_by_segment": """
+            SELECT c.c_mktsegment,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE o.o_orderdate >= DATE '1996-01-01'
+              AND o.o_orderdate < DATE '1997-01-01'
+            GROUP BY c.c_mktsegment
+        """,
+        "length_quantiles": """
+            SELECT lang,
+                   round(quantile_cont(n_chars, 0.5), 2) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 2) AS p90,
+                   count(*)::BIGINT AS n
+            FROM documents GROUP BY lang
         """,
         "repetition": r"""
             WITH d AS (
