@@ -18,9 +18,9 @@ Decode status (honest inventory):
     DECODE kernels (no ffmpeg in this container) and the one remaining
     exotic JPEG profile (hierarchical — 12-bit EXTENDED SEQUENTIAL,
     12-bit PROGRESSIVE, LOSSLESS SOF3 with all 7 predictors **and**
-    ARITHMETIC-CODED sequential SOF9 + progressive SOF10 via the
-    jpeg_arith QM coder all decode for real since round 5, normalized
-    to 8-bit at this layer) fall through to ``_decode_stub`` and are tagged
+    ARITHMETIC-CODED sequential SOF9 + progressive SOF10 + lossless
+    SOF11 via the jpeg_arith QM coder all decode for real since round 5,
+    normalized to 8-bit at this layer) fall through to ``_decode_stub`` and are tagged
     ``codec = "stub"`` per row so downstream consumers can tell. At deployment, swap the stub for the
     native lib; every schema and mapInPandas batch contract stays
     identical.
@@ -161,10 +161,12 @@ def _try_decode_image(payload: bytes):
 
             arr = JX.decode_jpeg(payload)
             if arr.dtype == np.uint16:
-                # 12-bit extended sequential: normalize to the pipeline's
-                # uniform 8-bit raster contract (full 12-bit rasters stay
-                # available via jpeg.decode_jpeg directly)
-                arr = (arr >> 4).astype(np.uint8)
+                # high-bit-depth profiles (12-bit extended/progressive,
+                # 2-16-bit lossless): normalize to the pipeline's uniform
+                # 8-bit raster contract by the FRAME's declared precision
+                # (full-depth rasters stay available via jpeg.decode_jpeg)
+                prec = JX.jpeg_precision(payload) or 16
+                arr = (arr >> max(prec - 8, 0)).astype(np.uint8)
             return arr, "jpeg"
     except Exception:
         pass  # malformed/unsupported variant -> stub path, tagged below

@@ -13,12 +13,12 @@ Scope:
     entropy stream, restart intervals (DRI/RSTn), multiple DQT/DHT
     segments, DHT redefinition between scans; AND lossless sequential
     (SOF3, T.81 Annex H: all 7 predictors, point transform, 2-16 bit
-    precision, exact reconstruction); AND arithmetic-coded extended
-    sequential (SOF9) + arithmetic-coded progressive (SOF10) — QM coder
-    + DAC conditioning, implemented in jpeg_arith.py and dispatched
-    from here. Hierarchical and lossless-arithmetic SOF markers are
-    rejected with a ValueError (those payloads fall back to the tagged
-    stub path in binary.py).
+    precision, exact reconstruction); AND the arithmetic-coded twins —
+    extended sequential (SOF9), progressive (SOF10), lossless (SOF11) —
+    QM coder + DAC conditioning, implemented in jpeg_arith.py and
+    dispatched from here. Hierarchical SOF markers are rejected with a
+    ValueError (those payloads fall back to the tagged stub path in
+    binary.py).
   * encode — baseline (``encode_jpeg``), progressive
     (``encode_jpeg_progressive``), and 12-bit extended sequential
     (``encode_jpeg_12bit``: SOF1 + Pq=1 quant tables + flat custom
@@ -239,6 +239,28 @@ def _extend(v: int, t: int) -> int:
 # decoder
 # ---------------------------------------------------------------------------
 
+def jpeg_precision(payload: bytes):
+    """Sample precision P from the SOFn header — header-only, no decode."""
+    try:
+        if not payload or payload[:3] != b"\xff\xd8\xff":
+            return None
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            length = struct.unpack_from(">H", payload, pos + 2)[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return int(payload[pos + 4])
+            pos += 2 + length
+        return None
+    except Exception:
+        return None
+
+
 def jpeg_dims(payload: bytes):
     """(width, height) from the SOFn header — header-only, no decode."""
     try:
@@ -349,10 +371,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     cid: np.zeros((bh_pad, bw_pad, 64), dtype=np.int32)
                     for cid, (_, _, bw_pad, bh_pad, _, _) in geo[2].items()
                 }
-        elif marker == 0xC3:
-            # SOF3 lossless sequential (T.81 Annex H): P in 2..16
+        elif marker in (0xC3, 0xCB):
+            # SOF3 lossless sequential (T.81 Annex H): P in 2..16;
+            # SOF11 is its arithmetic-coded twin (jpeg_arith)
             prec = body[0]
             lossless = True
+            arith = marker == 0xCB
             if not 2 <= prec <= 16:
                 raise ValueError(f"bad lossless precision {prec}")
             h, w = struct.unpack_from(">HH", body, 1)
@@ -364,7 +388,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * i]))
             frame = (h, w, comps, prec)
         elif marker in (0xC5, 0xC6, 0xC7,
-                        0xCB, 0xCD, 0xCE, 0xCF):
+                        0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported SOF marker 0xFF{marker:02X}")
         elif marker == 0xCC:        # DAC: arithmetic conditioning (B.2.4.3)
             bpos = 0
@@ -392,6 +416,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 # Ss = predictor selector (1-7), Al = point transform
                 predictor = body[1 + 2 * ns]
                 pt = body[3 + 2 * ns] & 0x0F
+                if arith:
+                    from firmwarescraper_spark.multimodal import jpeg_arith
+                    return jpeg_arith.decode_arith_lossless_scan(
+                        payload, data_start, frame, scan, dc_cond,
+                        restart_interval, predictor, pt)
                 return _decode_lossless_scan(
                     payload, data_start, frame, scan, huff_dc,
                     restart_interval, predictor, pt)

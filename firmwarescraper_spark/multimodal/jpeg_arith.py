@@ -995,3 +995,179 @@ def encode_jpeg_arith_progressive(arr, quality: int = 85,
 
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Lossless arithmetic coding (SOF11, T.81 Annex H + F): prediction
+# differences coded through the Annex F DC-style zero/sign/magnitude
+# procedure, conditioned on the CLASSIFIED differences of the left (Da)
+# and above (Db) neighbors — 5x5 context groups of 4 bins each, plus two
+# magnitude trees selected by whether Db classifies as large. Bin-layout
+# honesty: the 25-group x 4 + two-tree structure is per Annex H's
+# statistical model; the exact bin OFFSETS below are this module's
+# reconstruction (no arithmetic-lossless producer exists in-sandbox to
+# cross-check byte streams), and the pinned properties are encoder/
+# decoder self-consistency and EXACT reconstruction of the original
+# raster for every predictor.
+# ---------------------------------------------------------------------------
+
+_LL_STATS_SIZE = 160                # 25*4 contexts + 2 magnitude trees
+_LL_MAG_SMALL = 100                 # Db not large: 15 cat + 14 bit bins
+_LL_MAG_LARGE = 129                 # Db large
+
+
+def _ll_cls(diff: int, lo: int, hi: int) -> int:
+    """5-way conditioning category of a neighbor difference: 0 zero /
+    1 small+ / 2 small- / 3 large+ / 4 large- (the DC rule, H.1.4)."""
+    return _classify_dc(diff, lo, hi) >> 2
+
+
+def _ll_predict(s, y, x, predictor, default, fresh):
+    if fresh:
+        return default
+    if y == 0:
+        return int(s[0, x - 1])
+    if x == 0:
+        return int(s[y - 1, 0])
+    ra, rb, rc = (int(s[y, x - 1]), int(s[y - 1, x]), int(s[y - 1, x - 1]))
+    return (ra, rb, rc, ra + rb - rc, ra + ((rb - rc) >> 1),
+            rb + ((ra - rc) >> 1), (ra + rb) >> 1)[predictor - 1]
+
+
+def _ll_context(diffs, y, x, lo, hi):
+    """(S0, mag_base) from the classified left/above differences."""
+    da = int(diffs[y, x - 1]) if x > 0 else 0
+    db = int(diffs[y - 1, x]) if y > 0 else 0
+    ca, cb = _ll_cls(da, lo, hi), _ll_cls(db, lo, hi)
+    s0 = 4 * (ca + 5 * cb)
+    return s0, (_LL_MAG_LARGE if cb >= 3 else _LL_MAG_SMALL)
+
+
+def decode_arith_lossless_scan(payload, data_start, frame, scan, dc_cond,
+                               restart_interval, predictor, pt):
+    """SOF11 lossless scan -> (H, W, C) raster, exact reconstruction."""
+    h, w, comps = frame[:3]
+    prec = frame[3]
+    if any(hs != 1 or vs != 1 for _, hs, vs, _ in comps):
+        raise ValueError("lossless decode supports 1x1 sampling only")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"bad lossless predictor {predictor}")
+    default = 1 << (prec - pt - 1)
+    order = [(cs, td) for cs, td, _ta in scan]
+    samples = {cs: np.zeros((h, w), dtype=np.int32) for cs, _ in order}
+    diffs = {cs: np.zeros((h, w), dtype=np.int32) for cs, _ in order}
+    conds = {td: dc_cond.get(td, (0, 1)) for _, td in order}
+    stats = {td: bytearray(_LL_STATS_SIZE) for _, td in order}
+    dec = ArithDecoder(payload, data_start)
+    mcu_count = 0
+    restart_pending = False
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                p = _find_rst(payload, dec.marker_pos())
+                dec = ArithDecoder(payload, p + 2)
+                for td in stats:
+                    stats[td][:] = bytes(_LL_STATS_SIZE)
+                restart_pending = True
+            for cs, td in order:
+                lo, hi = conds[td]
+                st_area = stats[td]
+                fresh = restart_pending or (y == 0 and x == 0)
+                s0, mag = (0, _LL_MAG_SMALL) if fresh else \
+                    _ll_context(diffs[cs], y, x, lo, hi)
+                if dec.decode(st_area, s0) == 0:
+                    d = 0
+                else:
+                    sign = dec.decode(st_area, s0 + 1)
+                    v = _decode_mag(dec, st_area, s0 + 2 + sign, mag)
+                    d = -v if sign else v
+                p = _ll_predict(samples[cs], y, x, predictor, default, fresh)
+                samples[cs][y, x] = (p + d) & 0xFFFF
+                diffs[cs][y, x] = d
+            restart_pending = False
+            mcu_count += 1
+    out_dtype = np.uint8 if prec <= 8 else np.uint16
+    planes = [(samples[cs] << pt).astype(out_dtype) for cs, _ in order]
+    return np.stack(planes, axis=2)
+
+
+def encode_jpeg_lossless_arith(arr, predictor: int = 1, pt: int = 0,
+                               dc_cond=(0, 1),
+                               restart_interval: int = 0) -> bytes:
+    """(H, W) or (H, W, C) integer raster -> SOF11 arithmetic-coded
+    lossless JFIF bytes. decode(encode(a)) == a exactly (for pt=0; with
+    pt=k the decoder returns (a >> k) << k, like the Huffman twin)."""
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"bad lossless predictor {predictor}")
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    prec = 8 if a.dtype == np.uint8 else 16
+    h, w, ncomp = a.shape
+    planes = (a.astype(np.int64) >> pt)
+    default = 1 << (prec - pt - 1)
+    lo, hi = dc_cond
+
+    enc = ArithEncoder()
+    stats = bytearray(_LL_STATS_SIZE)     # one DC table id for all comps
+    diffs = [np.zeros((h, w), dtype=np.int32) for _ in range(ncomp)]
+    entropy = bytearray()
+    mcu_count = 0
+    rst_n = 0
+    restart_pending = False
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                entropy += enc.flush()
+                entropy += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) & 7
+                enc = ArithEncoder()
+                stats[:] = bytes(_LL_STATS_SIZE)
+                restart_pending = True
+            for c in range(ncomp):
+                s = planes[:, :, c]
+                fresh = restart_pending or (y == 0 and x == 0)
+                p = _ll_predict(s, y, x, predictor, default, fresh)
+                d = (int(s[y, x]) - p) & 0xFFFF
+                if d >= 32768:
+                    d -= 65536
+                if d == -32768:
+                    d = 32768           # same mod-2^16 point, codable sign+
+                s0, mag = (0, _LL_MAG_SMALL) if fresh else \
+                    _ll_context(diffs[c], y, x, lo, hi)
+                if d == 0:
+                    enc.encode(stats, s0, 0)
+                else:
+                    enc.encode(stats, s0, 1)
+                    if d > 0:
+                        enc.encode(stats, s0 + 1, 0)
+                        _encode_mag(enc, stats, s0 + 2, mag, d)
+                    else:
+                        enc.encode(stats, s0 + 1, 1)
+                        _encode_mag(enc, stats, s0 + 3, mag, -d)
+                diffs[c][y, x] = d
+            restart_pending = False
+            mcu_count += 1
+    entropy += enc.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", prec, h, w, ncomp)
+    for i in range(ncomp):
+        sof += bytes([i + 1, 0x11, 0])
+    out += seg(0xCB, sof)                     # SOF11
+    out += seg(0xCC, bytes([0x00, (hi << 4) | lo]))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([predictor, 0x00, pt & 0x0F])
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -104,13 +104,38 @@ def test_arith_stream_is_stuffed():
             i += 1
 
 
-def test_sof11_still_rejected():
+def test_hierarchical_still_rejected():
     img = _img((16, 16))
-    blob = bytearray(JA.encode_jpeg_arith(img))
-    i = blob.index(b"\xff\xc9")
-    blob[i + 1] = 0xCB                 # flip SOF9 -> SOF11 (lossless arith)
-    with pytest.raises(ValueError):
-        J.decode_jpeg(bytes(blob))
+    for marker in (0xC5, 0xCD):        # hierarchical profiles stay rejected
+        blob = bytearray(JA.encode_jpeg_arith(img))
+        i = blob.index(b"\xff\xc9")
+        blob[i + 1] = marker
+        with pytest.raises(ValueError):
+            J.decode_jpeg(bytes(blob))
+
+
+@pytest.mark.parametrize("predictor", list(range(1, 8)))
+def test_lossless_arith_exact_all_predictors(predictor):
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (21, 17, 3), dtype=np.uint8)
+    blob = JA.encode_jpeg_lossless_arith(img, predictor=predictor)
+    assert np.array_equal(J.decode_jpeg(blob), img)
+
+
+def test_lossless_arith_16bit_pt_restart():
+    rng = np.random.default_rng(33)
+    img16 = rng.integers(0, 65536, (13, 19), dtype=np.uint16)
+    b16 = JA.encode_jpeg_lossless_arith(img16, predictor=4)
+    assert np.array_equal(J.decode_jpeg(b16)[:, :, 0], img16)
+    smooth = np.linspace(0, 255, 40 * 30).reshape(40, 30).astype(np.uint8)
+    bpt = JA.encode_jpeg_lossless_arith(smooth, predictor=2, pt=2)
+    assert np.array_equal(J.decode_jpeg(bpt)[:, :, 0], (smooth >> 2) << 2)
+    brs = JA.encode_jpeg_lossless_arith(smooth, predictor=7,
+                                        restart_interval=100)
+    assert np.array_equal(J.decode_jpeg(brs)[:, :, 0], smooth)
+    # the adaptive coder beats the Huffman lossless twin on smooth data
+    assert len(JA.encode_jpeg_lossless_arith(smooth)) < \
+        len(J.encode_jpeg_lossless(smooth))
 
 
 @pytest.mark.parametrize("shape,sub", [

@@ -322,14 +322,14 @@ def test_jpeg_422_and_restart_intervals():
 
 
 def test_jpeg_rejects_unsupported_profiles():
-    # SOF9/SOF10 (arithmetic sequential/progressive) decode for real
-    # since round 5 (jpeg_arith.py); the still-unsupported profiles keep
-    # rejecting: SOF5 hierarchical and SOF11 lossless-arithmetic.
+    # SOF9/10/11 (arithmetic sequential/progressive/lossless) decode for
+    # real since round 5 (jpeg_arith.py); the hierarchical profiles keep
+    # rejecting.
     import pytest as pt
 
     from firmwarescraper_spark.multimodal import jpeg as J
 
-    for marker in (0xC5, 0xCB):
+    for marker in (0xC5, 0xCE):
         enc = bytearray(J.encode_jpeg(_gradient_rgb(8, 8)))
         sof = enc.find(b"\xff\xc0")
         enc[sof + 1] = marker
