@@ -120,6 +120,7 @@ def main():
 
     def ops(docs, docs_dup, emb, events, planes):
         from firmwarescraper_spark.operators import curation as CU
+        from firmwarescraper_spark.operators import graph as GR
         from firmwarescraper_spark.operators import similarity as SIM
         from firmwarescraper_spark.streaming import events as EV
 
@@ -182,6 +183,14 @@ def main():
             # user count grows with N so partitions stay balanced
             "sessionize": lambda: EV.sessionize_batch(events,
                                                       gap_minutes=30),
+            # PageRank, 3 sweeps over a 3-out-degree link graph: edge
+            # table cached hash-partitioned by src once, one rank-table
+            # shuffle + map-side-combined groupBy(dst) per iteration —
+            # linear in edges at fixed iteration count
+            "pagerank": lambda: GR.pagerank(
+                docs.select("doc_id"),
+                GR.synthetic_link_edges(docs.select("doc_id")),
+                iterations=3),
             # pruned bigram LM: training aggregations shuffle vocab-sized
             # tables, scoring is scan + broadcast joins; the prune cap is
             # FIXED across scales (the broadcastability invariant)

@@ -362,6 +362,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = DD.minhash_lsh_pairs(docs, num_hashes=8, bands=4)
         return DD.neardup_components(docs, pairs)
 
+    def q_pagerank(spark, sf):
+        """Link-authority frontier scoring (operators/graph.py): 3
+        damped PageRank sweeps over a deterministic md5-derived link
+        graph (3 out-edges per doc) — the crawl-ordering complement to
+        the heuristic W5 priority. The oracle unrolls the same three
+        iterations in SQL over the identically-reconstructed edge
+        table; both sides round the final rank to 6 decimals."""
+        from firmwarescraper_spark.operators import graph as G
+
+        nodes = (
+            _t(spark, sf, "documents")
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id")
+        )
+        edges = G.synthetic_link_edges(nodes, out_degree=3)
+        return G.pagerank(nodes, edges, iterations=3, damping=0.85)
+
     def q_simhash(spark, sf):
         return DD.simhash(
             _t(spark, sf, "documents").filter(F.col("doc_id") < 200), bits=16
@@ -749,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "neardup_components": q_neardup_components,
+        "pagerank": q_pagerank,
         "pack_sequences": q_pack_sequences,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -859,6 +877,46 @@ _NEARDUP_COMPONENTS_SQL = (
     "FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d\n"
     "LEFT JOIN cc USING (doc_id)"
 )
+
+_PAGERANK_SQL = """
+    WITH nodes AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+    nn AS (SELECT count(*) AS c FROM nodes),
+    edges AS (
+        SELECT n.doc_id AS src,
+               ('0x' || substr(md5('edge' || t.i || '|' || n.doc_id), 1, 15))::BIGINT
+                   % (SELECT c FROM nn) AS dst
+        FROM nodes n CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) t
+    ),
+    r0 AS (SELECT doc_id AS v, 1.0::DOUBLE / (SELECT c FROM nn) AS r FROM nodes),
+    r1 AS (
+        SELECT nd.doc_id AS v,
+               0.15::DOUBLE / (SELECT c FROM nn)
+                   + 0.85 * coalesce(sum(r0.r / 3.0), 0) AS r
+        FROM nodes nd
+        LEFT JOIN edges e ON e.dst = nd.doc_id
+        LEFT JOIN r0 ON r0.v = e.src
+        GROUP BY nd.doc_id
+    ),
+    r2 AS (
+        SELECT nd.doc_id AS v,
+               0.15::DOUBLE / (SELECT c FROM nn)
+                   + 0.85 * coalesce(sum(r1.r / 3.0), 0) AS r
+        FROM nodes nd
+        LEFT JOIN edges e ON e.dst = nd.doc_id
+        LEFT JOIN r1 ON r1.v = e.src
+        GROUP BY nd.doc_id
+    ),
+    r3 AS (
+        SELECT nd.doc_id AS v,
+               0.15::DOUBLE / (SELECT c FROM nn)
+                   + 0.85 * coalesce(sum(r2.r / 3.0), 0) AS r
+        FROM nodes nd
+        LEFT JOIN edges e ON e.dst = nd.doc_id
+        LEFT JOIN r2 ON r2.v = e.src
+        GROUP BY nd.doc_id
+    )
+    SELECT v AS doc_id, round(r, 6) AS pagerank FROM r3
+"""
 
 _SIMHASH_PAIRS_SQL = (
     "WITH s AS (" + _SIMHASH_SQL + ")\n"
@@ -1331,6 +1389,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _MINHASH_SIGS_SQL,
         "minhash_lsh_pairs": _MINHASH_PAIRS_SQL,
         "neardup_components": _NEARDUP_COMPONENTS_SQL,
+        "pagerank": _PAGERANK_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "simhash": _SIMHASH_SQL,
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
