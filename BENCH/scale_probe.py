@@ -122,6 +122,7 @@ def main():
         from firmwarescraper_spark.operators import curation as CU
         from firmwarescraper_spark.operators import graph as GR
         from firmwarescraper_spark.operators import similarity as SIM
+        from firmwarescraper_spark.operators import sketches as SK
         from firmwarescraper_spark.streaming import events as EV
 
         # a fixed deterministic query vector (dim matches synth_embeddings)
@@ -195,6 +196,21 @@ def main():
             # tables, scoring is scan + broadcast joins; the prune cap is
             # FIXED across scales (the broadcastability invariant)
             "lm_score": lambda: TX.lm_score(docs, top_bigrams=20_000),
+            # HLL distinct per group: the shuffle carries at most
+            # groups × 2^p fixed-width register rows (map-side combined)
+            # no matter the input size — flat-to-linear by construction.
+            # Distinct-ts per user-bucket so the TRUE cardinality grows
+            # with N (the estimator's state still doesn't).
+            "hll_distinct": lambda: SK.hll_distinct(
+                events.withColumn(
+                    "g", __import__("pyspark.sql.functions",
+                                    fromlist=["pmod"]).pmod("user_id", 8)),
+                "ts", ["g"]),
+            # count-min heavy hitters: sketch is depth×width rows total
+            # (broadcast), candidates are the distinct tokens — the only
+            # N-proportional costs are the tokenizing scan + distinct
+            "cms_heavy_hitters": lambda: SK.cms_heavy_hitters(
+                docs, "text", k=20),
         }
 
     import math

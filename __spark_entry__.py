@@ -379,6 +379,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         edges = G.synthetic_link_edges(nodes, out_degree=3)
         return G.pagerank(nodes, edges, iterations=3, damping=0.85)
 
+    def q_hll_distinct(spark, sf):
+        """HyperLogLog distinct-user estimate per event type
+        (operators/sketches.py): md5-hash registers, exact integer
+        harmonic sum, one float division per group — the cardinality
+        estimator that sizes the partitioned Bloom seen-set at
+        10^10-URL scale. The oracle replays the identical registers
+        and formula in DuckDB."""
+        from firmwarescraper_spark.operators import sketches as SK
+
+        return SK.hll_distinct(
+            _t(spark, sf, "events"), "user_id", ["event_type"]
+        )
+
+    def q_cms_heavy_hitters(spark, sf):
+        """Count-min-sketch heavy hitters (operators/sketches.py):
+        depth×width token sketch (broadcastable at any corpus size),
+        min-over-rows estimate, top-20 tokens. Hot-key detection for
+        frontier salting / stopword induction; oracle replays the
+        sketch verbatim."""
+        from firmwarescraper_spark.operators import sketches as SK
+
+        return SK.cms_heavy_hitters(
+            _t(spark, sf, "documents").filter(F.col("doc_id") < 300),
+            "text", k=20,
+        )
+
     def q_simhash(spark, sf):
         return DD.simhash(
             _t(spark, sf, "documents").filter(F.col("doc_id") < 200), bits=16
@@ -767,6 +793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "neardup_components": q_neardup_components,
         "pagerank": q_pagerank,
+        "hll_distinct": q_hll_distinct,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "pack_sequences": q_pack_sequences,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -877,6 +905,14 @@ _NEARDUP_COMPONENTS_SQL = (
     "FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d\n"
     "LEFT JOIN cc USING (doc_id)"
 )
+
+def _sketches_mod():
+    """Import deferred so oracle_sql() stays buildable without a live
+    SparkSession (the sketch SQL helpers are pure string builders)."""
+    from firmwarescraper_spark.operators import sketches as SK
+
+    return SK
+
 
 _PAGERANK_SQL = """
     WITH nodes AS (SELECT doc_id FROM documents WHERE doc_id < 200),
@@ -1390,6 +1426,12 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _MINHASH_PAIRS_SQL,
         "neardup_components": _NEARDUP_COMPONENTS_SQL,
         "pagerank": _PAGERANK_SQL,
+        "hll_distinct": _sketches_mod().hll_oracle_sql(
+            "events", "user_id", ["event_type"]
+        ),
+        "cms_heavy_hitters": _sketches_mod().cms_oracle_sql(
+            "documents", "text", k=20, where="WHERE doc_id < 300"
+        ),
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "simhash": _SIMHASH_SQL,
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
