@@ -636,6 +636,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents")
         return CU.stratified_sample(docs, quota=10).select("doc_id", "source")
 
+    def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Sequential-Poisson weighted sampling (curation.weighted_sample):
+        top-50 docs by priority hash/n_chars — inclusion probability
+        proportional to length, deterministic across engines because the
+        priority is pure IEEE int->double conversion + division (no libm).
+        Plan is a TakeOrderedAndProject: no shuffle, no sort."""
+        from firmwarescraper_spark.operators import curation as CU
+
+        docs = _t(spark, sf_dir, "documents")
+        return CU.weighted_sample(docs, "n_chars", k=50)
+
     def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         """PII scrubbing (curation.scrub_pii/pii_counts): emails, SSNs,
         IPv4s, intl phone numbers -> typed placeholders, with per-category
@@ -814,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_filter": q_pipeline_filter,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
+        "weighted_sample": q_weighted_sample,
         "pii_scrub": q_pii_scrub,
         "chunk_dedup": q_chunk_dedup,
         "decontaminate": q_decontaminate,
@@ -1468,6 +1480,14 @@ def oracle_sql() -> dict[str, str]:
         "mjpeg_frames": _mjpeg_frames_sql(),
         "hash_split": _HASH_SPLIT_SQL,
         "stratified_sample": _STRATIFIED_SQL,
+        "weighted_sample": """
+            SELECT doc_id, n_chars AS weight FROM documents
+            WHERE n_chars > 0
+            ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT::DOUBLE
+                         / n_chars::DOUBLE ASC,
+                     doc_id ASC
+            LIMIT 50
+        """,
         "pii_scrub": _pii_scrub_sql(),
         "chunk_dedup": _CHUNK_DEDUP_SQL,
         "decontaminate": _DECONTAMINATE_SQL,

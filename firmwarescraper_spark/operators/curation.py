@@ -73,6 +73,44 @@ def sample_fraction(
     return df.filter(hash_bucket(F.col(id_col), salt) < keep_bps)
 
 
+def weighted_sample(
+    df: DataFrame, weight_col: str, k: int = 100, id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weight-proportional sample of ``k`` rows
+    (sequential Poisson / order sampling, Ohlsson): each row draws a
+    deterministic uniform ``u`` from its id hash and the ``k`` rows with
+    the smallest priority ``u / weight`` win — so inclusion probability
+    is ~proportional to weight (P[u/w < t] ∝ w), but the draw is stable
+    across reruns, partitionings, and engines. Returns
+    ``(<id_col>, weight)``; rows with weight <= 0 are excluded (they
+    have no sampling mass).
+
+    Determinism contract: the priority is ``double(hash) / double(w)`` —
+    int→double conversion and division are IEEE-exact hardware ops
+    (round-to-nearest), NOT libm calls, so Spark and the DuckDB oracle
+    produce bit-identical priorities and therefore the identical top-k
+    (ties broken by id).
+
+    Scale shape: no shuffle at all — the top-k is a
+    TakeOrderedAndProject (per-partition partial heaps of k rows, one
+    driver merge), the weighted-sampling analogue of the uniform
+    ``sample_fraction``. Use this to downsample a 10^10-row corpus
+    proportional to document quality/length without a sort.
+    """
+    from .dedup import _md5_hash64
+
+    u = _md5_hash64(F.col(id_col).cast("string")).cast("double")
+    pri = u / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(F.col(id_col), F.col(weight_col).alias("weight"),
+                pri.alias("_pri"))
+        .orderBy(F.asc("_pri"), F.asc(id_col))
+        .limit(k)
+        .drop("_pri")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     group_col: str = "source",

@@ -362,3 +362,47 @@ def test_domain_mix_hand_values(spark):
     assert out["b"]["n_docs"] == 1 and out["b"]["n_tokens"] == 5
     assert out["a"]["token_share"] == pytest.approx(0.5)
     assert out["b"]["token_share"] == pytest.approx(0.5)
+
+
+# ---------------------------------------------------------------------------
+# weighted (sequential Poisson) sampling
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    # ids 0..999: even ids weight 100, odd ids weight 1 -> a k=200 draw
+    # should be dominated by heavy rows (inclusion prob ~ proportional)
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit(100)).otherwise(F.lit(1))
+        .alias("w"),
+    )
+    out = CU.weighted_sample(df, "w", k=200).collect()
+    assert len(out) == 200
+    heavy = sum(1 for r in out if r["weight"] == 100)
+    assert heavy > 170  # expectation ~198; wide tolerance
+
+
+def test_weighted_sample_deterministic_and_partition_invariant(spark):
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("w"))
+    a = sorted(map(tuple, CU.weighted_sample(df, "w", k=50).collect()))
+    b = sorted(map(tuple,
+                   CU.weighted_sample(df.repartition(13), "w", k=50).collect()))
+    assert a == b
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 50, F.lit(0)).otherwise(F.lit(5)).alias("w"))
+    out = CU.weighted_sample(df, "w", k=100).collect()
+    assert len(out) == 50 and all(r["weight"] == 5 for r in out)
+
+
+def test_weighted_sample_plan_has_no_exchange(spark):
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.lit(3).alias("w"))
+    plan = CU.weighted_sample(df, "w", k=10)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
