@@ -137,8 +137,10 @@ def test_repetition_signals_hand_values(spark):
 
 def test_bench_summary_line_fits_driver_tail():
     """The final bench stdout line must stay under the driver's 2000-char
-    tail (BENCH_r02 parsed=null post-mortem). Emulate the compact-summary
-    construction with the full 35-query dict and the crawl block."""
+    tail (BENCH_r02 parsed=null post-mortem). Emulate bench.py's ACTUAL
+    emission rule — full query dict first, then the same top-20
+    truncation fallback it applies past 1800 chars — with the live
+    queries() key set and a worst-case crawl block."""
     import json
 
     qtimes = {name: 12.345 for name in __import__("__spark_entry__").queries()}
@@ -151,14 +153,29 @@ def test_bench_summary_line_fits_driver_tail():
         "scaling_efficiency_best": 1.11,
         "scaling_efficiency_minarm": 0.854,
         "pair_efficiencies": [0.934, 1.11, 0.812, 0.754, 1.201],  # BEST_OF=5
+        "clean_pair_efficiencies": [0.934, 0.812],
+        "gate_met": True,
+        "windows_skipped": 7,
         "urls_per_sec_n1": 362.11,
         "urls_per_sec_n4": 1352.97,
         "audit": "BENCH/audit_latest.json",
     }
-    line = json.dumps({
+    out = {
         "metric": "frontier-dequeue->fetch->extract crawl + query suite",
         "value": 1421.55, "unit": "sec",
         "queries": {k: round(v, 2) for k, v in qtimes.items()},
         "sf": 0.1, "crawl": crawl_compact,
-    })
+    }
+    line = json.dumps(out)
+    if len(line) > 1800:  # bench.py's fallback, verbatim
+        out["queries"] = {
+            k: round(v, 2)
+            for k, v in sorted(qtimes.items(), key=lambda kv: -kv[1])[:20]
+        }
+        out["queries_truncated_see_audit"] = True
+        line = json.dumps(out)
     assert len(line) < 1800, len(line)
+    # the truncated form must still carry the headline fields intact
+    parsed = json.loads(line)
+    assert parsed["crawl"]["scaling_efficiency"] == 0.934
+    assert parsed["value"] == 1421.55
