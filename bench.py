@@ -31,10 +31,26 @@ BENCH/audit_latest.json):
    "crawl": {..., "scaling_pair": [1, 4], "scaling_efficiency": <median>,
              "scaling_efficiency_best": ...}}
 
+If no clean pair lands inside the attempt budget, the loop goes into
+OVERTIME: up to SPARK_GRAFT_EXTRA_ATTEMPTS more windows where a dirty
+pre-probe costs only the probe + a doubled sleep (never a measured pair)
+and the FIRST clean pair ends the run — waiting out a busy box is cheap,
+a weather-corrupted headline is not. If the box never quiets, the
+fallback headline is the MINARM ratio (fastest n4 arm / fastest n1 arm
+across all measured pairs, timeit's min-estimator rationale applied per
+arm): every measured pair is then probe-PROVEN contaminated, and a
+median over such pairs estimates the neighbors' load (r4: median 0.759
+vs minarm 0.937 on code whose clean-window medians were 0.998/0.84),
+while contention can only ever SLOW an arm, so each max-rate arm is the
+cleanest observation of that configuration. The fallback is labeled
+(`gate_met: false`, `fallback: "minarm"`) with the all-pair median kept
+alongside in the audit.
+
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_AVM/LINKSYS corpus scale,
 SPARK_GRAFT_CLEAN_PAIRS (default 3), SPARK_GRAFT_MAX_PAIR_ATTEMPTS
-(default 10), SPARK_GRAFT_GATE_CORES4W[_HI] (default 3.5/4.3),
+(default 10), SPARK_GRAFT_EXTRA_ATTEMPTS (default 10, overtime),
+SPARK_GRAFT_GATE_CORES4W[_HI] (default 3.5/4.3),
 SPARK_GRAFT_SKIP_SCALING=1 to run one ungated pair only.
 """
 
@@ -75,6 +91,11 @@ N_PAD = int(os.environ.get("SPARK_GRAFT_BENCH_PAD", "120"))
 # discarded pair ships in the audit file.
 CLEAN_PAIRS = int(os.environ.get("SPARK_GRAFT_CLEAN_PAIRS", "3"))
 MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_MAX_PAIR_ATTEMPTS", "10"))
+# Overtime windows entered only when the attempt budget expired with zero
+# clean pairs (the r5 all-dirty run: 8/10 windows skipped at 2.7-3.4
+# effective cores). A dirty overtime window costs ~probe + 2*SKIP_SLEEP,
+# never a ~6-min measured pair; the first clean pair ends the run.
+EXTRA_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_EXTRA_ATTEMPTS", "10"))
 SKIP_SLEEP = float(os.environ.get("SPARK_GRAFT_SKIP_SLEEP", "45"))
 # A 4-worker probe on this box measures 3.6-3.9 effective cores idle
 # (r1-r4 audits); < 3.5 = something else is eating the cores the 4N arm
@@ -142,6 +163,49 @@ def probe_ok(probe: dict) -> bool:
     A failed/error probe counts as NOT ok — never silently clean."""
     cores = probe.get("effective_cores_4w")
     return cores is not None and GATE_LO <= cores <= GATE_HI
+
+
+def headline_from_pairs(pairs: list, n_lo: int = 1, n_hi: int = 4) -> dict:
+    """Pick the headline scaling efficiency from the measured pairs.
+
+    Gated path (>=1 clean pair): MEDIAN efficiency over the clean pairs
+    (median_low so the reported run rows come from the SAME pair), the
+    r4-verdict protocol. Fallback path (every measured pair probe-proven
+    dirty): the MINARM ratio — fastest n4 arm over fastest n1 arm across
+    all pairs. Contention only ever slows an arm, so each per-arm max is
+    the cleanest observation of that configuration (timeit's min-time
+    rationale); a median of ratios whose windows are PROVEN contaminated
+    estimates the neighbors' load instead (r4 contended window: median
+    0.759, minarm 0.937, clean-window medians 0.998/0.84). The choice is
+    always labeled (gate_met / fallback) — never silent."""
+    clean_pairs = [p for p in pairs if p["clean"]]
+    gate_met = bool(clean_pairs)
+    eff_minarm = round(
+        max(p["run_hi"]["urls_per_sec"] for p in pairs)
+        / max(p["run_lo"]["urls_per_sec"] for p in pairs) / (n_hi / n_lo),
+        3,
+    )
+    median_all = sorted(p["efficiency"] for p in pairs)[(len(pairs) - 1) // 2]
+    if gate_met:
+        median_pair = sorted(clean_pairs, key=lambda p: p["efficiency"])[
+            (len(clean_pairs) - 1) // 2
+        ]
+        return {
+            "gate_met": True, "fallback": None,
+            "efficiency": median_pair["efficiency"],
+            "run_lo": median_pair["run_lo"], "run_hi": median_pair["run_hi"],
+            "minarm": eff_minarm, "median_allpairs": median_all,
+            "clean_pairs": clean_pairs,
+        }
+    run_hi = max(pairs, key=lambda p: p["run_hi"]["urls_per_sec"])["run_hi"]
+    run_lo = max(pairs, key=lambda p: p["run_lo"]["urls_per_sec"])["run_lo"]
+    return {
+        "gate_met": False, "fallback": "minarm",
+        "efficiency": eff_minarm,
+        "run_lo": run_lo, "run_hi": run_hi,
+        "minarm": eff_minarm, "median_allpairs": median_all,
+        "clean_pairs": [],
+    }
 
 
 def steady_frontier(spark, corpus_path: str):
@@ -376,16 +440,25 @@ def main():
         quick = os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1"
         need_clean = 1 if quick else CLEAN_PAIRS
         max_attempts = 1 if quick else MAX_ATTEMPTS
+        extra_attempts = 0 if quick else EXTRA_ATTEMPTS
         pairs = []            # every MEASURED pair, clean or not, in order
         skipped_windows = []  # dirty pre-probe: window skipped unmeasured
         attempts = 0
-        while (attempts < max_attempts
-               and sum(p["clean"] for p in pairs) < need_clean):
+        while attempts < max_attempts + extra_attempts:
+            n_clean = sum(p["clean"] for p in pairs)
+            if n_clean >= need_clean:
+                break
+            overtime = attempts >= max_attempts  # reached only if n_clean==0
+            if overtime and n_clean >= 1:
+                break  # overtime's job is done at the FIRST clean pair
             attempts += 1
             pre = hw_envelope_probe()
             if not quick and not probe_ok(pre):
                 skipped_windows.append(pre)
-                time.sleep(SKIP_SLEEP)
+                # overtime waits longer between probes: the box is provably
+                # busy, and probing costs seconds while a dirty measured
+                # pair would cost ~6 minutes of weather
+                time.sleep(SKIP_SLEEP * (2 if overtime else 1))
                 continue
             hi = bench_steady_round(n_hi, corpus_path, workdir)
             mid = hw_envelope_probe()
@@ -411,35 +484,15 @@ def main():
                                      / lo["urls_per_sec"]) / (n_hi / n_lo), 3),
                 "probes": {}, "clean": False,
             })
-        clean_pairs = [p for p in pairs if p["clean"]]
-        gate_met = bool(clean_pairs)
-        gated = clean_pairs if gate_met else pairs
+        # Headline selection (gated median / labeled minarm fallback) —
+        # see headline_from_pairs. Discarded pairs and skipped windows
+        # stay in the audit file.
+        head = headline_from_pairs(pairs, n_lo, n_hi)
+        clean_pairs = head["clean_pairs"]
+        gate_met = head["gate_met"]
         best_pair = max(pairs, key=lambda p: p["efficiency"])
-        # Cross-check estimator: fastest n4 arm vs fastest n1 arm across
-        # all pairs (timeit's min rationale applied per arm). Ambient
-        # contention only ever SLOWS an arm, so each min is the cleanest
-        # observation of that configuration and their ratio is the least
-        # noise-inflated efficiency — it cannot be flattered by a
-        # contended 1-core denominator the way a per-pair ratio can.
-        # Reported alongside; the headline stays the median pair.
-        eff_minarm = round(
-            max(p["run_hi"]["urls_per_sec"] for p in pairs)
-            / max(p["run_lo"]["urls_per_sec"] for p in pairs) / (n_hi / n_lo),
-            3,
-        )
-        # median_low selection so the headline efficiency and the reported
-        # run_n{lo}/run_n{hi}/urls_per_sec rows all come from the SAME pair
-        # (ADVICE r3: sorted[len//2] vs statistics.median disagreed for
-        # even pair counts)
-        median_pair = sorted(gated, key=lambda p: p["efficiency"])[
-            (len(gated) - 1) // 2
-        ]
-        eff_median = median_pair["efficiency"]
-        # Headline = MEDIAN efficiency over the CLEAN pairs (noise-robust;
-        # a ratio estimator's max selects contended denominators — an
-        # "efficiency" > 1.0 means the 1-core arm was slowed, not that the
-        # engine is super-linear). Discarded pairs and skipped windows stay
-        # in the audit file.
+        eff_minarm = head["minarm"]
+        eff_headline = head["efficiency"]
         crawl_full = {
             "corpus_pages": n_pages,
             "fixpoint_n4": fixpoint,
@@ -450,9 +503,10 @@ def main():
                            "probe-gated (clean = pre/mid/post probes all "
                            f"show {GATE_LO}-{GATE_HI} effective cores at "
                            "4 workers), MEDIAN clean-pair efficiency "
-                           "reported",
-            f"run_n{n_lo}": median_pair["run_lo"],
-            f"run_n{n_hi}": median_pair["run_hi"],
+                           "reported; all-dirty fallback = minarm ratio "
+                           "(fastest arm per configuration), labeled",
+            f"run_n{n_lo}": head["run_lo"],
+            f"run_n{n_hi}": head["run_hi"],
             "pairs": pairs,
             "pair_efficiencies": [p["efficiency"] for p in pairs],
             "clean_pair_efficiencies": [p["efficiency"] for p in clean_pairs],
@@ -461,7 +515,9 @@ def main():
                      "discarded_pairs": len(pairs) - len(clean_pairs),
                      "skipped_windows": skipped_windows},
             "scaling_pair": [n_lo, n_hi],
-            "scaling_efficiency": eff_median,
+            "scaling_efficiency": eff_headline,
+            "fallback": head["fallback"],
+            "scaling_efficiency_median_allpairs": head["median_allpairs"],
             "scaling_efficiency_best": best_pair["efficiency"],
             "scaling_efficiency_minarm": eff_minarm,
         }
@@ -492,15 +548,16 @@ def main():
             "fixpoint_n4_urls_per_sec": fixpoint["urls_per_sec"],
             "fixpoint_n4_sec": fixpoint["seconds"],
             "scaling_pair": [n_lo, n_hi],
-            "scaling_efficiency": eff_median,
+            "scaling_efficiency": eff_headline,
             "scaling_efficiency_best": best_pair["efficiency"],
             "scaling_efficiency_minarm": eff_minarm,
             "pair_efficiencies": [p["efficiency"] for p in pairs],
             "clean_pair_efficiencies": [p["efficiency"] for p in clean_pairs],
             "gate_met": gate_met,
+            "fallback": head["fallback"],
             "windows_skipped": len(skipped_windows),
-            f"urls_per_sec_n{n_lo}": median_pair["run_lo"]["urls_per_sec"],
-            f"urls_per_sec_n{n_hi}": median_pair["run_hi"]["urls_per_sec"],
+            f"urls_per_sec_n{n_lo}": head["run_lo"]["urls_per_sec"],
+            f"urls_per_sec_n{n_hi}": head["run_hi"]["urls_per_sec"],
             "audit": "BENCH/audit_latest.json",
         }
         out = {

@@ -487,6 +487,59 @@ def test_bench_probe_gate():
     assert not bench.probe_ok({"error": "boom"})
 
 
+def _pair(hi_rate, lo_rate, clean):
+    return {
+        "run_hi": {"urls_per_sec": hi_rate, "cores": 4},
+        "run_lo": {"urls_per_sec": lo_rate, "cores": 1},
+        "efficiency": round((hi_rate / lo_rate) / 4, 3),
+        "clean": clean,
+    }
+
+
+def test_bench_headline_gated_median():
+    """With clean pairs, the headline is the median-low clean-pair
+    efficiency and the reported arm rows come from that SAME pair; dirty
+    pairs stay out of the selection entirely."""
+    import bench
+
+    pairs = [
+        _pair(1600, 400, True),    # eff 1.0
+        _pair(1280, 400, True),    # eff 0.8  <- median-low of clean
+        _pair(1440, 400, True),    # eff 0.9
+        _pair(400, 400, False),    # dirty garbage must not matter
+    ]
+    head = bench.headline_from_pairs(pairs)
+    assert head["gate_met"] and head["fallback"] is None
+    assert head["efficiency"] == 0.9  # median_low of [0.8, 0.9, 1.0]... sorted[1]
+    assert head["run_hi"]["urls_per_sec"] == 1440
+    assert head["run_lo"]["urls_per_sec"] == 400
+
+
+def test_bench_headline_alldirty_fallback_is_minarm():
+    """When every measured pair is probe-proven dirty, the per-pair median
+    measures the neighbors' load (the r4 failure: median 0.759 vs clean-
+    window medians 0.998/0.84). The fallback headline is the minarm ratio
+    — fastest arm per configuration — labeled, with the all-pair median
+    preserved alongside."""
+    import bench
+
+    pairs = [
+        # contended n4 arm: ratio too low
+        _pair(800, 400, False),    # eff 0.5
+        # contended n1 arm: ratio absurdly high (the r4 1.427 pair)
+        _pair(1500, 260, False),   # eff 1.442
+        # cleanest observations live in different pairs
+        _pair(1400, 430, False),   # eff 0.814
+    ]
+    head = bench.headline_from_pairs(pairs)
+    assert not head["gate_met"] and head["fallback"] == "minarm"
+    # minarm = max hi (1500) / max lo (430) / 4
+    assert head["efficiency"] == round(1500 / 430 / 4, 3)
+    assert head["run_hi"]["urls_per_sec"] == 1500
+    assert head["run_lo"]["urls_per_sec"] == 430
+    assert head["median_allpairs"] == 0.814
+
+
 # ---------------------------------------------------------------------------
 # ADVICE r4: --robots-http CLI wiring
 # ---------------------------------------------------------------------------
