@@ -708,6 +708,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents")
         return CU.domain_mix(docs)
 
+    def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """C4-style line-level cleaning (curation.c4_line_stats — the
+        public T5/C4-paper heuristics: terminal punctuation, >= 3 words,
+        no 'javascript' per line; no 'lorem ipsum'/'{' per page). The
+        synthetic corpus is single-line, so the query injects
+        deterministic lines per doc — some good, one too short, one
+        javascript boilerplate, and page-kill markers on doc_id % 7 / %
+        11 — and both engines clean the same text. Shuffle-free
+        scan-fused column algebra."""
+        from firmwarescraper_spark.operators import curation as CU
+
+        docs = _t(spark, sf_dir, "documents")
+        lined = F.concat(
+            F.col("text"),
+            F.lit("\nThis paragraph ends with proper punctuation."),
+            F.lit("\nshort line"),
+            F.lit("\nPlease enable javascript to continue viewing."),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit("\nfiller lorem ipsum text here."))
+            .otherwise(F.lit("\nAnother good closing sentence here!")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit("\nvar config = { debug: true };"))
+            .otherwise(F.lit("\nA third valid sentence appears?")),
+        )
+        return CU.c4_line_stats(docs.withColumn("text", lined))
+
+    def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """DSIR hashed-ngram importance weights (curation.dsir_weights —
+        Xie et al. 2023): docs with doc_id % 13 == 0 stand in as the
+        target domain; every other doc is scored by the add-one-smoothed
+        log ratio of hashed unigram+bigram models (1024 buckets). Both
+        models are fixed-size broadcast tables; scoring is scan +
+        broadcast join + one doc-keyed agg."""
+        from firmwarescraper_spark.operators import curation as CU
+
+        docs = _t(spark, sf_dir, "documents")
+        target = docs.filter(F.col("doc_id") % 13 == 0)
+        raw = docs.filter(F.col("doc_id") % 13 != 0)
+        return CU.dsir_weights(raw, target, buckets=1024)
+
     def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Gap-based sessionization over events (streaming.events
         sessionize_batch — the backfill/verification twin of the
@@ -830,6 +870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "decontaminate": q_decontaminate,
         "domain_mix": q_domain_mix,
+        "c4_clean": q_c4_clean,
+        "dsir": q_dsir,
         "sessionize": q_sessionize,
         "bm25_topk": q_bm25_topk,
         "lm_score": q_lm_score,
@@ -1296,6 +1338,63 @@ _DOMAIN_MIX_SQL = """
 """
 
 
+_C4_CLEAN_SQL = r"""
+    WITH d AS (
+      SELECT doc_id,
+        text || chr(10) || 'This paragraph ends with proper punctuation.'
+             || chr(10) || 'short line'
+             || chr(10) || 'Please enable javascript to continue viewing.'
+             || chr(10) || CASE WHEN doc_id % 7 = 0
+                                THEN 'filler lorem ipsum text here.'
+                                ELSE 'Another good closing sentence here!' END
+             || chr(10) || CASE WHEN doc_id % 11 = 0
+                                THEN 'var config = { debug: true };'
+                                ELSE 'A third valid sentence appears?' END AS t
+      FROM documents
+    ), l AS (
+      SELECT doc_id, t,
+             list_transform(string_split(t, chr(10)), x -> trim(x)) AS lines
+      FROM d
+    ), k AS (
+      SELECT doc_id, lines,
+             list_filter(lines, x -> regexp_matches(x, '[.!?"]$')
+                         AND len(regexp_split_to_array(x, '\s+')) >= 3
+                         AND NOT contains(lower(x), 'javascript')) AS kept,
+             (contains(lower(t), 'lorem ipsum') OR contains(t, '{')) AS marker
+      FROM l
+    )
+    SELECT doc_id, len(lines)::BIGINT AS n_lines, len(kept)::BIGINT AS n_kept,
+           round(len(kept) * 1.0 / greatest(len(lines), 1), 4) AS kept_frac,
+           (NOT marker AND len(kept) >= 3) AS page_ok,
+           md5(array_to_string(kept, chr(10))) AS cleaned_fp
+    FROM k
+"""
+
+_DSIR_SQL = (
+    "WITH d AS (SELECT doc_id, " + _NORM + " AS w FROM documents),\n"
+    "f AS (SELECT doc_id,\n"
+    "        CASE WHEN len(w) >= 2 THEN\n"
+    "          w || [w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w)-1)]\n"
+    "        ELSE w END AS feats FROM d),\n"
+    "pb AS (SELECT doc_id, pos, " + _H64.format(x="g") + " % 1024 AS b FROM\n"
+    "       (SELECT doc_id, unnest(feats) AS g,\n"
+    "               generate_subscripts(feats, 1) AS pos FROM f)),\n"
+    "tc AS (SELECT b, count(*)::DOUBLE AS ct FROM pb WHERE doc_id % 13 = 0 GROUP BY b),\n"
+    "rc AS (SELECT b, count(*)::DOUBLE AS cr FROM pb WHERE doc_id % 13 <> 0 GROUP BY b),\n"
+    "tt AS (SELECT coalesce(sum(ct), 0)::DOUBLE AS ctot FROM tc),\n"
+    "rt AS (SELECT coalesce(sum(cr), 0)::DOUBLE AS rtot FROM rc),\n"
+    "llr AS (SELECT coalesce(tc.b, rc.b) AS b,\n"
+    "        round(ln((coalesce(ct, 0) + 1.0) / (ctot + 1024.0))\n"
+    "            - ln((coalesce(cr, 0) + 1.0) / (rtot + 1024.0)), 6) AS llr\n"
+    "        FROM tc FULL OUTER JOIN rc ON tc.b = rc.b CROSS JOIN tt CROSS JOIN rt),\n"
+    "sc AS (SELECT pb.doc_id, pb.pos, llr.llr FROM pb JOIN llr USING (b)\n"
+    "       WHERE pb.doc_id % 13 <> 0)\n"
+    "SELECT doc_id, count(*)::BIGINT AS n_feats,\n"
+    "       round(list_sum(list(llr ORDER BY pos)), 4) AS dsir_logw\n"
+    "FROM sc GROUP BY doc_id"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "anti_join_seen": """
@@ -1492,6 +1591,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_dedup": _CHUNK_DEDUP_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "domain_mix": _DOMAIN_MIX_SQL,
+        "c4_clean": _C4_CLEAN_SQL,
+        "dsir": _DSIR_SQL,
         # gap-based sessionization: lag/cumsum session ids, then per-session
         # rollup. floor(epoch()) mirrors Spark's timestamp->long truncation;
         # boundaries depend only on consecutive-ts gaps so tie order among

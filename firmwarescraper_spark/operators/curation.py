@@ -366,6 +366,166 @@ def domain_mix(
 
 
 # ---------------------------------------------------------------------------
+# C4-style line-level cleaning (Raffel et al. 2020, §2.2 heuristics)
+# ---------------------------------------------------------------------------
+
+# Page-level kill markers from the C4 paper: "lorem ipsum" placeholder
+# text and a curly brace (source code leaking into prose).
+C4_PAGE_MARKERS = ("lorem ipsum", "{")
+
+
+def c4_line_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning profile (the public heuristics from
+    the C4/T5 paper): a line survives iff it ends in terminal
+    punctuation (``. ! ? "``), has at least ``min_words`` whitespace
+    words, and does not mention ``javascript``; the page survives iff it
+    contains none of :data:`C4_PAGE_MARKERS` (``lorem ipsum``, ``{``)
+    and keeps at least ``min_kept_lines`` lines.
+
+    Output per doc: ``(id, n_lines, n_kept, kept_frac, page_ok,
+    cleaned_fp)`` where ``cleaned_fp`` is the md5 of the kept lines
+    rejoined with newlines — the fingerprint a downstream rewrite step
+    would produce.
+
+    Scale shape: pure per-row column algebra (split / transform /
+    filter / rlike inside whole-stage codegen) — shuffle-free,
+    scan-fused; the 100 TB plan is one codegen'd pass, identical to the
+    small one. Every predicate is RE2-safe so the DuckDB oracle replays
+    it byte-identically.
+    """
+    lines = F.transform(F.split(F.col(text_col), "\n"), F.trim)
+
+    def _keep(line: Column) -> Column:
+        return (
+            line.rlike('[.!?"]$')
+            & (F.size(F.split(line, r"\s+")) >= min_words)
+            & ~F.lower(line).contains("javascript")
+        )
+
+    low = F.lower(F.col(text_col))
+    marker_hit = None
+    for m in C4_PAGE_MARKERS:
+        hit = low.contains(m)
+        marker_hit = hit if marker_hit is None else (marker_hit | hit)
+    out = df.select(
+        F.col(id_col),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.filter(lines, _keep).alias("_kept"),
+        marker_hit.alias("_marker"),
+    )
+    return out.select(
+        id_col,
+        "n_lines",
+        F.size("_kept").cast("bigint").alias("n_kept"),
+        F.round(F.size("_kept") / F.greatest(F.col("n_lines"), F.lit(1)), 4).alias(
+            "kept_frac"
+        ),
+        (~F.col("_marker") & (F.size("_kept") >= min_kept_lines)).alias("page_ok"),
+        F.md5(F.concat_ws("\n", F.col("_kept"))).alias("cleaned_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR hashed n-gram importance weights (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    score each RAW-corpus document by the log importance ratio of a
+    hashed-n-gram bag-of-words model fit on the TARGET distribution vs
+    one fit on the raw distribution. Features are word unigrams+bigrams
+    hashed into ``buckets`` buckets; both models are add-``alpha``
+    smoothed multinomials over buckets; a doc's weight is the sum over
+    its features of ``log p_target(b) - log p_raw(b)`` — resampling the
+    raw corpus proportional to ``exp(dsir_logw)`` shifts it toward the
+    target domain. Output: ``(id, n_feats, dsir_logw)``.
+
+    Scale shape: exactly the pruned-LM scoring shape (textops.lm_score)
+    — both models are ``buckets``-row aggregates (the whole point of
+    feature hashing: the model size is fixed at 10^4-ish buckets no
+    matter the corpus size), broadcast to executors; scoring the 100 TB
+    raw side is scan + one broadcast join + one hash agg keyed on doc
+    id. The target side (a quality reference corpus) is the small input
+    by construction.
+
+    Float determinism (DuckDB-oracle contract): per-bucket log-ratios
+    rounded to 6, summed in document position order (fixed reduction
+    order), final sum rounded to 4 — the lm_score pattern.
+    """
+    words = lambda c: F.split(normalize_text(c), " ")  # noqa: E731
+
+    def _feats(c: Column) -> Column:
+        w = words(c)
+        bi = F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 2),
+                lambda i: F.concat(
+                    F.element_at(w, i + 1), F.lit(" "), F.element_at(w, i + 2)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(w, bi)
+
+    def _buckets(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.posexplode(_feats(F.col(text_col))).alias("_pos", "_g"),
+        ).select(id_col, "_pos", (_md5_hash64(F.col("_g")) % buckets).alias("_b"))
+
+    tb = _buckets(target).groupBy("_b").agg(F.count("*").cast("double").alias("_ct"))
+    rb_all = _buckets(raw)
+    rb = rb_all.groupBy("_b").agg(F.count("*").cast("double").alias("_cr"))
+    tt = tb.agg(F.coalesce(F.sum("_ct"), F.lit(0.0)).alias("_ctot"))
+    rt = rb.agg(F.coalesce(F.sum("_cr"), F.lit(0.0)).alias("_rtot"))
+    denom = float(alpha) * buckets
+    llr = (
+        tb.join(rb, "_b", "full_outer")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .select(
+            "_b",
+            F.round(
+                F.log((F.coalesce(F.col("_ct"), F.lit(0.0)) + alpha)
+                      / (F.col("_ctot") + denom))
+                - F.log((F.coalesce(F.col("_cr"), F.lit(0.0)) + alpha)
+                        / (F.col("_rtot") + denom)),
+                6,
+            ).alias("_llr"),
+        )
+    )
+    scored = (
+        rb_all.join(F.broadcast(llr), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_feats"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("_pos", "_llr"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["_llr"],
+            ).alias("_sum"),
+        )
+    )
+    return scored.select(
+        id_col, "n_feats", F.round(F.col("_sum"), 4).alias("dsir_logw")
+    )
+
+
+# ---------------------------------------------------------------------------
 # sequence packing (distributed prefix sum)
 # ---------------------------------------------------------------------------
 

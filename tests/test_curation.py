@@ -406,3 +406,94 @@ def test_weighted_sample_plan_has_no_exchange(spark):
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# C4-style line cleaning
+# ---------------------------------------------------------------------------
+
+def test_c4_line_stats_rules(spark):
+    df = _docs(spark, [
+        # 3 good lines -> page_ok
+        (1, "a", "First sentence is long enough.\nSecond one also works fine!\nDoes the third qualify too?"),
+        # good lines but a lorem ipsum marker -> page killed
+        (2, "a", "First sentence is long enough.\nSecond one also works fine!\nDoes the third qualify too?\nlorem ipsum dolor sit."),
+        # javascript line + short line + no-punct line all dropped
+        (3, "a", "Please enable javascript now.\nhi there.\nno terminal punctuation here\nOnly this good line survives."),
+        # a curly brace anywhere kills the page
+        (4, "a", "Good line number one stays.\nGood line number two stays.\nGood line number three stays.\nfunction f() { return 1; }"),
+    ])
+    out = {r["doc_id"]: r for r in CU.c4_line_stats(df).collect()}
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 3
+    assert out[1]["page_ok"] is True and out[1]["kept_frac"] == 1.0
+    # doc 2: the lorem line itself passes the LINE rules (ends in '.')
+    # but the page marker kills the page
+    assert out[2]["n_kept"] == 4 and out[2]["page_ok"] is False
+    assert out[3]["n_kept"] == 1 and out[3]["page_ok"] is False
+    assert out[4]["page_ok"] is False  # brace marker, despite 3 kept lines
+    assert out[4]["n_kept"] == 3
+
+
+def test_c4_line_stats_cleaned_fp_is_kept_lines_only(spark):
+    df = _docs(spark, [
+        (1, "a", "Keep this line please today.\ndrop me"),
+        (2, "a", "Keep this line please today."),
+    ])
+    out = {r["doc_id"]: r for r in CU.c4_line_stats(df).collect()}
+    # doc 1 cleans to exactly doc 2's text -> identical fingerprints
+    assert out[1]["cleaned_fp"] == out[2]["cleaned_fp"]
+
+
+def test_c4_line_stats_shuffle_free(spark):
+    df = _docs(spark, [(1, "a", "One good line right here.")])
+    plan = CU.c4_line_stats(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+def test_dsir_weights_shift_toward_target(spark):
+    """Docs sharing the target domain's vocabulary must score higher
+    than docs from a disjoint vocabulary (the paper's sanity property:
+    E[w] is maximal for in-domain text)."""
+    target = _docs(spark, [
+        (100 + i, "t", "quantum physics of black holes") for i in range(5)
+    ])
+    raw = _docs(spark, [
+        (1, "r", "quantum physics of black holes"),   # in-domain
+        (2, "r", "cheap viagra casino deals online"),  # off-domain
+    ])
+    out = {r["doc_id"]: r["dsir_logw"] for r in
+           CU.dsir_weights(raw, target, buckets=256).collect()}
+    assert out[1] > out[2]
+
+
+def test_dsir_weights_deterministic_and_partition_invariant(spark):
+    rows = [(i, "s", f"token{i % 17} common words here {i % 5}") for i in range(60)]
+    target = _docs(spark, rows[:10])
+    raw = _docs(spark, rows[10:])
+    a = sorted(map(tuple, CU.dsir_weights(raw, target).collect()))
+    b = sorted(map(tuple, CU.dsir_weights(
+        raw.repartition(7), target.repartition(3)).collect()))
+    assert a == b
+
+
+def test_dsir_weights_n_feats_counts_unigrams_and_bigrams(spark):
+    target = _docs(spark, [(1, "t", "a b c")])
+    raw = _docs(spark, [(2, "r", "a b c d")])  # 4 unigrams + 3 bigrams
+    out = CU.dsir_weights(raw, target).collect()
+    assert out[0]["n_feats"] == 7
+
+
+def test_dsir_weights_model_tables_broadcast(spark):
+    """The per-doc scoring join must broadcast the bucket-sized llr
+    table — the raw corpus side never shuffles on content."""
+    rows = [(i, "s", f"alpha beta {i % 3}") for i in range(40)]
+    target = _docs(spark, rows[:8])
+    raw = _docs(spark, rows[8:])
+    plan = CU.dsir_weights(raw, target)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
