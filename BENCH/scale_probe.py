@@ -206,6 +206,23 @@ def main():
                     "g", __import__("pyspark.sql.functions",
                                     fromlist=["pmod"]).pmod("user_id", 8)),
                 "ts", ["g"]),
+            # C4 line cleaning: pure scan-fused column algebra, zero
+            # shuffle — the row pins that the per-line regex work stays
+            # linear. Lines are injected by breaking the synthetic text
+            # every 5 words (regexp, still scan-fused).
+            "c4_clean": lambda: CU.c4_line_stats(
+                docs.withColumn(
+                    "text",
+                    __import__("pyspark.sql.functions",
+                               fromlist=["regexp_replace"]).regexp_replace(
+                        "text", r"((?:\S+ ){5})", "$1\n"))),
+            # DSIR importance weights: both hashed-ngram models are
+            # fixed-size bucket tables (broadcast) — the N-proportional
+            # costs are the two feature scans and one doc-keyed agg
+            "dsir": lambda: CU.dsir_weights(
+                docs.filter(docs["doc_id"] % 13 != 0),
+                docs.filter(docs["doc_id"] % 13 == 0),
+                buckets=4096),
             # count-min heavy hitters: sketch is depth×width rows total
             # (broadcast), candidates are the distinct tokens — the only
             # N-proportional costs are the tokenizing scan + distinct
