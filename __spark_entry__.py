@@ -748,6 +748,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         raw = docs.filter(F.col("doc_id") % 13 != 0)
         return CU.dsir_weights(raw, target, buckets=1024)
 
+    def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SemDeDup semantic dedup (curation.semdedup — Abbas et al.
+        2023): deterministic md5-seeded IVF coarse clusters scope the
+        pairwise cosine check; a row is dropped iff a lower-id row in
+        its cluster has cosine >= 0.35. Zero-shuffle assignment, one
+        cid-keyed self-join — candidate volume sum(|cluster|^2), never
+        N^2. vec_id < 300 bounds the oracle's brute-force replay."""
+        from firmwarescraper_spark.operators import curation as CU
+        from firmwarescraper_spark.operators import similarity as SIM
+
+        emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+        cents = SIM.ivf_centroids(emb, k=16)
+        return CU.semdedup(emb, cents, threshold=0.35)
+
     def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Gap-based sessionization over events (streaming.events
         sessionize_batch — the backfill/verification twin of the
@@ -872,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": q_domain_mix,
         "c4_clean": q_c4_clean,
         "dsir": q_dsir,
+        "semdedup": q_semdedup,
         "sessionize": q_sessionize,
         "bm25_topk": q_bm25_topk,
         "lm_score": q_lm_score,
@@ -1056,6 +1071,32 @@ _COSINE_TOPK_LSH_SQL = """
     FROM embeddings e JOIN cand USING (vec_id),
          (SELECT embedding FROM embeddings WHERE vec_id = 0) q
     ORDER BY cos DESC, e.vec_id ASC LIMIT 10
+"""
+
+_SEMDEDUP_SQL = """
+    WITH sub AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < 300),
+    c AS (
+      SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid, v
+      FROM (SELECT * FROM sub
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+    assign AS (
+      SELECT vec_id, cid, v FROM (
+        SELECT s.vec_id, c.cid, s.v,
+               row_number() OVER (
+                 PARTITION BY s.vec_id
+                 ORDER BY list_inner_product(s.v, c.v) DESC,
+                          c.cid ASC) AS rn
+        FROM sub s CROSS JOIN c) WHERE rn = 1),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35)
+    SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS keep
+    FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
 """
 
 _IVF_TOPK_SQL = """
@@ -1562,6 +1603,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cosine_topk_lsh": _COSINE_TOPK_LSH_SQL,
         "ivf_topk": _IVF_TOPK_SQL,
+        "semdedup": _SEMDEDUP_SQL,
         "langid": _LANGID_SQL,
         "quality": _QUALITY_SQL,
         "pipeline_filter": _PIPELINE_FILTER_SQL,

@@ -594,3 +594,70 @@ def pack_sequences(
         id_col, "n_tokens", "start_token", "seq_id", "seq_offset",
         (F.col("_last") - F.col("seq_id") + 1).cast("bigint").alias("n_seqs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    emb: DataFrame, centroids: list, threshold: float = 0.35,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al., arXiv:2303.09540):
+    coarse-cluster the embeddings, then prune near-duplicate pairs ONLY
+    within each cluster — the whole point of the method is that the
+    pairwise cosine check runs over sum(|cluster|^2) candidates instead
+    of N^2. Clusters come from the deterministic IVF coarse quantizer
+    (similarity.ivf_centroids / ivf_assign — md5-seeded, so any engine
+    builds the identical index).
+
+    Keep rule: a row is DROPPED iff some lower-id row in the same
+    cluster has cosine >= threshold with it ("dominated by an earlier
+    representative"). The paper keeps one random member per duplicate
+    group; this variant is deterministic, one-pass, and decided
+    per-pair with no sequential dependency — the natural distributed
+    form (and at the paper's tau ~ 0.95+ the kept sets differ only in
+    which twin survives, never in how many).
+
+    Plan shape: zero-shuffle literal-argmax assignment fused into the
+    scan, ONE cid-keyed shuffle for the self-join (both sides identical,
+    so AQE reuses the exchange), a distinct over dropped ids, and a
+    left join back. At 100 TB: k grows with N (k ~ sqrt(N)) so expected
+    cluster size stays bounded; cid is also the storage partition key,
+    making the self-join co-located and the per-cluster candidate
+    volume the only quadratic term — bounded by the cluster-size cap.
+    Returns (id_col, cid, keep)."""
+    from .dedup import cosine_sim
+    from .similarity import ivf_assign
+
+    assigned = ivf_assign(
+        emb.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ),
+        centroids, vec_col="_v", out_col="cid",
+    )
+    a = assigned.select(
+        F.col("_id").alias("_ida"), F.col("_v").alias("_va"), "cid")
+    b = assigned.select(
+        F.col("_id").alias("_idb"), F.col("_v").alias("_vb"), "cid")
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(
+            F.round(cosine_sim(F.col("_va"), F.col("_vb")), 4)
+            >= F.lit(float(threshold)))
+        .select(F.col("_idb").alias("_id"))
+        .distinct()
+    )
+    return (
+        assigned
+        .join(dropped.withColumn("_dup", F.lit(True)), "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("cid").cast("bigint").alias("cid"),
+            F.col("_dup").isNull().alias("keep"),
+        )
+    )

@@ -169,7 +169,8 @@ def ivf_assign(
             )
             for cid, cv in centroids
         ]
-        return emb.withColumn(out_col, F.least(*cands)["cid"])
+        best = cands[0] if len(cands) == 1 else F.least(*cands)
+        return emb.withColumn(out_col, best["cid"])
     if via == "pandas":
         import numpy as np
 

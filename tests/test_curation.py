@@ -497,3 +497,73 @@ def test_dsir_weights_model_tables_broadcast(spark):
     plan = CU.dsir_weights(raw, target)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup semantic dedup
+# ---------------------------------------------------------------------------
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+
+
+def test_semdedup_matches_brute_force_dominated_rule(spark):
+    """Keep set equals the hand-computed rule: drop a row iff a lower-id
+    row in the SAME cluster has cosine >= threshold."""
+    import math
+
+    from firmwarescraper_spark.operators import similarity as SIM
+
+    vecs = [
+        [1.0, 0.0, 0.0], [0.99, 0.01, 0.0], [0.0, 1.0, 0.0],
+        [0.0, 0.98, 0.02], [0.0, 0.0, 1.0], [0.5, 0.5, 0.0],
+        [-1.0, 0.0, 0.0], [0.97, 0.02, 0.01],
+    ]
+    df = _emb(spark, vecs)
+    cents = SIM.ivf_centroids(df, k=3)
+    got = {r["vec_id"]: (r["cid"], r["keep"])
+           for r in CU.semdedup(df, cents, threshold=0.95).collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a))
+                    * math.sqrt(sum(x * x for x in b)))
+
+    cid = {i: got[i][0] for i in range(len(vecs))}
+    for j in range(len(vecs)):
+        dominated = any(
+            cid[i] == cid[j] and round(cos(vecs[i], vecs[j]), 4) >= 0.95
+            for i in range(j))
+        assert got[j][1] == (not dominated), f"vec {j}"
+    # the planted near-identical twins of vec 0 must actually drop
+    assert not got[1][1] and not got[7][1]
+
+
+def test_semdedup_cross_cluster_pair_survives(spark):
+    """The documented recall tradeoff: a near-dup pair split across
+    cluster boundaries is NOT dropped — candidates are cluster-scoped."""
+    twins = [[1.0, 0.0], [0.995, 0.1]]
+    df = _emb(spark, twins)
+    # force each twin into its own cluster: one centroid per twin
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    out = CU.semdedup(df, cents, threshold=0.9).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    if by_id[0]["cid"] != by_id[1]["cid"]:
+        assert all(r["keep"] for r in out)
+    # and in the same cluster the later twin drops
+    same = CU.semdedup(df, [(0, [1.0, 0.0])], threshold=0.9).collect()
+    assert {r["vec_id"]: r["keep"] for r in same} == {0: True, 1: False}
+
+
+def test_semdedup_plan_is_cluster_scoped(spark):
+    """Plan pin: the pairwise stage must be a cid-keyed equi-join —
+    never a cartesian/nested-loop product (that would be the N^2
+    brute force SemDeDup exists to avoid)."""
+    df = _emb(spark, [[1.0, 0.0], [0.0, 1.0], [0.7, 0.7]])
+    plan = CU.semdedup(
+        df, [(0, [1.0, 0.0]), (1, [0.0, 1.0])], threshold=0.99
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
