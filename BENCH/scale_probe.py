@@ -135,6 +135,17 @@ def main():
         # trades index-build flops (N·nlist matmul) for a smaller scanned
         # fraction — an index-build knob, not a query-path scaling property.
         ivf_cents = SIM.ivf_centroids(emb, k=64)
+        # SemDeDup cluster count follows the documented sizing rule
+        # k ∝ N (constant expected cluster size ≈ 400), so the in-cluster
+        # candidate volume sum(|c|²) ≈ N·400 stays LINEAR; a fixed k
+        # would let clusters grow with N and measure the (documented)
+        # quadratic failure mode, not the operator. Centroid selection is
+        # index build — outside the timed region, like ivf_cents above.
+        sem_k = max(16, emb.count() // 400)
+        sem_cents = SIM.ivf_centroids(emb, k=sem_k)
+        # PQ codebooks are index build too — fixed size across scales
+        # (m=4 subspaces of EMB_DIM/4 dims, 16 codes each)
+        pq_cbs = SIM.pq_codebooks(emb, m=4, ksub=16)
         return {
             "minhash_lsh_pairs": lambda: DD.minhash_lsh_pairs(docs),
             # the 10^10-row simhash config: 48-bit signatures (sparse true-pair
@@ -228,6 +239,18 @@ def main():
             # N-proportional costs are the tokenizing scan + distinct
             "cms_heavy_hitters": lambda: SK.cms_heavy_hitters(
                 docs, "text", k=20),
+            # SemDeDup: zero-shuffle pandas-matmul assignment (k is in the
+            # hundreds here — too many literal structs for codegen) + ONE
+            # cid-keyed self-join whose candidate volume is linear at the
+            # k ∝ N sizing above + distinct + left join back
+            "semdedup": lambda: CU.semdedup(
+                emb, sem_cents, threshold=0.2, assign_via="pandas"),
+            # PQ/ADC with exact re-rank: encode is a per-batch numpy
+            # matmul (zero shuffle), ADC is literal-LUT lookups +
+            # TakeOrderedAndProject, re-rank touches 100 rows — nothing
+            # here shuffles the corpus, so the row must be ~linear
+            "pq_topk": lambda: SIM.pq_adc_topk(
+                emb, query, pq_cbs, k=10, refine=100, via="pandas"),
         }
 
     import math

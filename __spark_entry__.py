@@ -507,6 +507,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, qv, cents, k=10, nprobe=4
         ).select("vec_id", "cos")
 
+    def q_pq_topk(spark, sf):
+        """PQ/ADC ANN (similarity.pq_* — Jégou et al. product
+        quantization): md5-seeded codebooks (the same seed rule as IVF),
+        4×16-dim subspaces quantized to 4 codes via rounded
+        max-inner-product argmax, then ADC top-k against a driver-built
+        lookup table — zero shuffle + TakeOrderedAndProject — then the
+        exact re-rank stage (refine=50: the 50-id shortlist broadcast-
+        semijoins the raw vectors, exact IP top-10). The oracle replays
+        codebook build, encoding, the fixed-order LUT sum, AND the
+        re-rank exactly."""
+        from firmwarescraper_spark.operators import similarity as SIM
+
+        emb = _t(spark, sf, "embeddings")
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        cbs = SIM.pq_codebooks(emb, m=4, ksub=16)
+        return SIM.pq_adc_topk(emb, qv, cbs, k=10, refine=50)
+
     def q_langid(spark, sf):
         docs = _t(spark, sf, "documents")
         return docs.select("doc_id", TX.langid_col(F.col("text")).alias("lang_pred"))
@@ -869,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "ivf_topk": q_ivf_topk,
+        "pq_topk": q_pq_topk,
         "langid": q_langid,
         "quality": q_quality,
         "token_counts": q_token_counts,
@@ -1122,6 +1141,46 @@ _IVF_TOPK_SQL = """
     FROM embeddings e JOIN assign USING (vec_id)
          JOIN cprobe USING (cid), q
     ORDER BY cos DESC, e.vec_id ASC LIMIT 10
+"""
+
+_PQ_TOPK_SQL = """
+    WITH sub AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (
+      SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS i, v
+      FROM (SELECT * FROM sub
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+    js AS (SELECT unnest(generate_series(0, 3)) AS j),
+    cb AS (SELECT js.j, seeds.i,
+                  seeds.v[js.j*16+1 : (js.j+1)*16] AS c
+           FROM seeds CROSS JOIN js),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    scores AS (
+      SELECT s.vec_id, cb.j, cb.i,
+             round(list_inner_product(s.v[cb.j*16+1 : (cb.j+1)*16], cb.c)
+                   - 0.5 * list_inner_product(cb.c, cb.c), 4) AS sc
+      FROM sub s CROSS JOIN cb),
+    codes AS (
+      SELECT vec_id, j, i FROM (
+        SELECT vec_id, j, i,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY sc DESC, i ASC) AS rn
+        FROM scores) WHERE rn = 1),
+    lut AS (
+      SELECT cb.j, cb.i,
+             list_inner_product(q.qv[cb.j*16+1 : (cb.j+1)*16], cb.c) AS d
+      FROM cb, q),
+    shortlist AS (
+      SELECT c.vec_id,
+             round(list_sum(list(l.d ORDER BY l.j)), 4) AS adc
+      FROM codes c JOIN lut l ON c.j = l.j AND c.i = l.i
+      GROUP BY c.vec_id
+      ORDER BY adc DESC, c.vec_id ASC LIMIT 50)
+    SELECT s.vec_id,
+           round(list_inner_product(sub.v, q.qv), 4) AS aip
+    FROM shortlist s JOIN sub USING (vec_id), q
+    ORDER BY aip DESC, s.vec_id ASC LIMIT 10
 """
 
 _NGRAM_JACCARD_SQL = """
@@ -1603,6 +1662,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cosine_topk_lsh": _COSINE_TOPK_LSH_SQL,
         "ivf_topk": _IVF_TOPK_SQL,
+        "pq_topk": _PQ_TOPK_SQL,
         "semdedup": _SEMDEDUP_SQL,
         "langid": _LANGID_SQL,
         "quality": _QUALITY_SQL,

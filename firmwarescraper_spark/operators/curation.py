@@ -604,6 +604,7 @@ def pack_sequences(
 def semdedup(
     emb: DataFrame, centroids: list, threshold: float = 0.35,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    assign_via: str = "literal",
 ) -> DataFrame:
     """SemDeDup semantic deduplication (Abbas et al., arXiv:2303.09540):
     coarse-cluster the embeddings, then prune near-duplicate pairs ONLY
@@ -637,7 +638,7 @@ def semdedup(
             F.col(id_col).alias("_id"),
             F.col(vec_col).cast("array<double>").alias("_v"),
         ),
-        centroids, vec_col="_v", out_col="cid",
+        centroids, vec_col="_v", out_col="cid", via=assign_via,
     )
     a = assigned.select(
         F.col("_id").alias("_ida"), F.col("_v").alias("_va"), "cid")

@@ -253,3 +253,192 @@ def ivf_refine(
         got = {r["cid"]: [float(x) for x in r["centroid"]] for r in means}
         cur = [(cid, got.get(cid, cv)) for cid, cv in cur]
     return cur
+
+
+# ---------------------------------------------------------------------------
+# PQ (product quantization) — the compression tier of the ANN stack.
+#
+# IVF narrows WHERE to look (nprobe inverted lists); PQ shrinks WHAT is
+# scanned: a dim-double vector (512 B at dim 64) becomes m uint8 codes
+# (4 B at m=4), so the candidate scan is memory-resident at corpus sizes
+# where raw vectors are not — the FAISS IVF-PQ/ADC shape (Jégou et al.,
+# "Product Quantization for Nearest Neighbor Search", TPAMI 2011). All
+# randomness is the same md5 seed rule as ivf_centroids, so any engine
+# (the DuckDB oracle included) builds the identical codebooks.
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    emb: DataFrame, m: int = 4, ksub: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> list:
+    """Deterministic PQ codebooks: the ksub rows with the smallest
+    (md5(str(id)), id) seed ALL m subspaces — codebook[j][i] is seed row
+    i restricted to subspace j. Returns m lists of ksub sub-vectors
+    (driver-side: m*ksub*dsub doubles — index metadata, never data).
+    Refinement (per-subspace Lloyd) would reuse ivf_refine's shape; the
+    seed rule alone is what the cross-engine contract needs."""
+    rows = (
+        emb.select(
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+            F.col(id_col).alias("_id"),
+        )
+        .orderBy("_h", "_id")
+        .limit(ksub)
+        .collect()
+    )
+    dim = len(rows[0]["_v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [
+        [[float(x) for x in r["_v"][j * dsub:(j + 1) * dsub]] for r in rows]
+        for j in range(m)
+    ]
+
+
+def _pq_sub_score(vsub: Column, c: list) -> Column:
+    """Argmax objective for one codebook entry: ip(v_sub, c) − ½‖c‖² —
+    the max-inner-product form of the L2 argmin (‖v−c‖² = ‖v‖² − 2·that),
+    chosen because the sequential-fold inner product is the one primitive
+    proven bit-equal to DuckDB's list_inner_product. ½‖c‖² is a driver
+    constant (Python left-fold sum — same order as the oracle's fold).
+    Rounded to 4 dp in both engines so near-ties break on the SAME side
+    (ties → lowest code index)."""
+    half_norm = 0.5 * _py_ip(c, c)
+    return F.round(_ip(vsub, _literal_vec(c)) - F.lit(half_norm), 4)
+
+
+def _py_ip(a, b) -> float:
+    """Driver-side inner product with the SAME left-fold order as _ip /
+    DuckDB list_inner_product — constants fed to executors must be the
+    bit-identical doubles the oracle derives."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def pq_encode(
+    emb: DataFrame, codebooks: list,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    via: str = "literal",
+) -> DataFrame:
+    """Quantize each vector to m small-int codes (argmax of _pq_sub_score
+    per subspace, ties → lowest index). Zero shuffle on either path:
+
+    via="literal": per subspace a least() over ksub literal (−score, i)
+    structs — whole-stage codegen, right for m·ksub ≤ ~128 candidates.
+    via="pandas": one numpy matmul per Arrow batch per subspace — right
+    for production codebooks (m=16, ksub=256 → 4096 literals would bloat
+    codegen). Both paths tested equal.
+
+    Returns (id_col, codes array<int>). At 100 TB the codes table is the
+    thing you persist (and bucket by the IVF cid): m bytes/vector."""
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    if via == "literal":
+        v = F.col(vec_col).cast("array<double>")
+        codes = []
+        for j, cb in enumerate(codebooks):
+            vsub = F.slice(v, j * dsub + 1, dsub)
+            cands = [
+                F.struct(
+                    (-_pq_sub_score(vsub, c)).alias("d"),
+                    F.lit(i).alias("i"),
+                )
+                for i, c in enumerate(cb)
+            ]
+            best = cands[0] if len(cands) == 1 else F.least(*cands)
+            codes.append(best["i"])
+        return emb.select(F.col(id_col), F.array(*codes).alias("codes"))
+    if via == "pandas":
+        import numpy as np
+
+        cmats = [np.array(cb, dtype=np.float64) for cb in codebooks]
+        # ½‖c‖² with the left-fold order (numpy pairwise sum differs in
+        # the last ulps — the rounded score must match the literal path)
+        half = [np.array([0.5 * _py_ip(c, c) for c in cb]) for cb in codebooks]
+        id_name = id_col
+
+        def _enc(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    yield pdf[[id_name]].assign(codes=None)
+                    continue
+                vecs = np.array(
+                    [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+                )
+                cols = []
+                for j in range(m):
+                    vsub = vecs[:, j * dsub:(j + 1) * dsub]
+                    # fold-order ip: accumulate term by term like _ip
+                    sc = np.zeros((len(vsub), ksub))
+                    for t in range(dsub):
+                        sc = sc + np.outer(vsub[:, t], cmats[j][:, t])
+                    sc = np.round(sc - half[j], 4)
+                    cols.append(sc.argmax(axis=1))  # first max = lowest i
+                out = pdf[[id_name]].copy()
+                out["codes"] = [list(map(int, row)) for row in zip(*cols)]
+                yield out
+
+        id_type = dict(
+            (f.name, f.dataType.simpleString()) for f in emb.schema.fields
+        )[id_col]
+        return emb.mapInPandas(
+            _enc, schema=f"{id_col} {id_type}, codes array<int>"
+        )
+    raise ValueError(f"unknown pq_encode via={via!r}")
+
+
+def pq_adc_topk(
+    emb: DataFrame, query_vec, codebooks: list, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    via: str = "literal", refine: int = 0,
+) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k: the query stays a
+    full-precision vector; each corpus vector is its m PQ codes. The
+    per-subspace lookup table lut[j][i] = ip(q_sub_j, c_{j,i}) is built
+    DRIVER-side (m·ksub doubles), shipped as literal arrays, and the
+    approximate score is a fixed-order m-term sum of element_at lookups —
+    zero shuffle, then TakeOrderedAndProject. At 100 TB this runs over
+    the persisted codes table inside the query's nprobe IVF lists; here
+    it encodes inline so the op is self-contained.
+
+    refine=R (R > k) adds the exact re-rank stage (FAISS refine/
+    reorder): the ADC shortlist of R ids — a driver-sized set —
+    broadcast-semijoins back to the raw vectors and the final top-k is
+    the EXACT inner product over those R rows only. This is what
+    restores within-cluster ordering that quantization flattens; the
+    raw-vector fetch touches R rows, never the corpus.
+
+    Returns (id_col, aip) — approximate inner product, descending; with
+    refine, aip is the exact inner product of the surviving rows."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    luts = [
+        F.array(*[
+            F.lit(_py_ip(query_vec[j * dsub:(j + 1) * dsub], c))
+            for c in cb
+        ])
+        for j, cb in enumerate(codebooks)
+    ]
+    codes = pq_encode(emb, codebooks, id_col, vec_col, via=via)
+    score = None
+    for j in range(m):
+        term = F.element_at(luts[j], F.col("codes")[j] + 1)
+        score = term if score is None else score + term
+    scored = codes.select(F.col(id_col), F.round(score, 4).alias("aip"))
+    shortlist = scored.orderBy(F.desc("aip"), F.asc(id_col)).limit(
+        max(k, refine))
+    if refine <= k:
+        return shortlist.limit(k)
+    exact = emb.join(F.broadcast(shortlist.select(id_col)), id_col).select(
+        F.col(id_col),
+        F.round(
+            _ip(F.col(vec_col).cast("array<double>"),
+                _literal_vec(query_vec)), 4).alias("aip"),
+    )
+    return exact.orderBy(F.desc("aip"), F.asc(id_col)).limit(k)
