@@ -780,6 +780,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cents = SIM.ivf_centroids(emb, k=16)
         return CU.semdedup(emb, cents, threshold=0.35)
 
+    def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Cluster-balanced sampling (curation.diversity_sample): cap
+        every md5-seeded IVF cluster at 12 rows by smallest-(id-hash,
+        id) — zero-shuffle assignment + one cid-keyed window. The
+        embedding-space analogue of per-domain stratified sampling."""
+        from firmwarescraper_spark.operators import curation as CU
+        from firmwarescraper_spark.operators import similarity as SIM
+
+        emb = _t(spark, sf_dir, "embeddings")
+        cents = SIM.ivf_centroids(emb, k=16)
+        return CU.diversity_sample(emb, cents, quota=12)
+
     def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Gap-based sessionization over events (streaming.events
         sessionize_batch — the backfill/verification twin of the
@@ -906,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "dsir": q_dsir,
         "semdedup": q_semdedup,
+        "diversity_sample": q_diversity_sample,
         "sessionize": q_sessionize,
         "bm25_topk": q_bm25_topk,
         "lm_score": q_lm_score,
@@ -1116,6 +1129,30 @@ _SEMDEDUP_SQL = """
       WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35)
     SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS keep
     FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+_DIVERSITY_SAMPLE_SQL = """
+    WITH sub AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (
+      SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid, v
+      FROM (SELECT * FROM sub
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT s.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY s.vec_id
+                 ORDER BY list_inner_product(s.v, c.v) DESC,
+                          c.cid ASC) AS rn
+        FROM sub s CROSS JOIN c) WHERE rn = 1)
+    SELECT vec_id, cid FROM (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY cid ORDER BY
+               ('0x' || substr(md5('div|' || vec_id::VARCHAR),1,15))::BIGINT,
+               vec_id) AS rn
+      FROM assign) WHERE rn <= 12
 """
 
 _IVF_TOPK_SQL = """
@@ -1664,6 +1701,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _IVF_TOPK_SQL,
         "pq_topk": _PQ_TOPK_SQL,
         "semdedup": _SEMDEDUP_SQL,
+        "diversity_sample": _DIVERSITY_SAMPLE_SQL,
         "langid": _LANGID_SQL,
         "quality": _QUALITY_SQL,
         "pipeline_filter": _PIPELINE_FILTER_SQL,

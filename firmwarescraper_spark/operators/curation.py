@@ -662,3 +662,46 @@ def semdedup(
             F.col("_dup").isNull().alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# diversity (cluster-balanced) sampling
+# ---------------------------------------------------------------------------
+
+
+def diversity_sample(
+    emb: DataFrame, centroids: list, quota: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    salt: str = "div", salt_buckets: int = 1,
+    assign_via: str = "literal",
+) -> DataFrame:
+    """Cluster-balanced sampling over an embedding column: cap every
+    semantic cluster at ``quota`` rows — the embedding-space analogue of
+    per-domain stratified sampling (and the selection step SemDeDup-style
+    curation pipelines run after pruning: keep a BALANCED subset, not
+    whatever mixture the crawl happened to find). Clusters come from the
+    deterministic md5-seeded IVF coarse quantizer, the per-cluster pick
+    is smallest-(id-hash, id) — uniform within the cluster and STABLE
+    under corpus growth (a row leaves the sample only when displaced by
+    a smaller hash).
+
+    Plan shape: zero-shuffle assignment fused into the scan, then ONE
+    hash-partitioned window on cid (two-phase salted for hot clusters
+    via ``salt_buckets`` — identical selection, same argument as the
+    politeness dequeue). At 100 TB: k ∝ N keeps windows bounded, and cid
+    is the storage partition key so the window never re-shuffles data
+    already bucketed by the SemDeDup/IVF stages. Returns (id_col, cid)."""
+    from .similarity import ivf_assign
+
+    assigned = ivf_assign(
+        emb.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ),
+        centroids, vec_col="_v", out_col="cid", via=assign_via,
+    ).select(id_col, "cid")
+    pick = stratified_sample_salted if salt_buckets > 1 else stratified_sample
+    kwargs = {"salt_buckets": salt_buckets} if salt_buckets > 1 else {}
+    out = pick(assigned, group_col="cid", id_col=id_col, quota=quota,
+               salt=salt, **kwargs)
+    return out.select(F.col(id_col), F.col("cid").cast("bigint").alias("cid"))

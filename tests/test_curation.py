@@ -567,3 +567,56 @@ def test_semdedup_plan_is_cluster_scoped(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# diversity (cluster-balanced) sampling
+# ---------------------------------------------------------------------------
+
+def test_diversity_sample_quota_and_determinism(spark):
+    """Every cluster is capped at quota, every non-empty cluster with
+    >= quota members contributes exactly quota, and the selection is
+    identical across reruns and the salted two-phase path."""
+    from firmwarescraper_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = SIM.ivf_centroids(emb, k=8)
+    got = CU.diversity_sample(emb, cents, quota=5).collect()
+    by_cid = {}
+    for r in got:
+        by_cid.setdefault(r["cid"], set()).add(r["vec_id"])
+    assert all(len(v) <= 5 for v in by_cid.values())
+
+    sizes = {r["cid"]: r["n"] for r in SIM.ivf_assign(emb, cents)
+             .groupBy("cid").count().withColumnRenamed("count", "n").collect()}
+    for cid, n in sizes.items():
+        assert len(by_cid.get(cid, ())) == min(n, 5), cid
+
+    again = {(r["vec_id"], r["cid"])
+             for r in CU.diversity_sample(emb, cents, quota=5).collect()}
+    assert again == {(r["vec_id"], r["cid"]) for r in got}
+    salted = {(r["vec_id"], r["cid"]) for r in CU.diversity_sample(
+        emb, cents, quota=5, salt_buckets=4).collect()}
+    assert salted == again  # two-phase rank selects identically
+
+
+def test_diversity_sample_stable_under_growth(spark):
+    """Growth stability (the incremental-recrawl property): sampling the
+    full corpus keeps most of what sampling a prefix chose — a row only
+    leaves when displaced by a smaller hash. Centroids are held FIXED
+    across the comparison (at deployment the index is versioned; letting
+    seeds drift with the corpus is re-indexing, not growth)."""
+    from firmwarescraper_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = SIM.ivf_centroids(emb, k=8)
+    n = emb.count()
+    grown_by = 10
+    base_ids = {r["vec_id"] for r in CU.diversity_sample(
+        emb.filter(f"vec_id < {n - grown_by}"), cents, quota=5).collect()}
+    full_ids = {r["vec_id"] for r in CU.diversity_sample(
+        emb, cents, quota=5).collect()}
+    # each of the `grown_by` new rows can displace at most one pick
+    # (smallest-hash selection is monotone under insertion)
+    assert len(base_ids - full_ids) <= grown_by
+    assert len(base_ids & full_ids) >= len(base_ids) - grown_by
