@@ -639,7 +639,19 @@ def semdedup(
             F.col(vec_col).cast("array<double>").alias("_v"),
         ),
         centroids, vec_col="_v", out_col="cid", via=assign_via,
-    )
+    ).repartition("cid")
+    # cid is THE partitioning key from here: every wide op (the
+    # self-join, the dropped-id dedup — grouped on (cid, _id), a
+    # superset of cid — and the keep-flag join, keyed (cid, _id)) has
+    # its clustering requirement satisfied by hash(cid). Measured plans
+    # (/root/repo/PLANS.md §4): broadcast self-join at sandbox scale;
+    # past the broadcast threshold 3–4 cid-keyed exchanges of
+    # fixed-width rows (EnsureRequirements re-shuffles per join unless
+    # requireAllClusterKeysForCoPartition is relaxed). The deployment
+    # fix is the storage layout, not hints: over a cid-bucketed table
+    # (the §2b crawl pattern) every requirement here is satisfied by
+    # the bucketing and the whole plan runs exchange-free — which is
+    # why each stage keys on (cid, ...) rather than bare _id.
     a = assigned.select(
         F.col("_id").alias("_ida"), F.col("_v").alias("_va"), "cid")
     b = assigned.select(
@@ -650,12 +662,12 @@ def semdedup(
         .filter(
             F.round(cosine_sim(F.col("_va"), F.col("_vb")), 4)
             >= F.lit(float(threshold)))
-        .select(F.col("_idb").alias("_id"))
-        .distinct()
+        .select("cid", F.col("_idb").alias("_id"), F.lit(True).alias("_dup"))
+        .groupBy("cid", "_id").agg(F.first("_dup").alias("_dup"))
     )
     return (
         assigned
-        .join(dropped.withColumn("_dup", F.lit(True)), "_id", "left")
+        .join(dropped, ["cid", "_id"], "left")
         .select(
             F.col("_id").alias(id_col),
             F.col("cid").cast("bigint").alias("cid"),
