@@ -251,6 +251,11 @@ def main():
             # here shuffles the corpus, so the row must be ~linear
             "pq_topk": lambda: SIM.pq_adc_topk(
                 emb, query, pq_cbs, k=10, refine=100, via="pandas"),
+            # diversity sampling at the same k ∝ N cluster sizing:
+            # zero-shuffle assignment + ONE cid-keyed window whose
+            # partitions stay ~400 rows at any scale
+            "diversity_sample": lambda: CU.diversity_sample(
+                emb, sem_cents, quota=20, assign_via="pandas"),
         }
 
     import math

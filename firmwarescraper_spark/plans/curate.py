@@ -155,3 +155,89 @@ def curate_documents(
     keep = [id_col, text_col, "lang_pred", "quality", "dup_count", "split"]
     extra = [c for c in df.columns if c not in (id_col, text_col)]
     return out.select(*([id_col] + extra + keep[1:]))
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    sort_col: str = "doc_id",
+    shard_rows: int = 100_000,
+    shards: int | None = None,
+    split_col: str | None = "split",
+) -> list:
+    """Materialize the curated corpus as range-sharded training files —
+    the step between curate_documents and the tokenizer/loader. Data
+    loaders want (a) bounded shard sizes (a shard is the unit of loader
+    parallelism and of retry), (b) a deterministic global order (resume
+    = "start at shard k, row j"), (c) a manifest to audit both.
+
+    Spark-first shapes, in order:
+      * global order WITHOUT a global sort: repartitionByRange on
+        ``sort_col`` (sampled range boundaries — the exchange is the
+        only wide op, there is never a single ordering task) +
+        sortWithinPartitions. Files inherit disjoint, contiguous key
+        ranges — pinned by test.
+      * size bound via ``maxRecordsPerFile``: an oversized range
+        partition splits into sequential files, so the bound holds even
+        when the range sampler lands a hot key range.
+      * ``split_col`` (if present) becomes a hive partition directory
+        (train/val/test), so loaders mount one split without listing
+        the others and the range invariant holds per split.
+
+    Returns the manifest: a sorted list of
+    {file, split, rows, min_key, max_key} dicts, computed by reading
+    the written files back (groupBy input_file_name — the manifest
+    doubles as a write verification), and also written as one
+    ``_manifest.json`` line per shard next to the data. At 100 TB the
+    read-back costs one metadata-cheap column scan of (sort_col); rows
+    never collect to the driver beyond one dict per shard."""
+    import json
+    import math
+    import os
+
+    spark = df.sparkSession
+    n = df.count()
+    if shards is None:
+        shards = max(1, math.ceil(n / shard_rows))
+    cols = [c for c in df.columns]
+    parts = (
+        df.repartitionByRange(shards, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+    )
+    writer = (
+        parts.write.mode("overwrite")
+        .option("maxRecordsPerFile", shard_rows)
+    )
+    if split_col and split_col in cols:
+        writer = writer.partitionBy(split_col)
+    writer.parquet(path)
+
+    back = spark.read.parquet(path).select(
+        F.col(sort_col).alias("_k"),
+        F.input_file_name().alias("_f"),
+        *([F.col(split_col).alias("_s")]
+          if split_col and split_col in cols else [F.lit("").alias("_s")]),
+    )
+    rows = (
+        back.groupBy("_f", "_s")
+        .agg(F.count("*").alias("rows"),
+             F.min("_k").alias("min_key"), F.max("_k").alias("max_key"))
+        .collect()
+    )
+    manifest = sorted(
+        (
+            {
+                "file": os.path.basename(r["_f"]),
+                "split": r["_s"],
+                "rows": r["rows"],
+                "min_key": r["min_key"],
+                "max_key": r["max_key"],
+            }
+            for r in rows
+        ),
+        key=lambda m: (m["split"], m["min_key"]),
+    )
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        for m in manifest:
+            fh.write(json.dumps(m, default=str) + "\n")
+    return manifest

@@ -620,3 +620,56 @@ def test_diversity_sample_stable_under_growth(spark):
     # (smallest-hash selection is monotone under insertion)
     assert len(base_ids - full_ids) <= grown_by
     assert len(base_ids & full_ids) >= len(base_ids) - grown_by
+
+
+# ---------------------------------------------------------------------------
+# training-shard writer
+# ---------------------------------------------------------------------------
+
+def test_write_training_shards_bounds_order_and_manifest(spark, tmp_path):
+    """Shard invariants: every file <= shard_rows; per-split shard key
+    ranges are pairwise disjoint (global order without a global sort);
+    manifest row counts sum to the input; _manifest.json matches."""
+    import json
+
+    from firmwarescraper_spark.plans import curate as CP
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id")).alias("text"),
+        F.when(F.col("id") % 10 == 0, "val").otherwise("train").alias("split"),
+    )
+    out = str(tmp_path / "shards")
+    manifest = CP.write_training_shards(
+        df, out, sort_col="doc_id", shard_rows=120)
+
+    assert sum(m["rows"] for m in manifest) == 1000
+    assert all(m["rows"] <= 120 for m in manifest)
+    by_split = {}
+    for m in manifest:
+        by_split.setdefault(m["split"], []).append(m)
+    for ms in by_split.values():
+        spans = sorted((m["min_key"], m["max_key"]) for m in ms)
+        for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+            assert a_hi < b_lo, "shard key ranges overlap"
+
+    disk = [json.loads(line)
+            for line in open(out + "/_manifest.json")]
+    assert len(disk) == len(manifest)
+    assert {d["file"] for d in disk} == {m["file"] for m in manifest}
+
+    # round trip: nothing lost, nothing duplicated
+    got = spark.read.parquet(out)
+    assert got.count() == 1000
+    assert got.select("doc_id").distinct().count() == 1000
+
+
+def test_write_training_shards_no_split_col(spark, tmp_path):
+    """Without a split column the writer still shards and manifests."""
+    from firmwarescraper_spark.plans import curate as CP
+
+    df = spark.range(50).select(F.col("id").alias("doc_id"))
+    manifest = CP.write_training_shards(
+        df, str(tmp_path / "s2"), shard_rows=20, split_col=None)
+    assert sum(m["rows"] for m in manifest) == 50
+    assert all(m["rows"] <= 20 for m in manifest)
