@@ -623,14 +623,12 @@ def semdedup(
     which twin survives, never in how many).
 
     Plan shape: zero-shuffle literal-argmax assignment fused into the
-    scan, ONE cid-keyed shuffle for the self-join (both sides identical,
-    so AQE reuses the exchange), a distinct over dropped ids, and a
-    left join back. At 100 TB: k grows with N (k ~ sqrt(N)) so expected
-    cluster size stays bounded; cid is also the storage partition key,
-    making the self-join co-located and the per-cluster candidate
-    volume the only quadratic term — bounded by the cluster-size cap.
-    Returns (id_col, cid, keep)."""
-    from .dedup import cosine_sim
+    scan, then the cid-keyed prune stage (semdedup_prune — measured
+    shapes in PLANS.md §4). At 100 TB: k grows with N (k ~ sqrt(N)) so
+    expected cluster size stays bounded; cid is also the storage
+    partition key, making the prune co-located and the per-cluster
+    candidate volume the only quadratic term — bounded by the
+    cluster-size cap. Returns (id_col, cid, keep)."""
     from .similarity import ivf_assign
 
     assigned = ivf_assign(
@@ -640,37 +638,60 @@ def semdedup(
         ),
         centroids, vec_col="_v", out_col="cid", via=assign_via,
     ).repartition("cid")
-    # cid is THE partitioning key from here: every wide op (the
-    # self-join, the dropped-id dedup — grouped on (cid, _id), a
-    # superset of cid — and the keep-flag join, keyed (cid, _id)) has
-    # its clustering requirement satisfied by hash(cid). Measured plans
-    # (/root/repo/PLANS.md §4): broadcast self-join at sandbox scale;
-    # past the broadcast threshold 3–4 cid-keyed exchanges of
-    # fixed-width rows (EnsureRequirements re-shuffles per join unless
-    # requireAllClusterKeysForCoPartition is relaxed). The deployment
-    # fix is the storage layout, not hints: over a cid-bucketed table
-    # (the §2b crawl pattern) every requirement here is satisfied by
-    # the bucketing and the whole plan runs exchange-free — which is
-    # why each stage keys on (cid, ...) rather than bare _id.
+    return semdedup_prune(
+        assigned, threshold=threshold, id_col="_id", vec_col="_v",
+    ).select(
+        F.col("_id").alias(id_col), "cid", "keep",
+    )
+
+
+def semdedup_prune(
+    assigned: DataFrame, threshold: float = 0.35,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    cid_col: str = "cid",
+) -> DataFrame:
+    """The cid-scoped prune stage of :func:`semdedup`, public so it can
+    run directly over a PERSISTED assignment table — the deployment
+    shape, where (id, vec, cid) is written once, bucketed by cid, and
+    the prune (plus the IVF probe scans and the diversity window) reads
+    it back co-located.
+
+    Every wide op here keys on cid: the in-cluster self-join on
+    ``cid_col``, the dropped-id dedup grouped on (cid, id) — a superset
+    of cid — and the keep-flag join on (cid, id). Measured plans
+    (PLANS.md §4): broadcast self-join at sandbox scale; past the
+    broadcast threshold, cid-keyed SortMergeJoins whose exchanges ALL
+    collapse when the input is a cid-bucketed table (pinned by
+    test_semdedup_prune_bucketed_table_is_exchange_free) — the
+    bucketing satisfies every clustering requirement in the chain.
+    Returns (id_col, cid, keep)."""
+    from .dedup import cosine_sim
+
     a = assigned.select(
-        F.col("_id").alias("_ida"), F.col("_v").alias("_va"), "cid")
+        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"),
+        F.col(cid_col).alias("cid"))
     b = assigned.select(
-        F.col("_id").alias("_idb"), F.col("_v").alias("_vb"), "cid")
+        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"),
+        F.col(cid_col).alias("cid"))
     dropped = (
         a.join(b, "cid")
         .filter(F.col("_ida") < F.col("_idb"))
         .filter(
             F.round(cosine_sim(F.col("_va"), F.col("_vb")), 4)
             >= F.lit(float(threshold)))
-        .select("cid", F.col("_idb").alias("_id"), F.lit(True).alias("_dup"))
-        .groupBy("cid", "_id").agg(F.first("_dup").alias("_dup"))
+        .select("cid", F.col("_idb").alias("_di"), F.lit(True).alias("_dup"))
+        .groupBy("cid", "_di").agg(F.first("_dup").alias("_dup"))
     )
+    base = assigned.select(
+        F.col(id_col), F.col(cid_col).alias("cid"))
     return (
-        assigned
-        .join(dropped, ["cid", "_id"], "left")
+        base
+        .join(dropped,
+              (base["cid"] == dropped["cid"])
+              & (base[id_col] == dropped["_di"]), "left")
         .select(
-            F.col("_id").alias(id_col),
-            F.col("cid").cast("bigint").alias("cid"),
+            base[id_col],
+            base["cid"].cast("bigint").alias("cid"),
             F.col("_dup").isNull().alias("keep"),
         )
     )

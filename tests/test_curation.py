@@ -673,3 +673,46 @@ def test_write_training_shards_no_split_col(spark, tmp_path):
         df, str(tmp_path / "s2"), shard_rows=20, split_col=None)
     assert sum(m["rows"] for m in manifest) == 50
     assert all(m["rows"] <= 20 for m in manifest)
+
+
+def test_semdedup_prune_bucketed_table_is_exchange_free(spark, tmp_path):
+    """Deployment-layout pin (the PLANS.md §4 claim): over a persisted
+    assignment table BUCKETED BY cid, the whole prune chain — in-cluster
+    self-join, dropped-id dedup, keep-flag join — plans with ZERO
+    Exchange nodes: the bucketing satisfies every clustering requirement
+    (requireAllClusterKeysForCoPartition relaxed, as a real deployment
+    sets it for subset-key bucketed joins; broadcast disabled so the
+    test exercises the scale path, not the small-table shortcut)."""
+    from firmwarescraper_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = SIM.ivf_centroids(emb, k=8)
+    assigned = SIM.ivf_assign(
+        emb.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("emb")),
+        cents, vec_col="emb")
+    tbl = "semdedup_bucketed_pin"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (assigned.write.bucketBy(8, "cid").sortBy("cid")
+     .mode("overwrite").saveAsTable(tbl))
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_req = spark.conf.get(
+        "spark.sql.requireAllClusterKeysForCoPartition")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.requireAllClusterKeysForCoPartition", "false")
+        pruned = CU.semdedup_prune(
+            spark.table(tbl), threshold=0.9,
+            id_col="vec_id", vec_col="emb")
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # and the result is the same as computing from scratch
+        scratch = CU.semdedup(emb, cents, threshold=0.9)
+        assert sorted(map(tuple, pruned.collect())) == \
+            sorted(map(tuple, scratch.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(
+            "spark.sql.requireAllClusterKeysForCoPartition", old_req)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
