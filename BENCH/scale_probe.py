@@ -251,6 +251,15 @@ def main():
             # here shuffles the corpus, so the row must be ~linear
             "pq_topk": lambda: SIM.pq_adc_topk(
                 emb, query, pq_cbs, k=10, refine=100, via="pandas"),
+            # BPE training's only corpus-proportional stage: the
+            # tokenize scan + map-side-combined word-freq reduction +
+            # vocab-sized pair count. The merge loop itself iterates on
+            # the vocab table (bounded), so THIS row is the one whose
+            # linearity the 100-TB story rests on. Vocab grows with N
+            # here (synthetic words are row-indexed), the worst case.
+            "bpe_pair_counts": lambda: __import__(
+                "firmwarescraper_spark.operators.bpe", fromlist=["x"]
+            ).bpe_pair_counts(docs, k=50),
             # diversity sampling at the same k ∝ N cluster sizing:
             # zero-shuffle assignment + ONE cid-keyed window whose
             # partitions stay ~400 rows at any scale

@@ -792,6 +792,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cents = SIM.ivf_centroids(emb, k=16)
         return CU.diversity_sample(emb, cents, quota=12)
 
+    def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """BPE tokenizer-training argmax table (operators/bpe.py): the
+        corpus→word-frequency reduction (the one corpus-proportional
+        scan of distributed BPE training) + initial-symbol adjacent-pair
+        counts + deterministic top-50 — exactly what the first merge
+        iteration reads. The oracle replays tokenization, the </w>
+        convention, and the (cnt DESC, left, right) order verbatim;
+        the full iterative merge loop is pinned by pytest parity vs a
+        pure-Python reference (tests/test_bpe.py)."""
+        from firmwarescraper_spark.operators import bpe as BPE
+
+        return BPE.bpe_pair_counts(
+            _t(spark, sf_dir, "documents"), k=50
+        )
+
     def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Gap-based sessionization over events (streaming.events
         sessionize_batch — the backfill/verification twin of the
@@ -919,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir": q_dsir,
         "semdedup": q_semdedup,
         "diversity_sample": q_diversity_sample,
+        "bpe_pair_counts": q_bpe_pair_counts,
         "sessionize": q_sessionize,
         "bm25_topk": q_bm25_topk,
         "lm_score": q_lm_score,
@@ -1013,6 +1029,13 @@ def _sketches_mod():
     from firmwarescraper_spark.operators import sketches as SK
 
     return SK
+
+
+def _bpe_mod():
+    """Deferred like _sketches_mod — pure string builder."""
+    from firmwarescraper_spark.operators import bpe as BPE
+
+    return BPE
 
 
 _PAGERANK_SQL = """
@@ -1702,6 +1725,8 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk": _PQ_TOPK_SQL,
         "semdedup": _SEMDEDUP_SQL,
         "diversity_sample": _DIVERSITY_SAMPLE_SQL,
+        "bpe_pair_counts": _bpe_mod().pair_counts_oracle_sql(
+            table="documents", text_col="text", k=50),
         "langid": _LANGID_SQL,
         "quality": _QUALITY_SQL,
         "pipeline_filter": _PIPELINE_FILTER_SQL,
