@@ -119,6 +119,8 @@ def main():
     spark.sparkContext.setLogLevel("FATAL")
 
     def ops(docs, docs_dup, emb, events, planes):
+        from pyspark.sql import functions as F
+
         from firmwarescraper_spark.operators import curation as CU
         from firmwarescraper_spark.operators import graph as GR
         from firmwarescraper_spark.operators import similarity as SIM
@@ -265,6 +267,28 @@ def main():
             # partitions stay ~400 rows at any scale
             "diversity_sample": lambda: CU.diversity_sample(
                 emb, sem_cents, quota=20, assign_via="pandas"),
+            # BPE apply via the vocab-join shape: the fold cost is paid
+            # per DISTINCT word (vocab ∝ N/5 here — worst case), the
+            # corpus side is one broadcast join + doc-keyed regroup
+            "bpe_encode": lambda: __import__(
+                "firmwarescraper_spark.operators.bpe", fromlist=["x"]
+            ).bpe_encode(
+                docs, [("w", "1"), ("w1", "2"), ("w", "2"), ("0", "</w>")],
+                via="join"),
+            # seeded global shuffle: key+shard scan-fused, ONE range
+            # exchange on the uniform md5 key (shards ∝ N keeps
+            # partition size constant)
+            "global_shuffle": lambda: CU.global_shuffle(
+                docs, seed="probe", shards=max(4, n // 6_250)),
+            # token-budget mixture: per-(source, hash-bucket) windows —
+            # budgets ∝ N so the kept fraction is scale-constant
+            "budget_mix": lambda: CU.budget_mix(
+                docs.withColumn(
+                    "source",
+                    F.concat(F.lit("s"), F.pmod(F.col("doc_id"), F.lit(8))),
+                ),
+                {f"s{i}": 2 * n for i in range(6)},
+            ),
         }
 
     import math

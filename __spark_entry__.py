@@ -23,6 +23,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # documents vocabulary, mixed common/rare so idf actually discriminates)
 _BM25_TERMS = ["spark", "window", "vector", "hash"]
 
+# Fixed merge table for the bpe_encode oracle row: the apply step is the
+# operator under test (bpe_learn's output is corpus-dependent; its loop
+# has its own pure-Python parity suite). Includes a chained rule
+# ((t,h) then (th,e)) and two </w>-suffix rules.
+_BPE_ENCODE_MERGES = [
+    ("t", "h"), ("th", "e"), ("e", "</w>"), ("i", "n"), ("a", "n"),
+    ("o", "n"), ("e", "r"), ("a", "t"), ("s", "</w>"),
+]
+
 
 # ---------------------------------------------------------------------------
 # entry — flagship: one crawl round's hot path (seen anti-join + salted
@@ -629,6 +638,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "codec",
         )
 
+    def q_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Token-budget mixture materialization (curation.budget_mix):
+        per-source seeded-hash order, keep while the running token sum
+        stays inside the source's budget — domain_mix reports the
+        proportions, this enforces them. The running sum is the
+        two-phase hash-range prefix sum (pack_sequences pattern), so a
+        90%-of-corpus "web" source never becomes one window task. Four
+        budget regimes in one row: partial (src0/src1), effectively
+        unbounded (src2), tiny (src3), absent -> excluded (the rest)."""
+        from firmwarescraper_spark.operators import curation as CU
+
+        docs = _t(spark, sf_dir, "documents")
+        return CU.budget_mix(
+            docs, {"src0": 800, "src1": 500, "src2": 2000, "src3": 120}
+        )
+
+    def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Deterministic seeded global shuffle (curation.global_shuffle):
+        the data-ordering stage between curation and shard writing —
+        order-by-content-hash is how a 10^10-row corpus is permuted
+        without a permutation index or a global sort task (the range
+        exchange samples boundaries on the uniform md5 key). The oracle
+        replays key and 64-way prefix shard exactly; epoch re-shuffle =
+        same query, new seed."""
+        from firmwarescraper_spark.operators import curation as CU
+
+        docs = _t(spark, sf_dir, "documents")
+        return CU.global_shuffle(docs, seed="epoch-0").select(
+            "doc_id", "shuffle_key", "shard"
+        )
+
+    def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """BPE apply/tokenize (operators/bpe.bpe_encode, via='join' — the
+        scale path): the merge fold runs once per DISTINCT word on the
+        vocab table, a broadcast join + doc-keyed regroup restores
+        corpus order; text never shuffles. The oracle replays the fold
+        as a nested left-to-right replace chain over a |sym|-wrapped
+        encoding (provably the same non-overlapping semantics); the
+        inline zero-shuffle variant is pinned equal by tests."""
+        from firmwarescraper_spark.operators import bpe as BPE
+
+        return BPE.bpe_encode(
+            _t(spark, sf_dir, "documents"), _BPE_ENCODE_MERGES, via="join"
+        ).orderBy("doc_id")
+
     def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Deterministic train/val/test split assignment
         (operators/curation.assign_splits): md5-derived hash bucket of the
@@ -923,6 +977,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "mjpeg_frames": q_mjpeg_frames,
         "pipeline_filter": q_pipeline_filter,
+        "budget_mix": q_budget_mix,
+        "global_shuffle": q_global_shuffle,
+        "bpe_encode": q_bpe_encode,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
@@ -1400,6 +1457,42 @@ def _mjpeg_frames_sql() -> str:
 
 _H60 = "('0x' || substr(md5({x}),1,15))::BIGINT"
 
+_BUDGET_MIX_SQL = r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(regexp_split_to_array(trim(text), '\s+'))::BIGINT
+                   AS n_tokens,
+               ('0x' || substr(md5('mix|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                   AS h
+        FROM documents
+    ), c AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )::BIGINT AS cum_tokens
+        FROM t
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens FROM c
+    WHERE cum_tokens <= CASE source
+        WHEN 'src0' THEN 800 WHEN 'src1' THEN 500
+        WHEN 'src2' THEN 2000 WHEN 'src3' THEN 120 ELSE 0 END
+"""
+
+_GLOBAL_SHUFFLE_SQL = (
+    "WITH k AS (SELECT doc_id, md5('epoch-0:' || doc_id::VARCHAR) "
+    "AS shuffle_key FROM documents)\n"
+    "SELECT doc_id, shuffle_key, "
+    "('0x' || substr(shuffle_key, 1, 4))::BIGINT % 64 AS shard FROM k"
+)
+
+
+def _bpe_encode_sql() -> str:
+    from firmwarescraper_spark.operators.bpe import encode_oracle_sql
+
+    return encode_oracle_sql(_BPE_ENCODE_MERGES)
+
+
 _HASH_SPLIT_SQL = (
     "WITH b AS (SELECT doc_id, "
     + _H60.format(x="'split|' || doc_id::VARCHAR")
@@ -1742,6 +1835,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_meta": _media_meta_sql(),
         "mjpeg_frames": _mjpeg_frames_sql(),
+        "budget_mix": _BUDGET_MIX_SQL,
+        "global_shuffle": _GLOBAL_SHUFFLE_SQL,
+        "bpe_encode": _bpe_encode_sql(),
         "hash_split": _HASH_SPLIT_SQL,
         "stratified_sample": _STRATIFIED_SQL,
         "weighted_sample": """

@@ -251,6 +251,139 @@ def pair_counts_oracle_sql(
     """
 
 
+def apply_merges(syms: Column, merges) -> Column:
+    """Fold a learned merge table over one symbol array, in rank order —
+    each rule via :func:`merge_symbols` (left-to-right, non-overlapping).
+    ``merges`` is ``[(left, right), ...]`` or the 5-tuples
+    :func:`bpe_learn` returns."""
+    out = syms
+    for m in merges:
+        left, right = (m[1], m[2]) if len(m) >= 4 else (m[0], m[1])
+        out = merge_symbols(out, left, right)
+    return out
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    via: str = "join",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Apply a learned merge table corpus-wide — the tokenization step
+    that turns curated documents into model input. Returns
+    ``(id_col, token_str, n_tokens)`` where ``token_str`` is the
+    subword sequence joined by single spaces (order-preserving).
+
+    Two shapes, same result (pinned equal by tests/test_bpe.py):
+
+    * ``via="join"`` (default — the industrial/large-M shape): the merge
+      fold runs once per DISTINCT word on a vocab-sized table (a plain
+      DataFrame loop, ``localCheckpoint`` every ``checkpoint_every``
+      rules bounding lineage exactly like :func:`bpe_learn`), then a
+      broadcast join maps every corpus token to its encoded form and a
+      doc-keyed regroup restores order. The corpus is scanned once and
+      shuffles only (id, pos, word) — never the text — and the M-rule
+      fold cost is paid |vocab| times, not |corpus| times. This is how
+      fast tokenizers amortize a 30k-merge table.
+    * ``via="inline"``: the fold is inlined per token occurrence as one
+      scan-fused column expression — ZERO shuffle, but the Catalyst
+      expression tree grows with M, so it is the small-M path (gates,
+      probes, oracles), not the 30k-merge path.
+
+    No RNG, no Python rows: both paths are higher-order column
+    functions end to end, so reruns and engines agree exactly."""
+    toks = _tokens(F.col(text_col))
+    if via == "inline":
+        enc = F.flatten(
+            F.transform(toks, lambda w: apply_merges(word_symbols(w), merges))
+        )
+        return df.select(
+            F.col(id_col),
+            F.array_join(enc, " ").alias("token_str"),
+            F.size(enc).cast("bigint").alias("n_tokens"),
+        )
+    words = df.select(F.col(id_col), toks.alias("words"))
+    vocab = (
+        words.select(F.explode("words").alias("word"))
+        .distinct()
+        .withColumn("syms", word_symbols(F.col("word")))
+    )
+    count = 0
+    for m in merges:
+        left, right = (m[1], m[2]) if len(m) >= 4 else (m[0], m[1])
+        vocab = vocab.withColumn(
+            "syms", merge_symbols(F.col("syms"), left, right)
+        )
+        count += 1
+        if count % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint()
+    pos = words.select(
+        F.col(id_col), F.posexplode_outer("words").alias("pos", "word")
+    )
+    enc = pos.join(F.broadcast(vocab), "word", "left")
+    per_doc = (
+        enc.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("word").isNotNull(),
+                                F.struct(F.col("pos"), F.col("syms")),
+                            )
+                        )
+                    ),
+                    lambda s: s["syms"],
+                )
+            ).alias("tokens")
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.array_join("tokens", " ").alias("token_str"),
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+def encode_oracle_sql(
+    merges,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    where: str = "",
+) -> str:
+    """DuckDB replay of :func:`bpe_encode` for a FIXED merge table, as
+    nested scalar functions — no per-word ordinality needed. Each symbol
+    is carried as ``|sym|`` (symbols are alnum or ``</w>``, so ``|``
+    never collides), words separated by a space no pattern contains;
+    SQL ``replace`` is left-to-right non-overlapping over that encoding,
+    which is exactly the :func:`merge_symbols` fold semantics."""
+    wrapped = (
+        f"regexp_replace(trim(regexp_replace(lower({text_col}), "
+        "'[^a-z0-9]+', ' ', 'g')), '(.)', '|\\1|', 'g')"
+    )
+    s = f"replace({wrapped}, '| |', '|{END}| ') || '|{END}|'"
+    for m in merges:
+        left, right = (m[1], m[2]) if len(m) >= 4 else (m[0], m[1])
+        s = f"replace({s}, '|{left}||{right}|', '|{left}{right}|')"
+    s = f"trim(replace(replace({s}, '||', ' '), '| |', ' '), '|')"
+    return f"""
+        SELECT {id_col},
+               CASE WHEN length(trim(regexp_replace(lower({text_col}),
+                        '[^a-z0-9]+', ' ', 'g'))) = 0
+                    THEN '' ELSE {s} END AS token_str,
+               CASE WHEN length(trim(regexp_replace(lower({text_col}),
+                        '[^a-z0-9]+', ' ', 'g'))) = 0
+                    THEN 0 ELSE length(string_split({s}, ' ')) END::BIGINT
+                   AS n_tokens
+        FROM {table} {where}
+        ORDER BY {id_col}
+    """
+
+
 def bpe_pair_counts(
     df: DataFrame, text_col: str = "text", k: int = 50, min_freq: int = 1
 ) -> DataFrame:

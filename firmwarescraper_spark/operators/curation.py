@@ -73,6 +73,52 @@ def sample_fraction(
     return df.filter(hash_bucket(F.col(id_col), salt) < keep_bps)
 
 
+def shuffle_key(id_col: Column, seed: str = "0") -> Column:
+    """The deterministic shuffle key: md5 of ``seed:id``. Uniform over
+    the corpus, a pure function of (seed, id) — so the induced order is
+    reproducible across reruns/engines, and a new seed (e.g. the epoch
+    number) is an independent permutation."""
+    return F.md5(F.concat(F.lit(f"{seed}:"), id_col.cast("string")))
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "0",
+    shards: int | None = None,
+    shard_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic global shuffle — the data-ORDERING stage between
+    curation and shard writing. Training wants each epoch to see the
+    corpus in (pseudo)random order, decorrelated from crawl/domain
+    order; at 10^10 rows you cannot materialize a permutation index, so
+    the industrial shape is: order by a seeded content hash.
+
+    Adds ``shuffle_key`` (md5 of ``seed:id``) and ``shard`` (a coarse
+    64-way key prefix bucket — the loader-facing "which file range"
+    handle). Because the key is uniform, ``repartitionByRange`` on it
+    (done here when ``shards`` is set, or downstream by
+    ``plans.curate.write_training_shards(sort_col="shuffle_key")``)
+    gets balanced partitions from sampled boundaries — a full shuffle
+    but NEVER a global sort task, and no skew regardless of how skewed
+    the id space is. Epoch re-shuffles are free: same job, new seed.
+
+    Plan shape: key and shard are scan-fused column expressions; the
+    only wide op is the (optional) range exchange. 100 TB = the same
+    plan with more partitions."""
+    key = shuffle_key(F.col(id_col), seed)
+    out = df.withColumn("shuffle_key", key).withColumn(
+        "shard",
+        (F.conv(F.substring("shuffle_key", 1, 4), 16, 10).cast("bigint")
+         % shard_buckets),
+    )
+    if shards:
+        out = out.repartitionByRange(
+            shards, F.col("shuffle_key")
+        ).sortWithinPartitions("shuffle_key")
+    return out
+
+
 def weighted_sample(
     df: DataFrame, weight_col: str, k: int = 100, id_col: str = "doc_id",
 ) -> DataFrame:
@@ -593,6 +639,79 @@ def pack_sequences(
     ).select(
         id_col, "n_tokens", "start_token", "seq_id", "seq_offset",
         (F.col("_last") - F.col("seq_id") + 1).cast("bigint").alias("n_seqs"),
+    )
+
+
+def budget_mix(
+    df: DataFrame,
+    budgets: dict,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    buckets: int = 64,
+) -> DataFrame:
+    """Materialize a token-budget mixture: for each source, keep
+    documents in deterministic seeded-hash order until that source's
+    token budget is met — how a pretraining mixture spec ("web: 60B
+    tokens, code: 20B, ...") becomes an actual corpus. ``domain_mix``
+    reports the proportions; this op ENFORCES them.
+
+    Keep rule: a doc survives iff its source's running token total
+    INCLUDING the doc is <= ``budgets[source]`` (sources absent from
+    ``budgets`` get 0 — excluded). The order is (md5(salt|id), id) — so
+    the selection is rerun/engine-stable, a grown corpus only ever
+    APPENDS candidates at existing priorities, and a new salt draws an
+    independent sample.
+
+    The per-source running sum is the scale problem: one
+    ``Window.partitionBy(source).orderBy(hash)`` makes each source a
+    single task — and real mixtures have a "web" source holding 90% of
+    the corpus. Same cure as :func:`pack_sequences`: the hash space
+    splits into ``buckets`` ranges (hash-range order IS the priority
+    order, so cross-bucket order is free), phase 1 reduces per
+    (source, bucket) totals — a ``|sources| x buckets``-row table whose
+    offset window is trivially cheap — and phase 2 adds the broadcast
+    offset to a within-(source, bucket) cumulative window. Wide work is
+    per-bucket, never per-source. Integer ``div`` keeps 10^14-token
+    offsets exact. Returns (id_col, source, n_tokens, cum_tokens)."""
+    from .dedup import _md5_hash64
+
+    h = _md5_hash64(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    width = max(1, (1 << 60) // buckets)
+    base = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        n_tok.alias("n_tokens"),
+        h.alias("_h"),
+    ).withColumn("_b", F.expr(f"_h div {width}"))
+    bucket_tot = base.groupBy("source", "_b").agg(
+        F.sum("n_tokens").alias("_bt")
+    )
+    w_b = (
+        Window.partitionBy("source").orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket_off = bucket_tot.select(
+        "source", "_b",
+        F.coalesce(F.sum("_bt").over(w_b), F.lit(0)).alias("_boff"),
+    )
+    w_in = (
+        Window.partitionBy("source", "_b").orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    budget = F.create_map(
+        *[F.lit(x) for k in sorted(budgets) for x in (k, int(budgets[k]))]
+    )[F.col("source")]
+    return (
+        base.join(F.broadcast(bucket_off), ["source", "_b"])
+        .select(
+            id_col, "source", "n_tokens",
+            (F.sum("n_tokens").over(w_in) + F.col("_boff"))
+            .alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= F.coalesce(budget, F.lit(0)))
     )
 
 

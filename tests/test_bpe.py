@@ -119,3 +119,110 @@ def test_bpe_iteration_runs_on_checkpointed_vocab(spark):
     merged = vocab.withColumn("m", BPE.merge_symbols(F.col("syms"), "t", "h"))
     bad = merged.filter(F.size("m") > F.size("syms")).count()
     assert bad == 0
+
+
+def _encode_merges():
+    # chained rule ((t,h) then (th,e)), two </w>-suffix rules, and
+    # rules that never fire — the fixed table the entry oracle also uses
+    return [("t", "h"), ("th", "e"), ("e", "</w>"), ("o", "w"),
+            ("l", "ow"), ("e", "r"), ("q", "z")]
+
+
+def _encode_py(text, merges):
+    import re
+
+    out = []
+    for w in re.split(r"[^a-z0-9]+", text.lower()):
+        if not w:
+            continue
+        syms = list(w) + [BPE.END]
+        for left, right in merges:
+            new, pending = [], None
+            for s in syms:
+                if pending == left and s == right:
+                    new.append(left + right)
+                    pending = None
+                else:
+                    if pending is not None:
+                        new.append(pending)
+                    pending = s
+            if pending is not None:
+                new.append(pending)
+            syms = new
+        out.extend(syms)
+    return " ".join(out)
+
+
+def test_bpe_encode_matches_pure_python(spark):
+    merges = _encode_merges()
+    got = {
+        r["doc_id"]: (r["token_str"], r["n_tokens"])
+        for r in BPE.bpe_encode(_docs_df(spark), merges).collect()
+    }
+    for i, t in enumerate(DOCS):
+        want = _encode_py(t, merges)
+        assert got[i][0] == want, (i, got[i][0], want)
+        assert got[i][1] == len(want.split())
+
+
+def test_bpe_encode_join_equals_inline(spark):
+    merges = _encode_merges()
+    a = {r["doc_id"]: r["token_str"] for r in
+         BPE.bpe_encode(_docs_df(spark), merges, via="join").collect()}
+    b = {r["doc_id"]: r["token_str"] for r in
+         BPE.bpe_encode(_docs_df(spark), merges, via="inline").collect()}
+    assert a == b
+
+
+def test_bpe_encode_empty_and_punct_only_docs(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, "?!... --"), (2, "the")], "doc_id int, text string"
+    )
+    for via in ("join", "inline"):
+        rows = {r["doc_id"]: (r["token_str"], r["n_tokens"])
+                for r in BPE.bpe_encode(df, _encode_merges(), via=via).collect()}
+        assert rows[0] == ("", 0)
+        assert rows[1] == ("", 0)
+        assert rows[2] == ("the " + BPE.END, 2)
+
+
+def test_bpe_encode_matches_duckdb_oracle(spark):
+    merges = _encode_merges()
+    sdf = sorted(
+        (r["doc_id"], r["token_str"], r["n_tokens"])
+        for r in BPE.bpe_encode(_docs_df(spark), merges).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id INT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)",
+        [(i, t) for i, t in enumerate(DOCS)],
+    )
+    orc = con.execute(BPE.encode_oracle_sql(merges)).fetchall()
+    assert sdf == [tuple(r) for r in orc]
+
+
+def test_bpe_encode_accepts_learn_output(spark):
+    """bpe_learn's 5-tuples feed bpe_encode directly — the train→apply
+    handoff needs no reshaping."""
+    learned = BPE.bpe_learn(_docs_df(spark), merges=3)
+    assert learned and len(learned[0]) == 5
+    pairs = [(m[1], m[2]) for m in learned]
+    a = {r["doc_id"]: r["token_str"] for r in
+         BPE.bpe_encode(_docs_df(spark), learned).collect()}
+    b = {r["doc_id"]: r["token_str"] for r in
+         BPE.bpe_encode(_docs_df(spark), pairs).collect()}
+    assert a == b
+
+
+def test_bpe_encode_join_folds_vocab_not_corpus(spark):
+    """The via='join' plan must broadcast the encoded vocab into the
+    corpus side — the fold runs on the distinct-word table, the corpus
+    join is a BroadcastHashJoin, and the only corpus-wide exchange is
+    the doc-keyed regroup."""
+    plan = (
+        BPE.bpe_encode(_docs_df(spark), _encode_merges(), via="join")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan

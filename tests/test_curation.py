@@ -716,3 +716,159 @@ def test_semdedup_prune_bucketed_table_is_exchange_free(spark, tmp_path):
         spark.conf.set(
             "spark.sql.requireAllClusterKeysForCoPartition", old_req)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+# ---------------------------------------------------------------------------
+# global shuffle (training-data ordering)
+# ---------------------------------------------------------------------------
+
+def test_global_shuffle_deterministic_and_seed_independent(spark):
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["shuffle_key"]
+         for r in CU.global_shuffle(df, seed="epoch-0").collect()}
+    b = {r["doc_id"]: r["shuffle_key"]
+         for r in CU.global_shuffle(df, seed="epoch-0").collect()}
+    c = {r["doc_id"]: r["shuffle_key"]
+         for r in CU.global_shuffle(df, seed="epoch-1").collect()}
+    assert a == b  # rerun-stable
+    # a new seed is a different permutation (order by key differs)
+    order_a = [k for k, _ in sorted(a.items(), key=lambda kv: kv[1])]
+    order_c = [k for k, _ in sorted(c.items(), key=lambda kv: kv[1])]
+    assert order_a != order_c
+    # and keys are unique — the order is total
+    assert len(set(a.values())) == 500
+
+
+def test_global_shuffle_matches_duckdb(spark):
+    import duckdb
+
+    df = spark.range(64).select(F.col("id").alias("doc_id"))
+    got = sorted(
+        (r["doc_id"], r["shuffle_key"], r["shard"])
+        for r in CU.global_shuffle(df, seed="s1").collect()
+    )
+    want = duckdb.sql(
+        "SELECT i AS doc_id, md5('s1:' || i::VARCHAR) AS k, "
+        "('0x' || substr(md5('s1:' || i::VARCHAR), 1, 4))::BIGINT % 64 "
+        "AS shard FROM range(64) t(i) ORDER BY i"
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+
+
+def test_global_shuffle_plan_scan_fused_and_range_exchange(spark):
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    narrow = CU.global_shuffle(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in narrow  # key+shard are map-side only
+    wide = CU.global_shuffle(df, shards=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "rangepartitioning" in wide.lower()  # sampled-boundary range
+    assert "SortMergeJoin" not in wide
+
+
+def test_global_shuffle_shard_balance(spark):
+    """Uniform md5 keys give balanced coarse shards: with 6400 rows over
+    64 buckets no bucket strays past 2x the mean — the property that
+    makes repartitionByRange boundaries safe regardless of id skew."""
+    df = spark.range(6400).select((F.col("id") * 7919).alias("doc_id"))
+    counts = [r["c"] for r in CU.global_shuffle(df)
+              .groupBy("shard").agg(F.count("*").alias("c")).collect()]
+    assert len(counts) == 64
+    assert max(counts) < 2 * (6400 / 64)
+
+
+def test_global_shuffle_feeds_shard_writer(spark, tmp_path):
+    """Composition: shuffle -> write_training_shards(sort_col=
+    'shuffle_key') materializes the epoch order with disjoint shard key
+    ranges — the full ordering story end to end."""
+    from firmwarescraper_spark.plans import curate as CP
+
+    df = spark.range(400).select(F.col("id").alias("doc_id"))
+    shuffled = CU.global_shuffle(df, seed="epoch-3")
+    manifest = CP.write_training_shards(
+        shuffled, str(tmp_path / "ep3"), sort_col="shuffle_key",
+        shard_rows=60, split_col=None)
+    assert sum(m["rows"] for m in manifest) == 400
+    spans = sorted((m["min_key"], m["max_key"]) for m in manifest)
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi < b_lo
+
+
+# ---------------------------------------------------------------------------
+# token-budget mixture materialization
+# ---------------------------------------------------------------------------
+
+def _mix_docs(spark):
+    rows = [(i, f"src{i % 3}", "tok " * (5 + i % 7)) for i in range(60)]
+    return _docs(spark, rows)
+
+
+def test_budget_mix_respects_budgets_and_order(spark):
+    budgets = {"src0": 40, "src1": 10_000, "src2": 0}
+    got = CU.budget_mix(_mix_docs(spark), budgets).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r)
+    # src2: zero budget -> excluded entirely
+    assert "src2" not in by_src
+    # src1: budget exceeds total -> every doc kept
+    assert len(by_src["src1"]) == 20
+    # src0: running total (in hash order) never passes the budget,
+    # and it is maximal — the next doc in order would overflow
+    s0 = sorted(by_src["src0"], key=lambda r: r["cum_tokens"])
+    assert s0[-1]["cum_tokens"] <= 40
+    assert all(r["cum_tokens"] <= 40 for r in s0)
+    # cum is consistent: cum_i = cum_{i-1} + n_tokens_i
+    for a, b in zip(s0, s0[1:]):
+        assert b["cum_tokens"] == a["cum_tokens"] + b["n_tokens"]
+
+
+def test_budget_mix_source_absent_from_budgets_excluded(spark):
+    got = CU.budget_mix(_mix_docs(spark), {"src0": 10_000}).collect()
+    assert {r["source"] for r in got} == {"src0"}
+
+
+def test_budget_mix_deterministic_and_budget_held_under_growth(spark):
+    budgets = {"src0": 60, "src1": 60, "src2": 60}
+    a = {r["doc_id"] for r in CU.budget_mix(_mix_docs(spark), budgets).collect()}
+    b = {r["doc_id"] for r in CU.budget_mix(_mix_docs(spark), budgets).collect()}
+    assert a == b  # rerun-stable
+    # a grown corpus inserts candidates at deterministic priorities; the
+    # selection may rotate at the tail but the budget invariant holds
+    rows = [(i, f"src{i % 3}", "tok " * (5 + i % 7)) for i in range(120)]
+    kept = CU.budget_mix(_docs(spark, rows), budgets)
+    assert kept.filter(F.col("cum_tokens") > 60).count() == 0
+    assert kept.count() > 0
+
+
+def test_budget_mix_bucket_invariance(spark):
+    """The two-phase hash-range prefix sum must not depend on the bucket
+    count — same selection at 1, 4, and 64 buckets."""
+    budgets = {"src0": 55, "src1": 37, "src2": 90}
+    base = None
+    for buckets in (1, 4, 64):
+        got = sorted(
+            (r["doc_id"], r["cum_tokens"])
+            for r in CU.budget_mix(
+                _mix_docs(spark), budgets, buckets=buckets).collect()
+        )
+        if base is None:
+            base = got
+        else:
+            assert got == base, f"buckets={buckets} diverged"
+
+
+def test_budget_mix_no_global_window(spark):
+    """No unpartitioned window: every window spec in the plan leads with
+    the source partition key (the cumulative one also buckets), so the
+    plan survives a 90%-one-source corpus — per-source work is split
+    across hash-range buckets, never one task."""
+    import re
+
+    plan = (
+        CU.budget_mix(_mix_docs(spark), {"src0": 100})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs, "expected window specs in the plan"
+    assert all(s.lstrip().startswith("source") for s in specs), specs
