@@ -280,6 +280,10 @@ def main():
             # partition size constant)
             "global_shuffle": lambda: CU.global_shuffle(
                 docs, seed="probe", shards=max(4, n // 6_250)),
+            # exact-substring spans on the grouped corpus (dup volume
+            # ∝ N): the window explode is ~40 fixed-width rows/doc,
+            # doc-frequency reduce combines map-side, semi-join mark
+            "dup_spans": lambda: DD.dup_spans(docs_dup, L=8),
             # token-budget mixture: per-(source, hash-bucket) windows —
             # budgets ∝ N so the kept fraction is scale-constant
             "budget_mix": lambda: CU.budget_mix(

@@ -638,6 +638,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "codec",
         )
 
+    def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact-substring duplicate spans (dedup.dup_spans — the Lee
+        et al. 2022 formulation): overlapping L-token window hashes,
+        cross-doc doc-frequency mark, gaps-and-islands span merge — the
+        surgical excise-the-boilerplate complement to doc-level dedup.
+        L=4 on this corpus yields both whole-doc and multi-span rows.
+        The oracle replays windows, the >= 2-distinct-docs mark, and
+        the identical break-iff-gap>L island rule."""
+        from firmwarescraper_spark.operators import dedup as DD
+
+        return DD.dup_spans(_t(spark, sf_dir, "documents"), L=4)
+
     def q_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Token-budget mixture materialization (curation.budget_mix):
         per-source seeded-hash order, keep while the running token sum
@@ -977,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "mjpeg_frames": q_mjpeg_frames,
         "pipeline_filter": q_pipeline_filter,
+        "dup_spans": q_dup_spans,
         "budget_mix": q_budget_mix,
         "global_shuffle": q_global_shuffle,
         "bpe_encode": q_bpe_encode,
@@ -1457,6 +1470,12 @@ def _mjpeg_frames_sql() -> str:
 
 _H60 = "('0x' || substr(md5({x}),1,15))::BIGINT"
 
+def _dup_spans_sql() -> str:
+    from firmwarescraper_spark.operators.dedup import dup_spans_oracle_sql
+
+    return dup_spans_oracle_sql(L=4)
+
+
 _BUDGET_MIX_SQL = r"""
     WITH t AS (
         SELECT doc_id, source,
@@ -1835,6 +1854,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_meta": _media_meta_sql(),
         "mjpeg_frames": _mjpeg_frames_sql(),
+        "dup_spans": _dup_spans_sql(),
         "budget_mix": _BUDGET_MIX_SQL,
         "global_shuffle": _GLOBAL_SHUFFLE_SQL,
         "bpe_encode": _bpe_encode_sql(),

@@ -40,6 +40,162 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def dup_spans(
+    df: DataFrame, L: int = 8, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplicate spans (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    formulation, re-expressed over hashed windows): every OVERLAPPING
+    L-token window of the normalized text is hashed; a window whose
+    exact token sequence occurs in >= 2 distinct documents marks its
+    token range, and overlapping-or-adjacent marked ranges merge into
+    maximal removable spans. This is the surgical complement to
+    doc-level dedup: boilerplate/license/quote blocks get excised while
+    the host document survives. Cross-doc semantics (doc-frequency,
+    like chunk_dedup_stats) — a phrase repeated only WITHIN one doc is
+    repetition (textops.repetition_signals), not duplication.
+
+    Returns one row per document that has at least one duplicated span:
+    (id_col, spans "s-e;s-e" token-index string, n_spans,
+    n_dup_tokens, n_tokens, dup_frac).
+
+    Scale shape: the window explode is ~n_tokens rows/doc — the
+    method's inherent cost — but each row is a fixed-width
+    (id, pos, 60-bit hash) triple; text never shuffles. The
+    doc-frequency reduce is map-side combinable (hot boilerplate
+    hashes collapse before the exchange) and the mark-back is a
+    LEFT SEMI join on the hash (output bounded by the window count;
+    skewed hot hashes are AQE skew-join territory). Span merging is a
+    per-doc JVM ``F.aggregate`` fold over the sorted positions — the
+    gaps-and-islands rule ``break iff pos - prev > L`` — so no
+    per-row Python anywhere."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(words)
+    wins = F.when(
+        n >= L,
+        F.transform(
+            F.sequence(F.lit(0), n - L),
+            lambda i: _md5_hash64(F.concat_ws(" ", F.slice(words, i + 1, L))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    base = df.select(
+        F.col(id_col), n.cast("bigint").alias("n_tokens"),
+        F.posexplode(wins).alias("pos", "h"),
+    )
+    duph = (
+        base.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("h")
+    )
+    per = (
+        base.join(duph, "h", "left_semi")
+        .groupBy(id_col, "n_tokens")
+        .agg(F.sort_array(F.collect_list("pos")).alias("ps"))
+    )
+    close = lambda st: F.concat(
+        st["acc"],
+        F.array(F.struct(st["cs"].alias("s"), (st["cp"] + L - 1).alias("e"))),
+    )
+    init = F.struct(
+        F.array().cast("array<struct<s:int,e:int>>").alias("acc"),
+        F.lit(-1).alias("cs"), F.lit(-1).alias("cp"),
+    )
+
+    def step(st, p):
+        brk = (st["cs"] == -1) | (p - st["cp"] > L)
+        closed = F.when(st["cs"] == -1, st["acc"]).otherwise(close(st))
+        return F.struct(
+            F.when(brk, closed).otherwise(st["acc"]).alias("acc"),
+            F.when(brk, p).otherwise(st["cs"]).alias("cs"),
+            p.alias("cp"),
+        )
+
+    spans = F.aggregate(
+        F.col("ps"), init, step,
+        lambda st: F.when(st["cs"] == -1, st["acc"]).otherwise(close(st)),
+    )
+    return (
+        per.select(id_col, "n_tokens", spans.alias("_sp"))
+        .select(
+            id_col,
+            F.array_join(
+                F.transform(
+                    "_sp", lambda s: F.concat_ws("-", s["s"], s["e"])
+                ),
+                ";",
+            ).alias("spans"),
+            F.size("_sp").alias("n_spans"),
+            F.aggregate(
+                "_sp", F.lit(0), lambda a, s: a + (s["e"] - s["s"] + 1)
+            ).cast("bigint").alias("n_dup_tokens"),
+            "n_tokens",
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup_tokens") / F.col("n_tokens"), 6),
+        )
+    )
+
+
+def dup_spans_oracle_sql(
+    L: int = 8, table: str = "documents", text_col: str = "text",
+    id_col: str = "doc_id", where: str = "",
+) -> str:
+    """DuckDB replay of :func:`dup_spans`: zipped unnests for the
+    window explode, HAVING count(DISTINCT doc) >= 2 for the
+    doc-frequency mark, and the classic lag/sum gaps-and-islands for
+    the span merge (break iff pos - prev > L — identical to the fold)."""
+    toks = (
+        f"string_split(trim(regexp_replace(lower({text_col}),"
+        "'\\s+',' ','g')),' ')"
+    )
+    h = "('0x' || substr(md5(array_to_string(toks[i+1:i+" + str(L) + \
+        "],' ')),1,15))::BIGINT"
+    return f"""
+        WITH t AS (
+            SELECT {id_col}, {toks} AS toks FROM {table} {where}
+        ), w AS (
+            SELECT {id_col}, len(toks)::BIGINT AS n_tokens,
+                   unnest(range(0, greatest(len(toks) - {L} + 1, 0)))
+                       AS pos,
+                   unnest(list_transform(
+                       range(0, greatest(len(toks) - {L} + 1, 0)),
+                       i -> {h})) AS h
+            FROM t
+        ), d AS (
+            SELECT h FROM w GROUP BY h
+            HAVING count(DISTINCT {id_col}) >= 2
+        ), m AS (
+            SELECT * FROM w WHERE h IN (SELECT h FROM d)
+        ), i AS (
+            SELECT {id_col}, n_tokens, pos,
+                   CASE WHEN pos - lag(pos) OVER (
+                            PARTITION BY {id_col} ORDER BY pos) <= {L}
+                        THEN 0 ELSE 1 END AS brk
+            FROM m
+        ), g AS (
+            SELECT *, sum(brk) OVER (
+                PARTITION BY {id_col} ORDER BY pos
+                ROWS UNBOUNDED PRECEDING) AS island
+            FROM i
+        ), s AS (
+            SELECT {id_col}, n_tokens, min(pos) AS s,
+                   max(pos) + {L} - 1 AS e
+            FROM g GROUP BY {id_col}, n_tokens, island
+        )
+        SELECT {id_col},
+               string_agg(s::VARCHAR || '-' || e::VARCHAR, ';'
+                          ORDER BY s) AS spans,
+               count(*)::INT AS n_spans,
+               sum(e - s + 1)::BIGINT AS n_dup_tokens,
+               n_tokens,
+               round(sum(e - s + 1)::DOUBLE / n_tokens, 6) AS dup_frac
+        FROM s GROUP BY {id_col}, n_tokens
+    """
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -436,3 +436,84 @@ def test_pq_adc_plan_zero_shuffle(spark):
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplicate spans (Lee et al. 2022 semantics)
+# ---------------------------------------------------------------------------
+
+def _span_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dup_spans_hand_values(spark):
+    """Shared 4-token run across two docs -> one merged span per doc;
+    a unique doc gets no row; a within-doc-only repeat is NOT marked."""
+    shared = "alpha beta gamma delta epsilon"   # 5 tokens, L=4 -> 2 windows
+    rows = [
+        (0, f"{shared} tail0 xx yy"),
+        (1, f"head1 h2 {shared} z9"),
+        (2, "totally unique words only here today friend"),
+        (3, "rep rep rep rep rep rep unique7 unique8 unique9"),
+    ]
+    out = {r["doc_id"]: r for r in
+           DD.dup_spans(_span_docs(spark, rows), L=4).collect()}
+    # doc 0: windows at pos 0 and 1 both shared -> merged span 0-4
+    assert out[0]["spans"] == "0-4"
+    assert out[0]["n_spans"] == 1
+    assert out[0]["n_dup_tokens"] == 5
+    assert out[0]["n_tokens"] == 8
+    # doc 1: same run shifted by its 2-token head -> span 2-6
+    assert out[1]["spans"] == "2-6"
+    # unique doc and the within-doc-only repeater produce no rows
+    assert 2 not in out
+    assert 3 not in out
+
+
+def test_dup_spans_merges_adjacent_and_keeps_gaps(spark):
+    """Two shared runs split by a long unique middle stay two spans;
+    the gap rule is break iff pos-gap > L."""
+    a = "one two three four"
+    b = "five six seven eight"
+    rows = [
+        (0, f"{a} u0 u1 u2 u3 u4 u5 u6 u7 u8 {b}"),
+        (1, f"{a} v0 v1 v2 v3 v4 v5 v6 v7 v8 {b}"),
+    ]
+    out = {r["doc_id"]: r for r in
+           DD.dup_spans(_span_docs(spark, rows), L=4).collect()}
+    assert out[0]["spans"] == "0-3;13-16"
+    assert out[0]["n_spans"] == 2
+    assert out[0]["n_dup_tokens"] == 8
+
+
+def test_dup_spans_short_docs_no_window(spark):
+    out = DD.dup_spans(
+        _span_docs(spark, [(0, "a b c"), (1, "a b c")]), L=4).collect()
+    assert out == []  # 3 tokens < L: no windows at all
+
+
+def test_dup_spans_matches_duckdb_oracle(spark):
+    import duckdb
+
+    rows = [(i, " ".join(
+        f"w{(i * 13 + k) % 9}" for k in range(12))) for i in range(30)]
+    got = sorted(map(tuple, DD.dup_spans(
+        _span_docs(spark, rows), L=4).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(map(tuple, con.execute(
+        DD.dup_spans_oracle_sql(L=4)).fetchall()))
+    assert got == want
+
+
+def test_dup_spans_plan_text_never_shuffles(spark):
+    """Both exchanges carry fixed-width columns only: the window rows
+    (id, pos, 60-bit hash) and the per-doc position lists — the text
+    column must not appear in any Exchange input."""
+    df = _span_docs(spark, [(0, "a b c d e f"), (1, "a b c d e f")])
+    plan = DD.dup_spans(df, L=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
