@@ -139,6 +139,63 @@ def dup_spans(
     )
 
 
+def excise_spans(
+    df: DataFrame, spans_df: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id", out_col: str = "clean_text",
+) -> DataFrame:
+    """Apply :func:`dup_spans` output: remove the marked token ranges
+    from each document's normalized text and rejoin the survivors —
+    the excision step that actually shrinks the corpus. Docs with no
+    span row pass through with their normalized text intact (left
+    join), so the operator composes as a plain pipeline stage.
+
+    Pure column algebra: the spans string re-parses to ranges, a
+    filter-by-index transform drops covered tokens, and the broadcast
+    side is the spans table (id -> short string), never text. Adds
+    ``out_col`` plus ``n_removed_tokens``."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    sp = spans_df.select(
+        F.col(id_col), F.col("spans").alias("_spans"),
+        F.col("n_dup_tokens").alias("n_removed_tokens"),
+    )
+    ranges = F.transform(
+        F.split(F.col("_spans"), ";"),
+        lambda r: F.struct(
+            F.split(r, "-")[0].cast("int").alias("s"),
+            F.split(r, "-")[1].cast("int").alias("e"),
+        ),
+    )
+    covered = lambda i: F.exists(
+        ranges, lambda rg: (i >= rg["s"]) & (i <= rg["e"])
+    )
+    kept = F.filter(
+        F.zip_with(
+            words,
+            F.sequence(F.lit(0), F.size(words) - 1),
+            lambda w, i: F.struct(w.alias("w"), i.alias("i")),
+        ),
+        lambda t: ~covered(t["i"]),
+    )
+    return (
+        df.join(sp, id_col, "left")
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("_spans").isNull(), normalize_text(F.col(text_col))
+            ).otherwise(
+                F.array_join(
+                    F.transform(kept, lambda t: t["w"]), " "
+                )
+            ),
+        )
+        .withColumn(
+            "n_removed_tokens",
+            F.coalesce(F.col("n_removed_tokens"), F.lit(0)).cast("bigint"),
+        )
+        .drop("_spans")
+    )
+
+
 def dup_spans_oracle_sql(
     L: int = 8, table: str = "documents", text_col: str = "text",
     id_col: str = "doc_id", where: str = "",

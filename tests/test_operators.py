@@ -517,3 +517,35 @@ def test_dup_spans_plan_text_never_shuffles(spark):
     import re
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1)
+
+
+def test_excise_spans_hand_values_and_roundtrip(spark):
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (0, f"{shared} tail0 xx yy"),
+        (1, f"head1 h2 {shared} z9"),
+        (2, "totally unique words only here today friend"),
+    ]
+    df = _span_docs(spark, rows)
+    spans = DD.dup_spans(df, L=4)
+    out = {r["doc_id"]: r for r in
+           DD.excise_spans(df, spans).collect()}
+    assert out[0]["clean_text"] == "tail0 xx yy"
+    assert out[0]["n_removed_tokens"] == 5
+    assert out[1]["clean_text"] == "head1 h2 z9"
+    # no-span doc passes through normalized, zero removed
+    assert out[2]["clean_text"] == rows[2][1]
+    assert out[2]["n_removed_tokens"] == 0
+    # fixpoint: after excision the corpus has no cross-doc L-run left
+    clean = DD.excise_spans(df, spans).select(
+        "doc_id", F.col("clean_text").alias("text"))
+    assert DD.dup_spans(clean, L=4).count() == 0
+
+
+def test_excise_spans_full_coverage_yields_empty(spark):
+    t = "one two three four five"
+    df = _span_docs(spark, [(0, t), (1, t)])
+    out = {r["doc_id"]: r for r in
+           DD.excise_spans(df, DD.dup_spans(df, L=4)).collect()}
+    assert out[0]["clean_text"] == ""
+    assert out[0]["n_removed_tokens"] == 5
