@@ -638,6 +638,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "codec",
         )
 
+    def q_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Fractional source-repetition factors (curation.upsample_epochs):
+        basis-point epochs — full copies by integer division, the
+        fractional epoch by a deterministic id-hash bucket — so "2.3
+        epochs of src0" is exact expected multiplicity with stable
+        membership. Four regimes: 2.3 / exactly 1 / 0.5 / 3.0 epochs;
+        absent sources excluded. Scan-fused map + generator explode,
+        zero shuffle."""
+        from firmwarescraper_spark.operators import curation as CU
+
+        docs = _t(spark, sf_dir, "documents")
+        return CU.upsample_epochs(
+            docs,
+            {"src0": 23_000, "src1": 10_000, "src2": 5_000, "src3": 30_000},
+        )
+
     def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Exact-substring duplicate spans (dedup.dup_spans — the Lee
         et al. 2022 formulation): overlapping L-token window hashes,
@@ -989,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "mjpeg_frames": q_mjpeg_frames,
         "pipeline_filter": q_pipeline_filter,
+        "upsample_epochs": q_upsample_epochs,
         "dup_spans": q_dup_spans,
         "budget_mix": q_budget_mix,
         "global_shuffle": q_global_shuffle,
@@ -1470,6 +1487,26 @@ def _mjpeg_frames_sql() -> str:
 
 _H60 = "('0x' || substr(md5({x}),1,15))::BIGINT"
 
+_UPSAMPLE_SQL = """
+    WITH t AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5('up|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                   % 10000 AS b,
+               CASE source WHEN 'src0' THEN 23000 WHEN 'src1' THEN 10000
+                   WHEN 'src2' THEN 5000 WHEN 'src3' THEN 30000
+                   ELSE 0 END AS bps
+        FROM documents
+    ), n AS (
+        SELECT doc_id, source,
+               (bps // 10000)
+                   + CASE WHEN b < bps % 10000 THEN 1 ELSE 0 END AS n
+        FROM t
+    )
+    SELECT doc_id, source, unnest(range(1, n + 1))::INT AS copy
+    FROM n WHERE n >= 1
+"""
+
+
 def _dup_spans_sql() -> str:
     from firmwarescraper_spark.operators.dedup import dup_spans_oracle_sql
 
@@ -1854,6 +1891,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_meta": _media_meta_sql(),
         "mjpeg_frames": _mjpeg_frames_sql(),
+        "upsample_epochs": _UPSAMPLE_SQL,
         "dup_spans": _dup_spans_sql(),
         "budget_mix": _BUDGET_MIX_SQL,
         "global_shuffle": _GLOBAL_SHUFFLE_SQL,

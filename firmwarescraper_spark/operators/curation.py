@@ -119,6 +119,49 @@ def global_shuffle(
     return out
 
 
+def upsample_epochs(
+    df: DataFrame,
+    epochs_bps: dict,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "up",
+) -> DataFrame:
+    """Materialize fractional source-repetition factors ("code: 2.3
+    epochs, web: 0.8") — the mixture-weighting twin of
+    :func:`budget_mix`. ``epochs_bps`` maps source -> epochs in BASIS
+    POINTS (23_000 = 2.3 epochs) so the fractional part stays exact
+    integer arithmetic: every doc gets ``bps // 10000`` full copies
+    plus one more iff its deterministic id-hash bucket falls under
+    ``bps % 10000`` — so a 2.3-epoch source repeats each doc 2 times
+    and a stable hash-chosen 30% of docs a 3rd, giving exactly the
+    target expected token multiplicity with rerun/engine-stable
+    membership (the same reason splits key on id hashes, not random()).
+    Sources absent from ``epochs_bps`` get 0 copies (excluded).
+
+    Returns (id_col, source, copy) with copy in 1..n — feed
+    ``copy`` into the :func:`global_shuffle` seed (e.g.
+    ``md5(seed:id:copy)``) so repeated copies land far apart in the
+    epoch order. Scale shape: a scan-fused map + one generator explode
+    of at most ceil(epochs) rows per doc — no shuffle at all."""
+    bps = F.create_map(
+        *[F.lit(x) for k in sorted(epochs_bps)
+          for x in (k, int(epochs_bps[k]))]
+    )[F.col(source_col)]
+    x = F.coalesce(bps, F.lit(0)).cast("long")
+    extra = (hash_bucket(F.col(id_col), salt) < x % 10_000).cast("int")
+    n = F.floor(x / 10_000).cast("int") + extra
+    return (
+        df.select(
+            F.col(id_col), F.col(source_col).alias("source"), n.alias("_n")
+        )
+        .filter(F.col("_n") >= 1)
+        .select(
+            id_col, "source",
+            F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("copy"),
+        )
+    )
+
+
 def weighted_sample(
     df: DataFrame, weight_col: str, k: int = 100, id_col: str = "doc_id",
 ) -> DataFrame:

@@ -872,3 +872,50 @@ def test_budget_mix_no_global_window(spark):
     specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
     assert specs, "expected window specs in the plan"
     assert all(s.lstrip().startswith("source") for s in specs), specs
+
+
+# ---------------------------------------------------------------------------
+# fractional-epoch source upsampling
+# ---------------------------------------------------------------------------
+
+def test_upsample_epochs_multiplicity_and_determinism(spark):
+    rows = [(i, f"src{i % 2}", f"t{i}") for i in range(2000)]
+    df = _docs(spark, rows)
+    out = CU.upsample_epochs(df, {"src0": 23_000, "src1": 5_000})
+    per = {r["source"]: r for r in
+           out.groupBy("source").agg(
+               F.count("*").alias("n"),
+               F.count_distinct("doc_id").alias("d"),
+               F.max("copy").alias("mx"),
+               F.min("copy").alias("mn")).collect()}
+    # src0 at 2.3 epochs: every doc 2 or 3 copies, ~30% get the 3rd
+    assert per["src0"]["d"] == 1000 and per["src0"]["mn"] == 1
+    assert per["src0"]["mx"] == 3
+    assert 2000 < per["src0"]["n"] < 2600  # 2300 expected, hash tolerance
+    # src1 at 0.5 epochs: a stable ~half, one copy each
+    assert per["src1"]["mx"] == 1
+    assert 350 < per["src1"]["n"] < 650
+    # deterministic on rerun
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, CU.upsample_epochs(
+        df, {"src0": 23_000, "src1": 5_000}).collect()))
+    assert a == b
+
+
+def test_upsample_epochs_exact_and_absent(spark):
+    rows = [(i, f"src{i % 3}", f"t{i}") for i in range(300)]
+    out = CU.upsample_epochs(
+        _docs(spark, rows), {"src0": 10_000, "src1": 30_000})
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per["src0"] == 100   # exactly 1 epoch: every doc once
+    assert per["src1"] == 300   # exactly 3 epochs: every doc thrice
+    assert "src2" not in per    # absent -> excluded
+
+
+def test_upsample_epochs_no_shuffle(spark):
+    rows = [(i, "src0", f"t{i}") for i in range(50)]
+    plan = CU.upsample_epochs(
+        _docs(spark, rows), {"src0": 15_000}
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
