@@ -89,8 +89,24 @@ N_PAD = int(os.environ.get("SPARK_GRAFT_BENCH_PAD", "120"))
 # headline is the median of the clean pairs, dirty windows are skipped
 # before spending ~6 min measuring them, and every skipped window /
 # discarded pair ships in the audit file.
-CLEAN_PAIRS = int(os.environ.get("SPARK_GRAFT_CLEAN_PAIRS", "3"))
+CLEAN_PAIRS = int(os.environ.get("SPARK_GRAFT_CLEAN_PAIRS", "2"))
 MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_MAX_PAIR_ATTEMPTS", "10"))
+# Protocol v2 (post builder runs 9-10, both narrow misses on windows the
+# probe gate passed): even a probe-clean window carries ~±10% per-arm
+# noise — the observed quiet bands (n1 400-475 URLs/s, n4 1,290-1,642)
+# compound into a 0.68-1.03 ratio spread from arm noise alone — so each
+# window now measures every arm ARM_REPS times (sequence hi,lo,hi,lo with
+# probes bracketing every arm) and scores the window on the min-wall-time
+# rep per configuration. Contention is strictly additive (it can only
+# slow an arm down), so min-of-k is a consistent estimator of the
+# uncontended arm time — timeit's rationale. CLEAN_PAIRS drops 3->2 to
+# hold total bench time: two min-of-2 windows beat three single-sample
+# windows on ratio variance. SCALING_BUDGET caps the whole scaling loop's
+# wall clock (sleeps included) so the doubled window cost can never push
+# the driver bench past its historical envelope; on expiry the normal
+# headline/fallback ladder applies to whatever was measured.
+ARM_REPS = int(os.environ.get("SPARK_GRAFT_ARM_REPS", "2"))
+SCALING_BUDGET = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "2400"))
 # Overtime windows entered only when the attempt budget expired with zero
 # clean pairs (the r5 all-dirty run: 8/10 windows skipped at 2.7-3.4
 # effective cores). A dirty overtime window costs ~probe + 2*SKIP_SLEEP,
@@ -342,6 +358,46 @@ def bench_steady_round(cores: int, corpus_path: str, workdir: str,
         spark.stop()
 
 
+def measure_window(corpus_path: str, workdir: str, n_hi: int, n_lo: int,
+                   pre: dict, reps: int, quick: bool) -> dict:
+    """Protocol-v2 measured window: run the arm sequence hi, lo repeated
+    ``reps`` times with a hardware probe bracketing every arm, and score
+    the window on the min-wall-time (= max URLs/s) rep per configuration.
+
+    Contention is strictly additive — a neighbor can slow an arm, never
+    speed it — so the min over k reps is a consistent estimator of the
+    uncontended arm time (timeit's min-estimator rationale), and k=2
+    halves the odds that a transient burst lands in every sample of one
+    configuration. Builder runs 9-10 showed why single-sample windows are
+    underpowered: probe-clean pairs measured 0.718 and 0.783 purely from
+    arm noise whose quiet-band spread (n1 400-475, n4 1,290-1,642 URLs/s)
+    compounds into a 0.68-1.03 ratio range. The window is CLEAN only if
+    the pre-probe and every inner/post probe pass probe_ok. All reps ship
+    in the audit."""
+    inner_probes = []
+    his, los = [], []
+    for r in range(reps):
+        his.append(bench_steady_round(n_hi, corpus_path, workdir))
+        inner_probes.append(hw_envelope_probe())
+        los.append(bench_steady_round(n_lo, corpus_path, workdir))
+        inner_probes.append(hw_envelope_probe())
+    best_hi = max(his, key=lambda a: a["urls_per_sec"])
+    best_lo = max(los, key=lambda a: a["urls_per_sec"])
+    eff = round(
+        (best_hi["urls_per_sec"] / best_lo["urls_per_sec"]) / (n_hi / n_lo),
+        3)
+    return {
+        "run_hi": best_hi, "run_lo": best_lo, "efficiency": eff,
+        "reps_hi": his, "reps_lo": los,
+        "rep_efficiencies": [
+            round((h["urls_per_sec"] / l["urls_per_sec"]) / (n_hi / n_lo), 3)
+            for h, l in zip(his, los)
+        ],
+        "probes": {"pre": pre, "inner": inner_probes},
+        "clean": quick or all(probe_ok(p) for p in inner_probes),
+    }
+
+
 def bench_crawl(cores: int, corpus_path: str, workdir: str) -> dict:
     """One full crawl to fixpoint; returns urls/s. shuffle_partitions and
     salt_buckets are held CONSTANT across parallelism levels so the two
@@ -441,13 +497,18 @@ def main():
         need_clean = 1 if quick else CLEAN_PAIRS
         max_attempts = 1 if quick else MAX_ATTEMPTS
         extra_attempts = 0 if quick else EXTRA_ATTEMPTS
+        reps = 1 if quick else ARM_REPS
         pairs = []            # every MEASURED pair, clean or not, in order
         skipped_windows = []  # dirty pre-probe: window skipped unmeasured
         attempts = 0
+        scale_t0 = time.monotonic()
         while attempts < max_attempts + extra_attempts:
             n_clean = sum(p["clean"] for p in pairs)
             if n_clean >= need_clean:
                 break
+            if pairs and time.monotonic() - scale_t0 > SCALING_BUDGET:
+                break  # budget spent: headline/fallback ladder applies
+                # to what was measured (v2 windows cost ~2x a v1 window)
             overtime = attempts >= max_attempts  # reached only if n_clean==0
             if overtime and n_clean >= 1:
                 break  # overtime's job is done at the FIRST clean pair
@@ -457,21 +518,11 @@ def main():
                 skipped_windows.append(pre)
                 # overtime waits longer between probes: the box is provably
                 # busy, and probing costs seconds while a dirty measured
-                # pair would cost ~6 minutes of weather
+                # pair would cost ~12 minutes of weather
                 time.sleep(SKIP_SLEEP * (2 if overtime else 1))
                 continue
-            hi = bench_steady_round(n_hi, corpus_path, workdir)
-            mid = hw_envelope_probe()
-            lo = bench_steady_round(n_lo, corpus_path, workdir)
-            post = hw_envelope_probe()
-            eff = round(
-                (hi["urls_per_sec"] / lo["urls_per_sec"]) / (n_hi / n_lo), 3
-            )
-            pairs.append({
-                "run_hi": hi, "run_lo": lo, "efficiency": eff,
-                "probes": {"pre": pre, "mid": mid, "post": post},
-                "clean": quick or (probe_ok(mid) and probe_ok(post)),
-            })
+            pairs.append(measure_window(
+                corpus_path, workdir, n_hi, n_lo, pre, reps, quick))
         if not pairs:
             # every window's pre-probe was dirty: measure one pair anyway
             # (gate_met stays false) — the bench must always report a
@@ -499,10 +550,13 @@ def main():
             "scaling_job": "steady-state round: one full crawl round over "
                            "the whole corpus as frontier (the 10^10-URL "
                            "regime, where the per-round serial floor "
-                           "amortizes out); back-to-back (4N, N) pairs, "
-                           "probe-gated (clean = pre/mid/post probes all "
-                           f"show {GATE_LO}-{GATE_HI} effective cores at "
-                           "4 workers), MEDIAN clean-pair efficiency "
+                           "amortizes out); protocol v2: each window runs "
+                           f"hi,lo x{ARM_REPS} reps, scored on the "
+                           "min-wall-time rep per configuration "
+                           "(contention is additive; timeit rationale), "
+                           "probe-gated (clean = every bracketing probe "
+                           f"shows {GATE_LO}-{GATE_HI} effective cores at "
+                           "4 workers), MEDIAN clean-window efficiency "
                            "reported; all-dirty fallback = minarm ratio "
                            "(fastest arm per configuration), labeled",
             f"run_n{n_lo}": head["run_lo"],

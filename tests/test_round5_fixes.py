@@ -515,6 +515,49 @@ def test_bench_headline_gated_median():
     assert head["run_lo"]["urls_per_sec"] == 400
 
 
+def test_bench_window_min_of_k_arms(monkeypatch):
+    """Protocol v2 (post builder runs 9-10): a measured window runs every
+    arm ARM_REPS times and scores the window on the min-wall-time (= max
+    URLs/s) rep per configuration — contention only ever ADDS time, so
+    min-of-k is a consistent estimator of the uncontended arm. A transient
+    burst that slows one hi rep must not poison the window's efficiency,
+    and a dirty inner probe must mark the window dirty."""
+    import bench
+
+    arms = {4: iter([1290.0, 1610.0]), 1: iter([402.0, 447.0])}
+
+    def fake_round(cores, corpus_path, workdir, bucketed=False):
+        ups = next(arms[cores])
+        return {"cores": cores, "seconds": round(102130 / ups, 2),
+                "urls": 102130, "urls_per_sec": ups,
+                "job": "steady-state round"}
+
+    probes = iter([{"effective_cores_4w": 3.7}] * 4)
+    monkeypatch.setattr(bench, "bench_steady_round", fake_round)
+    monkeypatch.setattr(bench, "hw_envelope_probe", lambda: next(probes))
+    pre = {"effective_cores_4w": 3.8}
+    w = bench.measure_window("/c", "/w", 4, 1, pre, reps=2, quick=False)
+    # best hi = 1610 (rep 2), best lo = 447 (rep 2): the slow first hi rep
+    # (1290 — the run-10 failure band) is discarded by min-of-k
+    assert w["run_hi"]["urls_per_sec"] == 1610.0
+    assert w["run_lo"]["urls_per_sec"] == 447.0
+    assert w["efficiency"] == round(1610 / 447 / 4, 3)
+    assert w["clean"] is True
+    assert len(w["reps_hi"]) == 2 and len(w["reps_lo"]) == 2
+    assert w["rep_efficiencies"] == [round(1290 / 402 / 4, 3),
+                                     round(1610 / 447 / 4, 3)]
+    # same arms, but one inner probe dirty -> window dirty (stays in audit,
+    # out of the gated headline)
+    arms = {4: iter([1290.0, 1610.0]), 1: iter([402.0, 447.0])}
+    probes = iter([{"effective_cores_4w": 3.7},
+                   {"effective_cores_4w": 2.9},
+                   {"effective_cores_4w": 3.7},
+                   {"effective_cores_4w": 3.8}])
+    w2 = bench.measure_window("/c", "/w", 4, 1, pre, reps=2, quick=False)
+    assert w2["clean"] is False
+    assert w2["efficiency"] == w["efficiency"]  # scoring unchanged
+
+
 def test_bench_headline_alldirty_fallback_is_minarm():
     """When every measured pair is probe-proven dirty, the per-pair median
     measures the neighbors' load (the r4 failure: median 0.759 vs clean-
