@@ -515,6 +515,25 @@ def test_bench_headline_gated_median():
     assert head["run_lo"]["urls_per_sec"] == 400
 
 
+def test_bench_headline_even_clean_count_true_median():
+    """Protocol v2 runs to 2 clean windows: the headline is the TRUE
+    median (mean of the two middle efficiencies), not median-low — two
+    clean windows at 0.79/0.83 measure 0.81, not the worse of the two.
+    The reported arm rows still come from the lower-middle pair (a real
+    measured pair, never a synthetic average)."""
+    import bench
+
+    pairs = [
+        _pair(1264, 400, True),    # eff 0.79
+        _pair(1328, 400, True),    # eff 0.83
+        _pair(600, 400, False),    # dirty, ignored by the gate
+    ]
+    head = bench.headline_from_pairs(pairs)
+    assert head["gate_met"] and head["fallback"] is None
+    assert head["efficiency"] == 0.81
+    assert head["run_hi"]["urls_per_sec"] == 1264  # lower-middle pair's rows
+
+
 def test_bench_window_min_of_k_arms(monkeypatch):
     """Protocol v2 (post builder runs 9-10): a measured window runs every
     arm ARM_REPS times and scores the window on the min-wall-time (= max
