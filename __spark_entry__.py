@@ -711,6 +711,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf_dir, "documents"), _BPE_ENCODE_MERGES, via="join"
         ).orderBy("doc_id")
 
+    def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """WARC (ISO 28500) source/sink (sources/warc.py): documents are
+        materialized as Common-Crawl-layout records (per-record gzip
+        members, HTTP-wrapped response blocks) and parsed back — the
+        batch-corpus analogue of the reference's live download stage
+        (firmware/spiders/avm.py:20-44). Encode and decode are both
+        scan-fused mapInPandas (zero Exchange, plan-pinned by tests);
+        the oracle recomputes the page rows directly, so a hash match
+        proves the wire round trip is byte-identical (url, date, status,
+        payload all survive the HTTP + gzip framing)."""
+        from firmwarescraper_spark.sources import warc as W
+
+        docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+        pages = docs.select(
+            F.concat(F.lit("http://corpus.example/"), F.col("source"),
+                     F.lit("/"), F.col("doc_id")).alias("url"),
+            F.col("text").cast("binary").alias("html"),
+        ).withColumn(
+            "warc_epoch",
+            (F.lit(1704067200)
+             + F.conv(F.substring(F.md5(F.col("url")), 1, 15), 16, 10)
+             .cast("long") % 86400),
+        )
+        back = W.warc_to_pages(W.pages_to_warc(pages))
+        return back.select(
+            "url", "warc_epoch", "http_status",
+            F.md5(F.col("html")).alias("payload_md5"),
+        ).orderBy("url")
+
     def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Deterministic train/val/test split assignment
         (operators/curation.assign_splits): md5-derived hash bucket of the
@@ -1009,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "budget_mix": q_budget_mix,
         "global_shuffle": q_global_shuffle,
+        "warc_roundtrip": q_warc_roundtrip,
         "bpe_encode": q_bpe_encode,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -1895,6 +1925,24 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _dup_spans_sql(),
         "budget_mix": _BUDGET_MIX_SQL,
         "global_shuffle": _GLOBAL_SHUFFLE_SQL,
+        # warc_roundtrip: the oracle recomputes the page rows directly —
+        # equality with the Spark side (which goes through real WARC/HTTP/
+        # gzip framing and back) proves the wire round trip byte-identical
+        "warc_roundtrip": """
+            WITH p AS (
+              SELECT 'http://corpus.example/' || source || '/'
+                         || CAST(doc_id AS VARCHAR) AS url,
+                     text
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT url,
+                   1704067200
+                     + (('0x' || substr(md5(url), 1, 15))::BIGINT % 86400)
+                     AS warc_epoch,
+                   CAST(200 AS INTEGER) AS http_status,
+                   md5(text) AS payload_md5
+            FROM p ORDER BY url
+        """,
         "bpe_encode": _bpe_encode_sql(),
         "hash_split": _HASH_SPLIT_SQL,
         "stratified_sample": _STRATIFIED_SQL,
