@@ -711,6 +711,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf_dir, "documents"), _BPE_ENCODE_MERGES, via="join"
         ).orderBy("doc_id")
 
+    def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """fastText-style model-inference filter (textops.classifier_score,
+        via='inline'): hashed unigram+bigram features -> md5-derived
+        integer weight vector -> sigmoid(mean weight) — the shape of
+        every learned corpus filter (CCNet buckets, DCLM fastText,
+        FineWeb-Edu). Inference runs entirely inside one projection
+        (zero Exchange, plan-pinned); the integer-weight reduction is
+        EXACT (bigint), so the only float op is the final sigmoid —
+        rounded to 6 on both engines. The broadcast-weight-TABLE plan
+        (real model artifacts) is pinned equal by tests."""
+        from firmwarescraper_spark.operators import textops as TX
+
+        docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+        return TX.classifier_score(docs).orderBy("doc_id")
+
     def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         """WARC (ISO 28500) source/sink (sources/warc.py): documents are
         materialized as Common-Crawl-layout records (per-record gzip
@@ -1039,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_mix": q_budget_mix,
         "global_shuffle": q_global_shuffle,
         "warc_roundtrip": q_warc_roundtrip,
+        "classifier_score": q_classifier_score,
         "bpe_encode": q_bpe_encode,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -1925,6 +1941,34 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _dup_spans_sql(),
         "budget_mix": _BUDGET_MIX_SQL,
         "global_shuffle": _GLOBAL_SHUFFLE_SQL,
+        # classifier_score: DuckDB replays the hashing trick, the integer
+        # weight vector, and the exact bigint reduction; the sigmoid is the
+        # single float op (rounded 6 both sides)
+        "classifier_score": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w
+              FROM documents WHERE text IS NOT NULL
+            ),
+            g AS (
+              SELECT doc_id,
+                     w || [w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w)-1)] AS feats
+              FROM d
+            ),
+            s AS (
+              SELECT doc_id, len(feats) AS n,
+                     list_sum([
+                       (('0x' || substr(md5('quality-v1#' ||
+                          (('0x' || substr(md5('quality-v1|' || f), 1, 15))::BIGINT % 4096)::VARCHAR
+                        ), 1, 15))::BIGINT % 1024) - 512
+                       FOR f IN feats]) AS tot
+              FROM g
+            )
+            SELECT doc_id, CAST(n AS BIGINT) AS n_features,
+                   round(tot::DOUBLE / (greatest(n,1) * 256), 6) AS logit,
+                   round(1.0 / (1.0 + exp(-(tot::DOUBLE / (greatest(n,1) * 256)))), 6) AS score
+            FROM s ORDER BY doc_id
+        """,
         # warc_roundtrip: the oracle recomputes the page rows directly —
         # equality with the Spark side (which goes through real WARC/HTTP/
         # gzip framing and back) proves the wire round trip byte-identical

@@ -381,3 +381,96 @@ def lm_score(
         id_col, "n_bigrams",
         F.round(F.col("_sum") / F.col("n_bigrams"), 4).alias("lm_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hashed-n-gram linear classifier inference (fastText-style quality filter)
+# ---------------------------------------------------------------------------
+
+def _h60(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative bigint — identical in DuckDB
+    as ('0x' || substr(md5(x),1,15))::BIGINT (the repo-wide hash rule)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hashed_features(text: Column, buckets: int, seed: str) -> Column:
+    """Hashed bag-of-features of a document — unigrams + word bigrams of
+    the normalized text, each hashed into one of ``buckets`` ids (the
+    fastText / hashing-trick feature space). Pure column exprs: the
+    bigram array is the O(words) zip_with construction, never an
+    explode."""
+    words = F.split(normalize_text(text), " ")
+    feats = F.concat(words, _word_ngrams(words, 2))
+    return F.transform(
+        feats, lambda g: _h60(F.concat(F.lit(seed + "|"), g)) % buckets)
+
+
+def classifier_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1 << 12,
+    seed: str = "quality-v1",
+    weight_scale: int = 256,
+    via: str = "inline",
+) -> DataFrame:
+    """Linear-classifier inference over hashed n-gram features — the
+    shape of every fastText-style corpus filter (CCNet perplexity
+    buckets, DCLM fastText quality, FineWeb-Edu score thresholds):
+    score(doc) = sigmoid(mean feature weight). The reference has no
+    model-inference stage (its spiders filter by rules); this is the
+    training-data-pipeline operator the brief adds on top.
+
+    Weights are md5-derived integers in [-512, 511] keyed by
+    ``seed#bucket`` — a deterministic stand-in for a trained weight
+    vector with the same inference plan (swap the weight expression /
+    table for real coefficients). Integer weights make the reduction
+    EXACT (bigint sum — no float-order nondeterminism); the single
+    float op is the final sigmoid.
+
+    Two plans, pinned equal by tests:
+
+    * ``via='inline'`` — weight computed per feature from its hash;
+      tokenize→hash→weight→sum all inside one projection: ZERO shuffle,
+      whole-stage codegen, the 100 TB default (model inference at the
+      scan, like quality_score).
+    * ``via='join'`` — the trained-model path: a ``buckets``-row weight
+      TABLE is broadcast-joined to the exploded features and summed per
+      doc (one doc-keyed shuffle). This is the plan when weights come
+      from a real model artifact too big to inline in an expression.
+
+    Output: (id, n_features, logit, score), logit = sum/(n*scale),
+    score = sigmoid(logit), both rounded to 6 (cross-engine float rule).
+    """
+    wexpr = lambda b: (_h60(F.concat(F.lit(seed + "#"), b.cast("string")))  # noqa: E731
+                       % 1024) - 512
+    base = docs.select(
+        F.col(id_col),
+        hashed_features(F.col(text_col), buckets, seed).alias("_fb"))
+    if via == "inline":
+        scored = base.select(
+            id_col,
+            F.size("_fb").cast("bigint").alias("n_features"),
+            F.aggregate(
+                F.col("_fb"), F.lit(0).cast("long"),
+                lambda acc, b: acc + wexpr(b)).alias("_sum"),
+        )
+    elif via == "join":
+        wtab = docs.sparkSession.range(buckets).select(
+            F.col("id").alias("_b"), wexpr(F.col("id")).alias("_w"))
+        scored = (
+            base.select(id_col, F.explode("_fb").alias("_b"))
+            .join(F.broadcast(wtab), "_b")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("bigint").alias("n_features"),
+                 F.sum("_w").alias("_sum"))
+        )
+    else:
+        raise ValueError(f"via must be inline|join, got {via!r}")
+    logit = F.col("_sum").cast("double") / (
+        F.greatest(F.col("n_features"), F.lit(1)) * F.lit(float(weight_scale)))
+    return scored.select(
+        id_col, "n_features",
+        F.round(logit, 6).alias("logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
+    )

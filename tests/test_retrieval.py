@@ -94,3 +94,67 @@ def test_lm_score_pruning_floor(spark):
            for r in TX.lm_score(docs, top_bigrams=1).collect()}
     # "x y" (count 10) survives the prune; "q r" doesn't -> floor
     assert out[0] > out[99]
+
+
+# ---------------------------------------------------------------------------
+# hashed-n-gram linear classifier (fastText-style quality-filter inference)
+# ---------------------------------------------------------------------------
+
+def _clf_hand(text, buckets=1 << 12, seed="quality-v1", scale=256):
+    """Pure-Python replay of classifier_score (the same md5 hash rule)."""
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    words = " ".join(text.lower().split()).split(" ")
+    feats = words + [f"{a} {b}" for a, b in zip(words, words[1:])]
+    bks = [h60(f"{seed}|{g}") % buckets for g in feats]
+    tot = sum((h60(f"{seed}#{b}") % 1024) - 512 for b in bks)
+    logit = tot / (max(len(feats), 1) * scale)
+    return len(feats), round(logit, 6), round(1 / (1 + math.exp(-logit)), 6)
+
+
+def test_classifier_hand_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "The quick  Brown fox"), (2, "single"), (3, "")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in TX.classifier_score(docs).collect()}
+    for i, text in [(1, "The quick  Brown fox"), (2, "single"), (3, "")]:
+        n, logit, score = _clf_hand(text)
+        assert out[i]["n_features"] == n
+        assert out[i]["logit"] == pytest.approx(logit, abs=1e-9)
+        assert out[i]["score"] == pytest.approx(score, abs=1e-9)
+    # 4 words -> 4 unigrams + 3 bigrams; 1 word -> no bigrams
+    assert out[1]["n_features"] == 7 and out[2]["n_features"] == 1
+
+
+def test_classifier_join_equals_inline(spark):
+    """The broadcast-weight-table plan (the real-trained-model path) and
+    the inline zero-shuffle plan compute the identical scores."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} has words w{i % 7} and w{i % 3} repeated {i}")
+         for i in range(60)], ["doc_id", "text"])
+    a = {tuple(r) for r in TX.classifier_score(docs, via="inline").collect()}
+    b = {tuple(r) for r in TX.classifier_score(docs, via="join").collect()}
+    assert a == b
+
+
+def test_classifier_inline_plan_has_no_exchange(spark):
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = TX.classifier_score(docs, via="inline") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_classifier_join_plan_broadcasts_weights(spark):
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = TX.classifier_score(docs, via="join") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_classifier_bad_via_raises(spark):
+    docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        TX.classifier_score(docs, via="nope")
