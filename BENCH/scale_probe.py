@@ -15,7 +15,10 @@ A fixed vocabulary would instead grow every shingle's df linearly and
 make ANY pairwise-join operator look quadratic — that would measure the
 corpus model, not the operator.
 
-Run:  python BENCH/scale_probe.py [N]   (default 25_000; measures N and 4N)
+Run:  python BENCH/scale_probe.py [N] [op1,op2,…]
+      (default 25_000; measures N and 4N; the optional second arg limits
+      the run to the named ops — for probing newly added rows without
+      re-measuring the whole table)
 Output: one JSON line {op: {"n_sec":…, "n4_sec":…, "ratio":…}, …}
 """
 
@@ -110,6 +113,7 @@ def synth_events(spark, n: int, events_per_user: int = 50):
 def main():
     n_lo = int(sys.argv[1]) if len(sys.argv) > 1 else 25_000
     n_hi = 4 * n_lo
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     from firmwarescraper_spark.operators import dedup as DD
     from firmwarescraper_spark.operators import textops as TX
     from firmwarescraper_spark.session import get_spark
@@ -125,6 +129,7 @@ def main():
         from firmwarescraper_spark.operators import graph as GR
         from firmwarescraper_spark.operators import similarity as SIM
         from firmwarescraper_spark.operators import sketches as SK
+        from firmwarescraper_spark.sources import warc as WA
         from firmwarescraper_spark.streaming import events as EV
 
         # a fixed deterministic query vector (dim matches synth_embeddings)
@@ -293,6 +298,17 @@ def main():
                 ),
                 {f"s{i}": 2 * n for i in range(6)},
             ),
+            # learned-filter inference: all work inside one projection —
+            # flat per row at any scale
+            "classifier_score": lambda: TX.classifier_score(docs),
+            # WARC wire round trip (encode + gzip + parse back): per-row
+            # codec work in scan-fused mapInPandas, zero shuffle
+            "warc_roundtrip": lambda: WA.warc_to_pages(WA.pages_to_warc(
+                docs.select(
+                    F.concat(F.lit("http://h/"), "doc_id").alias("url"),
+                    F.pmod(F.xxhash64("doc_id"), F.lit(86400)).alias("warc_epoch"),
+                    F.col("text").cast("binary").alias("html"),
+                ))),
         }
 
     import math
@@ -307,6 +323,8 @@ def main():
         docs.count(), docs_dup.count(), emb.count(), events.count()
         planes = round(math.log2(n / 25))  # ~25-row buckets at any scale
         for name, fn in ops(docs, docs_dup, emb, events, planes).items():
+            if only is not None and name not in only:
+                continue
             best = None
             for _ in range(2):  # best-of-2 defeats one-off stalls
                 t0 = time.monotonic()
