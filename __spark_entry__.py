@@ -638,6 +638,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "codec",
         )
 
+    def q_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Image near-duplicate pairs by perceptual dHash
+        (multimodal/binary.dhash_neardup_pairs): decode BMP/PNG/JPEG
+        rasters through the pure-numpy codecs, 64-bit difference hash
+        (codecs.dhash64), then the EXACT Manku block-combination
+        banding shared with text simhash (dedup.hamming_neardup_pairs)
+        — never an all-pairs join. The deterministic corpus
+        (generate.demo_image_neardup_payloads) carries re-encodes,
+        JPEG re-compression, brightness shifts, a retouch, a mirrored
+        decoy, and non-image payloads; the oracle recomputes every
+        hash driver-side in pure Python and brute-forces ALL pairs, so
+        a hash match also proves the banding's exact recall."""
+        from firmwarescraper_spark.multimodal import binary as MM
+        from firmwarescraper_spark.sources.generate import (
+            demo_image_neardup_payloads,
+        )
+
+        rows = [(i, bytearray(p)) for i, p in demo_image_neardup_payloads()]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        return MM.dhash_neardup_pairs(df, max_hamming=4)
+
     def q_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Fractional source-repetition factors (curation.upsample_epochs):
         basis-point epochs — full copies by integer division, the
@@ -1048,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         "repetition": q_repetition,
         "mjpeg_frames": q_mjpeg_frames,
+        "dhash_neardup": q_dhash_neardup,
         "pipeline_filter": q_pipeline_filter,
         "upsample_epochs": q_upsample_epochs,
         "dup_spans": q_dup_spans,
@@ -1501,6 +1523,40 @@ def _media_meta_sql() -> str:
     )
 
 
+def _dhash_neardup_sql() -> str:
+    """Expected ``dhash_neardup`` pairs as a VALUES literal, computed
+    driver-side in pure Python (no Spark): decode every payload through
+    the numpy codecs, dhash64 each raster, brute-force ALL pairs at
+    hamming <= 4. The Spark side goes through the banded equi-join —
+    equality proves both the distributed decode+hash plumbing and the
+    Manku banding's exact recall (brute force IS the ground truth the
+    pigeonhole argument promises)."""
+    import itertools
+
+    from firmwarescraper_spark.multimodal.binary import _try_decode_image
+    from firmwarescraper_spark.multimodal.codecs import dhash64
+    from firmwarescraper_spark.sources.generate import (
+        demo_image_neardup_payloads,
+    )
+
+    hs = {}
+    for i, p in demo_image_neardup_payloads():
+        arr, _ = _try_decode_image(p)
+        if arr is not None and arr.size:
+            hs[i] = dhash64(arr)
+    rows = []
+    for i, j in itertools.combinations(sorted(hs), 2):
+        d = bin((hs[i] ^ hs[j]) & ((1 << 64) - 1)).count("1")
+        if d <= 4:
+            rows.append(f"({i}, {j}, {d})")
+    return (
+        "SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, "
+        "hamming::INT AS hamming FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(id_a, id_b, hamming)"
+    )
+
+
 def _mjpeg_frames_sql() -> str:
     """Expected ``mjpeg_frames`` rows as a VALUES literal, computed
     driver-side in pure Python (no Spark): the MJPEG fixture's expected
@@ -1937,6 +1993,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_meta": _media_meta_sql(),
         "mjpeg_frames": _mjpeg_frames_sql(),
+        "dhash_neardup": _dhash_neardup_sql(),
         "upsample_epochs": _UPSAMPLE_SQL,
         "dup_spans": _dup_spans_sql(),
         "budget_mix": _BUDGET_MIX_SQL,

@@ -276,6 +276,68 @@ def extract_image_features(df: DataFrame, dim: int = 16,
     return df.select(F.col(id_col), _feat(F.col(payload_col)).alias("features"))
 
 
+_DHASH_SCHEMA = StructType([
+    StructField("dhash", LongType()),
+    StructField("codec", StringType()),
+])
+
+
+def attach_dhash(df: DataFrame, id_col: str = "id",
+                 payload_col: str = "payload") -> DataFrame:
+    """(id, dhash, codec): 64-bit perceptual difference hash over the
+    DECODED raster (codecs.dhash64) — the image analogue of the text
+    simhash column. Arrow-batched pandas UDF: container decode forces
+    per-row Python (BMP/PNG/JPEG through the pure-numpy codecs), the
+    hash itself is 72 integer cells. Non-decodable payloads (audio,
+    video, garbage, unsupported JPEG profiles) yield a NULL dhash with
+    ``codec='stub'`` so downstream pair-joins can filter them without
+    losing sight of what was skipped."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(_DHASH_SCHEMA)
+    def _dh(payload: pd.Series) -> pd.DataFrame:
+        from firmwarescraper_spark.multimodal.codecs import dhash64
+
+        rows = []
+        for p in payload:
+            arr, container = _try_decode_image(p)
+            if arr is not None and arr.size:
+                rows.append({"dhash": dhash64(arr),
+                             "codec": f"numpy-{container}"})
+            else:
+                rows.append({"dhash": None, "codec": "stub"})
+        return pd.DataFrame(rows)
+
+    return df.select(F.col(id_col), _dh(F.col(payload_col)).alias("_d")).select(
+        id_col,
+        F.col("_d.dhash").alias("dhash"),
+        F.col("_d.codec").alias("codec"),
+    )
+
+
+def dhash_neardup_pairs(df: DataFrame, id_col: str = "id",
+                        payload_col: str = "payload",
+                        max_hamming: int = 4, bands: int = 8) -> DataFrame:
+    """Image near-duplicate pairs by dHash Hamming distance — the
+    multimodal analogue of dedup.simhash_neardup_pairs, and the same
+    EXACT machinery: one decode+hash scan (attach_dhash), then the
+    Manku block-combination banding (dedup.hamming_neardup_pairs) over
+    the 64-bit signatures. At the defaults each row explodes
+    C(8,4) = 70 keys, each carrying 32 signature bits — on a web-scale
+    image corpus expected collisions per key are negligible, so
+    candidate volume stays linear in N while recall at hamming <= 4 is
+    exact by pigeonhole. Output: (id_a, id_b, hamming); rows whose
+    payload does not decode are filtered out before banding (they have
+    no raster to compare)."""
+    from firmwarescraper_spark.operators.dedup import hamming_neardup_pairs
+
+    sig = attach_dhash(df, id_col=id_col, payload_col=payload_col).filter(
+        F.col("dhash").isNotNull())
+    return hamming_neardup_pairs(sig, sig_col="dhash", id_col=id_col,
+                                 max_hamming=max_hamming, bits=64,
+                                 bands=bands)
+
+
 _AUDIO_FEATURES_SCHEMA = StructType([
     StructField("id", LongType()),
     StructField("duration_sec", DoubleType()),

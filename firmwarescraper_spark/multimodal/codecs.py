@@ -375,6 +375,48 @@ def image_feature_vec(arr: np.ndarray, dim: int = 16) -> list:
     return [round(float(x), 6) for x in feats[:dim]]
 
 
+def dhash64(arr: np.ndarray) -> int:
+    """64-bit difference hash of a decoded raster — the standard
+    perceptual image fingerprint (Krawetz's dHash): luma -> area-mean
+    downsample to an 8-row x 9-col grid -> bit (y, x) = 1 iff
+    cell[y, x+1] > cell[y, x]. Near-duplicate images (re-encodes,
+    small retouches, brightness shifts — a uniform shift preserves
+    every horizontal gradient sign exactly) land within a few Hamming
+    bits; unrelated images land ~32 apart.
+
+    Pure INTEGER arithmetic end to end (luma = (299R+587G+114B)//1000,
+    cell mean = sum // count), so the hash is bit-identical across
+    platforms/BLAS — the determinism the DuckDB-oracle replay and
+    cross-engine dedup both need. Returns a SIGNED 64-bit value
+    (Spark LongType range). Raises on an empty raster; callers null
+    the row out (attach_dhash tags it codec='stub')."""
+    a = np.asarray(arr)
+    if a.ndim == 3:
+        a = a.astype(np.int64)
+        g = ((299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
+             if a.shape[2] >= 3 else a[..., 0])
+    else:
+        g = a.astype(np.int64)
+    h, w = g.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty raster")
+    cells = np.empty((8, 9), dtype=np.int64)
+    for y in range(8):
+        ys = (y * h) // 8
+        ye = max(ys + 1, ((y + 1) * h) // 8)
+        for x in range(9):
+            xs = (x * w) // 9
+            xe = max(xs + 1, ((x + 1) * w) // 9)
+            blk = g[ys:ye, xs:xe]
+            cells[y, x] = int(blk.sum()) // blk.size
+    bits = 0
+    for y in range(8):
+        for x in range(8):
+            if cells[y, x + 1] > cells[y, x]:
+                bits |= 1 << (y * 8 + x)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
 def audio_feature_vec(samples: np.ndarray, rate: int) -> dict:
     """Real audio features: duration, RMS (normalized), zero-crossing rate,
     dominant frequency via numpy rFFT on the first channel."""

@@ -437,12 +437,15 @@ def simhash(
     return sums.select(F.col(id_col), sim.cast("long").alias("simhash"))
 
 
-def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 2,
-                          id_col: str = "doc_id", bits: int = 16,
-                          bands: int = 4) -> DataFrame:
-    """Pairs within `max_hamming` simhash bits — EXACT, by the
-    block-combination construction of Manku, Jain & Das Sarma (WWW'07,
-    "Detecting Near-Duplicates for Web Crawling").
+def hamming_neardup_pairs(sig: DataFrame, sig_col: str, id_col: str,
+                          max_hamming: int, bits: int,
+                          bands: int) -> DataFrame:
+    """Pairs of rows whose ``sig_col`` signatures lie within
+    ``max_hamming`` bits — EXACT, by the block-combination construction
+    of Manku, Jain & Das Sarma (WWW'07, "Detecting Near-Duplicates for
+    Web Crawling"). Signature-agnostic: simhash_neardup_pairs feeds it
+    text simhashes, multimodal.binary.dhash_neardup_pairs feeds it
+    64-bit image dHashes — same banding, same exactness proof.
 
     The signature splits into ``bands`` contiguous blocks; each row
     explodes one join key per (bands - max_hamming)-sized block
@@ -471,14 +474,13 @@ def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 2,
     mask = (1 << width) - 1
     pick = bands - max_hamming  # blocks per combination key
     combos = list(itertools.combinations(range(bands), pick))
-    sh = simhash(df, id_col=id_col, bits=bits)
 
     def _block(i):
-        return F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+        return F.shiftright(F.col(sig_col), i * width).bitwiseAND(F.lit(mask))
 
-    stacked = sh.select(
+    stacked = sig.select(
         id_col,
-        "simhash",
+        sig_col,
         F.explode(
             F.array(*[
                 F.concat_ws("_", F.lit(ci), *[_block(b) for b in blocks])
@@ -492,7 +494,7 @@ def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 2,
         (F.col("a.band_key") == F.col("b.band_key"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     )
-    xor = F.expr("a.simhash ^ b.simhash")
+    xor = F.expr(f"a.{sig_col} ^ b.{sig_col}")
     return (
         cand.select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -502,6 +504,19 @@ def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 2,
         .filter(F.col("hamming") <= max_hamming)
         .distinct()  # a pair may agree on several bands
     )
+
+
+def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 2,
+                          id_col: str = "doc_id", bits: int = 16,
+                          bands: int = 4) -> DataFrame:
+    """Text pairs within `max_hamming` simhash bits — simhash signatures
+    through the exact Manku block-combination banding (see
+    :func:`hamming_neardup_pairs` for the construction and the
+    10^10-row configuration notes)."""
+    sh = simhash(df, id_col=id_col, bits=bits)
+    return hamming_neardup_pairs(sh, sig_col="simhash", id_col=id_col,
+                                 max_hamming=max_hamming, bits=bits,
+                                 bands=bands)
 
 
 # ---------------------------------------------------------------------------

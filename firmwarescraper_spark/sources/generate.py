@@ -427,3 +427,51 @@ def _arith_jpeg(rgb):
     from firmwarescraper_spark.multimodal import jpeg_arith as JA
 
     return JA.encode_jpeg_arith(rgb, quality=90)
+
+
+def demo_image_neardup_payloads() -> list:
+    """[(id, payload_bytes)] — deterministic image corpus for the dHash
+    near-dup operator (multimodal/binary.dhash_neardup_pairs) and its
+    DuckDB oracle: three base rasters, each with the perturbations a
+    crawl actually sees (lossless re-encode, JPEG re-compress, uniform
+    brightness shift, localized retouch), plus non-image payloads that
+    must fall out of the pair join. All arrays are closed-form (no
+    RNG), so the oracle can recompute every expected dHash driver-side
+    in pure Python."""
+    import numpy as np
+
+    from firmwarescraper_spark.multimodal import codecs as CX
+    from firmwarescraper_spark.multimodal import jpeg as JX
+
+    yy, xx = np.mgrid[0:36, 0:45]
+    # base A: wrapping gradients (the mod-256 wraps keep the 8x9 cell
+    # means varied, so the hash is NOT a degenerate all-ones pattern)
+    a = np.stack([(xx * 23) % 256, (yy * 29) % 256, ((xx + yy) * 13) % 256],
+                 axis=2).astype(np.uint8)
+    a_bright = np.clip(a.astype(np.int16) + 7, 0, 255).astype(np.uint8)
+    a_patch = a.copy()
+    a_patch[0:9, 0:10] = 128  # corner retouch: flips 3 hash bits
+    # base B: a different wrap structure entirely
+    b = np.stack([(yy * 41) % 256, (xx * 7) % 256,
+                  ((2 * yy + xx) * 19) % 256], axis=2).astype(np.uint8)
+    b_dim = np.clip(b.astype(np.int16) - 9, 0, 255).astype(np.uint8)
+    # base C: asymmetric quadratic ramp, grayscale — its horizontal
+    # mirror genuinely reverses gradient signs (hamming ~40), unlike a
+    # radially symmetric pattern whose mirror would alias to itself
+    c = ((xx * xx // 9 + yy * 13) % 256).astype(np.uint8)
+    t = np.arange(400)
+    beep = (np.sin(2 * np.pi * 300 * t / 8000) * 9000).astype(np.int16)
+    return [
+        (0, CX.encode_bmp(a)),                    # A as BMP
+        (1, CX.encode_png(a)),                    # A as PNG (same raster)
+        (2, JX.encode_jpeg(a, quality=90)),       # A re-compressed
+        (3, CX.encode_bmp(a_bright)),             # A +7 brightness
+        (4, CX.encode_bmp(a_patch)),              # A retouched
+        (5, CX.encode_bmp(b)),                    # B as BMP
+        (6, JX.encode_jpeg(b, quality=85)),       # B re-compressed
+        (7, CX.encode_bmp(b_dim)),                # B -9 brightness
+        (8, CX.encode_png(c)),                    # C (gray PNG)
+        (9, CX.encode_png(c[:, ::-1].copy())),    # C mirrored: NOT a dup
+        (10, CX.encode_wav(beep, rate=8000)),     # audio -> null dhash
+        (11, b"not-an-image"),                    # garbage -> null dhash
+    ]

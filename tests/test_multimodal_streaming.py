@@ -559,3 +559,103 @@ def test_dedup_stream_matches_batch(spark, tmp_path):
     keyf = lambda r: (r["user_id"], r["event_type"])  # noqa: E731
     assert sorted(map(keyf, got)) == sorted(map(keyf, expect))
     assert len(got) == len({keyf(r) for r in got})  # one row per key
+
+
+# ---------------------------------------------------------------------------
+# perceptual dHash image near-dup (codecs.dhash64 + binary.attach_dhash +
+# binary.dhash_neardup_pairs over dedup.hamming_neardup_pairs banding)
+# ---------------------------------------------------------------------------
+
+
+def test_dhash64_known_gradients():
+    import numpy as np
+
+    from firmwarescraper_spark.multimodal.codecs import dhash64
+
+    _, xx = np.mgrid[0:8, 0:9]
+    inc = (xx * 20).astype(np.uint8)        # strictly increasing along x
+    dec = (160 - xx * 20).astype(np.uint8)  # strictly decreasing
+    assert dhash64(inc) == -1               # all 64 bits set (signed long)
+    assert dhash64(dec) == 0
+    flat = np.full((8, 9), 7, np.uint8)
+    assert dhash64(flat) == 0               # ties are NOT "greater"
+    rgb = np.stack([inc] * 3, axis=2)       # luma path, same ordering
+    assert dhash64(rgb) == -1
+
+
+def test_dhash64_brightness_and_resize_robust():
+    import numpy as np
+
+    from firmwarescraper_spark.multimodal.codecs import dhash64
+
+    yy, xx = np.mgrid[0:36, 0:45]
+    base = ((xx * 23 + yy * 7) % 200).astype(np.uint8)
+    # uniform brightness shift preserves every horizontal gradient sign
+    assert dhash64(base) == dhash64(base + 40)
+    # pixel-doubling / tripling barely moves the 8x9 cell means
+    for rep in (2, 3):
+        big = base.repeat(rep, axis=0).repeat(rep, axis=1)
+        dist = bin((dhash64(base) ^ dhash64(big)) & ((1 << 64) - 1)).count("1")
+        assert dist <= 4, dist
+
+
+def test_attach_dhash_cross_container_and_nulls(spark):
+    from firmwarescraper_spark.sources.generate import (
+        demo_image_neardup_payloads,
+    )
+
+    rows = [(i, bytearray(p)) for i, p in demo_image_neardup_payloads()]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r["id"]: r for r in MM.attach_dhash(df).collect()}
+    # same raster as BMP (0) and PNG (1): identical hash, real codecs
+    assert got[0]["dhash"] == got[1]["dhash"]
+    assert got[0]["codec"] == "numpy-bmp" and got[1]["codec"] == "numpy-png"
+    # JPEG re-encode of the same raster decodes through the numpy decoder
+    assert got[2]["codec"] == "numpy-jpeg"
+    # audio / garbage payloads: null hash, tagged stub
+    for i in (10, 11):
+        assert got[i]["dhash"] is None and got[i]["codec"] == "stub"
+
+
+def test_dhash_neardup_pairs_match_bruteforce(spark):
+    import itertools
+
+    from firmwarescraper_spark.multimodal.binary import _try_decode_image
+    from firmwarescraper_spark.multimodal.codecs import dhash64
+    from firmwarescraper_spark.sources.generate import (
+        demo_image_neardup_payloads,
+    )
+
+    payloads = demo_image_neardup_payloads()
+    hs = {}
+    for i, p in payloads:
+        arr, _ = _try_decode_image(p)
+        if arr is not None and arr.size:
+            hs[i] = dhash64(arr)
+    expect = sorted(
+        (i, j, bin((hs[i] ^ hs[j]) & ((1 << 64) - 1)).count("1"))
+        for i, j in itertools.combinations(sorted(hs), 2)
+        if bin((hs[i] ^ hs[j]) & ((1 << 64) - 1)).count("1") <= 4
+    )
+    # the fixture exercises both exact dups (hamming 0) and near dups
+    assert {d for _, _, d in expect} >= {0, 3}
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in payloads], "id long, payload binary")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in MM.dhash_neardup_pairs(df, max_hamming=4).collect()
+    )
+    # banded equi-join == brute force: the Manku pigeonhole recall is exact
+    assert got == expect
+
+
+def test_dhash_neardup_plan_is_hash_join(spark):
+    from firmwarescraper_spark.sources.generate import (
+        demo_image_neardup_payloads,
+    )
+
+    rows = [(i, bytearray(p)) for i, p in demo_image_neardup_payloads()]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    plan = (MM.dhash_neardup_pairs(df, max_hamming=4)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
