@@ -94,6 +94,44 @@ def synth_embeddings(spark, n: int, dim: int = 64):
     )
 
 
+def synth_images(spark, n: int, w: int = 24, h: int = 18, group: int = 3):
+    """n small BMP payloads, every ``group`` consecutive ids sharing one
+    raster (near-dup pair volume ∝ N, like synth_docs_grouped); each
+    base raster is seeded-RNG pixel noise so cross-group dHashes are
+    ~uniform 64-bit signatures (a per-base XOR *constant* is NOT enough
+    — it washes out through luma mixing + area-mean downsampling and
+    collapsed 5k images to 180 distinct hashes, band buckets of 558,
+    and an 11x super-linear probe before this fix)."""
+    from pyspark.sql.types import (BinaryType, LongType, StructField,
+                                   StructType)
+
+    schema = StructType([StructField("id", LongType()),
+                         StructField("payload", BinaryType())])
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from firmwarescraper_spark.multimodal import codecs as CX
+
+        cache = {}
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                base = int(i) - int(i) % group
+                p = cache.get(base)
+                if p is None:
+                    rng = np.random.default_rng(base)
+                    arr = rng.integers(0, 256, size=(h, w, 3),
+                                       dtype=np.uint8)
+                    p = CX.encode_bmp(arr)
+                    cache[base] = p
+                rows.append((int(i), p))
+            yield pd.DataFrame(rows, columns=["id", "payload"])
+
+    return spark.range(n).mapInPandas(gen, schema)
+
+
 def synth_events(spark, n: int, events_per_user: int = 50):
     """n events over n/events_per_user users, hash-scattered timestamps
     across 30 days — the user count (and so the session count) grows
@@ -122,7 +160,7 @@ def main():
                       shuffle_partitions=32)
     spark.sparkContext.setLogLevel("FATAL")
 
-    def ops(docs, docs_dup, emb, events, planes):
+    def ops(docs, docs_dup, emb, events, planes, imgs):
         from pyspark.sql import functions as F
 
         from firmwarescraper_spark.operators import curation as CU
@@ -309,6 +347,13 @@ def main():
                     F.pmod(F.xxhash64("doc_id"), F.lit(86400)).alias("warc_epoch"),
                     F.col("text").cast("binary").alias("html"),
                 ))),
+            # image dHash near-dup: per-row BMP decode + 64-bit hash in
+            # one scan, then the Manku banding equi-join — dup pair
+            # volume ∝ N (3-sharing groups), cross-group collisions
+            # negligible at 32-bit combination keys
+            "dhash_neardup": lambda: __import__(
+                "firmwarescraper_spark.multimodal.binary", fromlist=["x"]
+            ).dhash_neardup_pairs(imgs),
         }
 
     import math
@@ -319,10 +364,13 @@ def main():
         docs_dup = synth_docs_grouped(spark, n).persist()
         emb = synth_embeddings(spark, n, dim=EMB_DIM).persist()
         events = synth_events(spark, n).persist()
+        imgs = synth_images(spark, n).persist()
         # materialize: measure the operator, not the generator
         docs.count(), docs_dup.count(), emb.count(), events.count()
+        imgs.count()
         planes = round(math.log2(n / 25))  # ~25-row buckets at any scale
-        for name, fn in ops(docs, docs_dup, emb, events, planes).items():
+        for name, fn in ops(docs, docs_dup, emb, events, planes,
+                            imgs).items():
             if only is not None and name not in only:
                 continue
             best = None
@@ -339,6 +387,7 @@ def main():
         docs_dup.unpersist()
         emb.unpersist()
         events.unpersist()
+        imgs.unpersist()
     for name, rec in out.items():
         rec["ratio"] = round(rec["n4_sec"] / max(rec["n_sec"], 1e-9), 2)
     print(json.dumps(out))
