@@ -461,7 +461,21 @@ def hamming_neardup_pairs(sig: DataFrame, sig_col: str, id_col: str,
     the 10^10-row configuration is bits=48..64 with bands=8: 36+-bit keys
     make expected collisions per combination negligible.) Candidates go
     through one equi-join (hash join, never nested-loop) and the exact
-    ``bit_count(xor)`` verify keeps precision 1."""
+    ``bit_count(xor)`` verify keeps precision 1.
+
+    Heavy-hitter signatures (r5): rows are first grouped by EXACT
+    signature. Identical-signature pairs (hamming 0 — exact dups,
+    templated web images, boilerplate docs) come from a plain equi
+    self-join on the full signature, output-proportional with no
+    banding work; only DISTINCT signatures enter the banding explode,
+    and the verified distinct-signature pairs are expanded back to id
+    pairs by two equi-joins. Without this tier a signature shared by m
+    rows costs m²·C(bands,k) banding candidates for m²/2 true pairs —
+    the dhash scale probe's first (degenerate) image corpus measured
+    exactly that blow-up (180 distinct hashes over 5k rows → 11×
+    super-linear) before the generator was fixed; a real crawl's
+    spacer-GIF/logo-variant population has the same shape, and here it
+    now costs only its own output size."""
     import itertools
 
     if bands <= max_hamming:
@@ -475,11 +489,25 @@ def hamming_neardup_pairs(sig: DataFrame, sig_col: str, id_col: str,
     pick = bands - max_hamming  # blocks per combination key
     combos = list(itertools.combinations(range(bands), pick))
 
+    ids = sig.select(id_col, sig_col)
+
+    # tier 1: identical signatures — hamming 0 by definition, no banding
+    ia, ib = ids.alias("ia"), ids.alias("ib")
+    same = ia.join(
+        ib,
+        (F.col(f"ia.{sig_col}") == F.col(f"ib.{sig_col}"))
+        & (F.col(f"ia.{id_col}") < F.col(f"ib.{id_col}")),
+    ).select(
+        F.col(f"ia.{id_col}").alias("id_a"),
+        F.col(f"ib.{id_col}").alias("id_b"),
+        F.lit(0).alias("hamming"),
+    )
+
+    # tier 2: banding over DISTINCT signatures only
     def _block(i):
         return F.shiftright(F.col(sig_col), i * width).bitwiseAND(F.lit(mask))
 
-    stacked = sig.select(
-        id_col,
+    stacked = ids.select(sig_col).distinct().select(
         sig_col,
         F.explode(
             F.array(*[
@@ -489,21 +517,34 @@ def hamming_neardup_pairs(sig: DataFrame, sig_col: str, id_col: str,
         ).alias("band_key"),
     )
     a, b = stacked.alias("a"), stacked.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.band_key") == F.col("b.band_key"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    )
     xor = F.expr(f"a.{sig_col} ^ b.{sig_col}")
-    return (
-        cand.select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+    sig_pairs = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{sig_col}") < F.col(f"b.{sig_col}")),
+        )
+        .select(
+            F.col(f"a.{sig_col}").alias("_sig_a"),
+            F.col(f"b.{sig_col}").alias("_sig_b"),
             F.bit_count(xor).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()  # a pair may agree on several bands
+        .distinct()  # a signature pair may agree on several bands
     )
+    # expand verified signature pairs back to id pairs (each join is
+    # 1:multiplicity on the signature; AQE broadcasts the small pair set)
+    cross = (
+        sig_pairs
+        .join(ia, F.col(f"ia.{sig_col}") == F.col("_sig_a"))
+        .join(ib, F.col(f"ib.{sig_col}") == F.col("_sig_b"))
+        .select(
+            F.least(F.col(f"ia.{id_col}"), F.col(f"ib.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"ia.{id_col}"), F.col(f"ib.{id_col}")).alias("id_b"),
+            "hamming",
+        )
+    )
+    return same.unionByName(cross)
 
 
 def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 2,
