@@ -339,6 +339,17 @@ def main():
             # learned-filter inference: all work inside one projection —
             # flat per row at any scale
             "classifier_score": lambda: TX.classifier_score(docs),
+            # learned-filter TRAINING (2 full-batch GD iterations): the
+            # feature relation is built once (∝ N) and persisted
+            # partitioned by doc; each iteration is a broadcast of the
+            # 64-row model + zero-shuffle margin agg + 64-group gradient
+            # agg — per-iteration cost ∝ N, model traffic constant
+            "classifier_train": lambda: TX.classifier_train(
+                docs.withColumn(
+                    "y", F.pmod(F.xxhash64("doc_id"), F.lit(2)).cast("int")
+                ),
+                "y", buckets=64, iters=2,
+            ),
             # WARC wire round trip (encode + gzip + parse back): per-row
             # codec work in scan-fused mapInPandas, zero shuffle
             "warc_roundtrip": lambda: WA.warc_to_pages(WA.pages_to_warc(

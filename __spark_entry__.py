@@ -747,6 +747,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
         return TX.classifier_score(docs).orderBy("doc_id")
 
+    def q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Distributed classifier TRAINING (textops.classifier_train):
+        2 full-batch logistic-GD iterations over hashed unigram+bigram
+        features, label = (lang = 'en') — the train half of the
+        CCNet/DCLM/FineWeb train-then-filter quality loop. All
+        cross-row sums are bigint fixed-point (weights in units of
+        2^20, residuals floor-quantized), so the DuckDB oracle replays
+        both iterations bit-for-bit; each doc's sigmoid is the only
+        float op. Per iteration the plan is: broadcast the 64-row
+        model, shuffle-free margin agg (feature relation persisted
+        partitioned by doc), bucket-keyed gradient agg. Returns the
+        trained weight table."""
+        from firmwarescraper_spark.operators import textops as TX
+
+        docs = _t(spark, sf_dir, "documents").withColumn(
+            "is_en", (F.col("lang") == "en").cast("int")
+        )
+        return TX.classifier_train(
+            docs, "is_en", buckets=64, iters=2, seed="langid-v1",
+            scale_bits=20, lr_shift=14,
+        ).orderBy("bucket")
+
     def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         """WARC (ISO 28500) source/sink (sources/warc.py): documents are
         materialized as Common-Crawl-layout records (per-record gzip
@@ -1077,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_shuffle": q_global_shuffle,
         "warc_roundtrip": q_warc_roundtrip,
         "classifier_score": q_classifier_score,
+        "classifier_train": q_classifier_train,
         "bpe_encode": q_bpe_encode,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -1998,6 +2021,61 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _dup_spans_sql(),
         "budget_mix": _BUDGET_MIX_SQL,
         "global_shuffle": _GLOBAL_SHUFFLE_SQL,
+        # classifier_train: DuckDB replays BOTH gradient-descent iterations
+        # bit-for-bit — weights are bigint fixed-point (units of 2^20),
+        # residuals floor-quantize back to bigint before the gradient sum,
+        # so no float accumulation order exists to diverge; iteration 1's
+        # residual is the exact constant ±2^19 (w0=0 -> p=0.5) and
+        # iteration 2's sigmoid is each doc's single float op.
+        "classifier_train": r"""
+            WITH d AS (
+              SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                     string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w
+              FROM documents WHERE text IS NOT NULL
+            ),
+            g AS (
+              SELECT doc_id, y,
+                     w || [w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w)-1)] AS feats
+              FROM d
+            ),
+            ex AS (
+              SELECT doc_id, y,
+                     (('0x' || substr(md5('langid-v1|' || f), 1, 15))::BIGINT % 64) AS b,
+                     count(*) AS c
+              FROM g, unnest(feats) AS t(f)
+              GROUP BY 1, 2, 3
+            ),
+            g1 AS (
+              SELECT b, sum(CAST(floor((0.5 - y) * 1048576) AS BIGINT) * c) AS gsum
+              FROM ex GROUP BY b
+            ),
+            w1 AS (SELECT b, -CAST(floor(gsum / 16384.0) AS BIGINT) AS wgt FROM g1),
+            m2 AS (
+              SELECT e.doc_id, any_value(e.y) AS y,
+                     sum(coalesce(w1.wgt, 0) * e.c) AS m
+              FROM ex e LEFT JOIN w1 ON w1.b = e.b
+              GROUP BY e.doc_id
+            ),
+            r2 AS (
+              SELECT doc_id,
+                     CAST(floor((1.0 / (1.0 + exp(-(m::DOUBLE / 1048576))) - y)
+                                * 1048576) AS BIGINT) AS r
+              FROM m2
+            ),
+            g2 AS (
+              SELECT e.b, sum(r2.r * e.c) AS gsum
+              FROM ex e JOIN r2 USING (doc_id)
+              GROUP BY e.b
+            ),
+            w2 AS (
+              SELECT w1.b, w1.wgt - CAST(floor(g2.gsum / 16384.0) AS BIGINT) AS wgt
+              FROM w1 JOIN g2 ON g2.b = w1.b
+            )
+            SELECT t.b AS bucket,
+                   round(coalesce(w2.wgt, 0)::DOUBLE / 1048576, 6) AS weight
+            FROM generate_series(0, 63) t(b) LEFT JOIN w2 ON w2.b = t.b
+            ORDER BY bucket
+        """,
         # classifier_score: DuckDB replays the hashing trick, the integer
         # weight vector, and the exact bigint reduction; the sigmoid is the
         # single float op (rounded 6 both sides)

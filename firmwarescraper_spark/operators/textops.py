@@ -474,3 +474,158 @@ def classifier_score(
         F.round(logit, 6).alias("logit"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hashed linear classifier TRAINING (distributed full-batch logistic GD)
+# ---------------------------------------------------------------------------
+
+def _train_feature_relation(
+    docs: DataFrame, label_col: str, text_col: str, id_col: str,
+    buckets: int, seed: str,
+) -> DataFrame:
+    """(doc, label, bucket, count) — built once per training run; raw
+    text never leaves the scan stage. Ends with repartition(doc) so the
+    per-iteration margin aggregation (clustering on (_id, _y)) is
+    satisfied by the persisted partitioning and adds NO Exchange."""
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(label_col).cast("int").alias("_y"),
+            F.explode(hashed_features(F.col(text_col), buckets, seed)).alias("_b"),
+        )
+        .groupBy("_id", "_y", "_b")
+        .agg(F.count("*").alias("_c"))
+        .repartition("_id")
+    )
+
+
+def _train_margins(ex: DataFrame, wdf: DataFrame) -> DataFrame:
+    """Per-doc fixed-point margin: broadcast the B-row model onto the
+    feature relation, sum weight*count per doc (bigint exact). Buckets
+    absent from the model (weight 0, e.g. iteration 1's empty table)
+    contribute 0 via the left join."""
+    return (
+        ex.join(F.broadcast(wdf), "_b", "left")
+        .groupBy("_id", "_y")
+        .agg(F.sum(F.coalesce(F.col("_w"), F.lit(0)) * F.col("_c")).alias("_m"))
+    )
+
+
+def classifier_train(
+    docs: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+    iters: int = 2,
+    seed: str = "langid-v1",
+    scale_bits: int = 20,
+    lr_shift: int = 14,
+) -> DataFrame:
+    """Train the fastText-style hashed linear classifier that
+    ``classifier_score`` infers with: full-batch logistic-regression
+    gradient descent over hashed unigram+bigram features. The reference
+    has no model-training stage (spiders filter by hand rules); this is
+    the companion of the inference op — together they are the
+    train-then-filter loop of CCNet / DCLM / FineWeb-Edu quality
+    pipelines.
+
+    Model: logit(doc) = sum_f W[h(f)] * count(f); per iteration
+    W <- W - floor(G >> lr_shift) with G_b = sum_docs (p - y) * c_b.
+
+    EXACTNESS RULE (repo-wide): everything that is summed across rows is
+    a BIGINT. Weights live in fixed-point units of 2**scale_bits; the
+    per-doc residual (p - y) is floor-quantized back to fixed point
+    before it enters the gradient sum, so the only float ops are each
+    doc's own sigmoid (exp on an exactly-agreed double) — no
+    float-accumulation order can diverge between engines, and the DuckDB
+    oracle replays training bit-for-bit (see
+    ``__spark_entry__._CLASSIFIER_TRAIN_SQL``).
+
+    Scale shape (100 TB): the feature relation (doc, y, bucket, count) is
+    built ONCE — raw text never leaves the scan stage — and persisted
+    PARTITIONED BY doc, so the per-iteration margin aggregation is
+    shuffle-free (HashPartitioning(doc) satisfies the (doc, y)
+    clustering). Each iteration then costs: one broadcast of the B-row
+    model, one zero-shuffle margin agg, one zero-shuffle residual
+    projection, and one bucket-keyed gradient agg (B groups, map-side
+    partial combine). The collected object is the MODEL (B rows — the
+    hashing trick picks B to be broadcast-size by construction; fastText
+    ships 2M buckets ~ 16 MB), i.e. a driver parameter server, never the
+    data. Mini-batching / adaptive LR are orthogonal refinements of the
+    same plan.
+
+    Returns the trained weight table: (bucket BIGINT, weight DOUBLE)
+    for all ``buckets`` rows, weight in real units (fixed-point / 2**
+    scale_bits, exact power-of-two division), rounded 6.
+    """
+    spark = docs.sparkSession
+    scale = 1 << scale_bits
+    ex = _train_feature_relation(
+        docs, label_col, text_col, id_col, buckets, seed
+    ).persist()
+    try:
+        weights: dict[int, int] = {}
+        for _ in range(iters):
+            wdf = spark.createDataFrame(
+                [(int(b), int(w)) for b, w in weights.items()],
+                "_b bigint, _w bigint",
+            )
+            margins = _train_margins(ex, wdf)
+            logit = F.col("_m").cast("double") / F.lit(float(scale))
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+            resid = margins.select(
+                "_id",
+                F.floor((p - F.col("_y").cast("double")) * F.lit(float(scale)))
+                .cast("long")
+                .alias("_r"),
+            )
+            grads = (
+                ex.join(resid, "_id")
+                .groupBy("_b")
+                .agg(F.sum(F.col("_r") * F.col("_c")).alias("_g"))
+                .collect()
+            )
+            for row in grads:
+                b, g = int(row["_b"]), int(row["_g"])
+                # arithmetic shift == floor(g / 2**lr_shift), negatives included
+                weights[b] = weights.get(b, 0) - (g >> lr_shift)
+    finally:
+        ex.unpersist()
+    rows = [(b, float(weights.get(b, 0)) / scale) for b in range(buckets)]
+    out = spark.createDataFrame(rows, "bucket bigint, weight double")
+    return out.select("bucket", F.round("weight", 6).alias("weight"))
+
+
+def classifier_apply(
+    docs: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+    seed: str = "langid-v1",
+) -> DataFrame:
+    """Score documents with a TRAINED weight table (the output of
+    ``classifier_train``): logit = sum_f weight[h(f)] * count(f),
+    score = sigmoid(logit). Same plan as ``classifier_score(via='join')``
+    — broadcast the model onto the exploded features, one doc-keyed
+    aggregation — but with real coefficients instead of the md5 stand-in.
+    Output: (id, logit, score)."""
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(hashed_features(F.col(text_col), buckets, seed)).alias("bucket"),
+    )
+    scored = (
+        base.join(F.broadcast(weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(F.sum(F.coalesce(F.col("weight"), F.lit(0.0))).alias("_logit"))
+    )
+    return scored.select(
+        id_col,
+        F.round(F.col("_logit"), 6).alias("logit"),
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_logit"))), 6
+        ).alias("score"),
+    )

@@ -158,3 +158,98 @@ def test_classifier_bad_via_raises(spark):
     docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         TX.classifier_score(docs, via="nope")
+
+
+# ---------------------------------------------------------------------------
+# hashed linear classifier TRAINING (full-batch logistic GD)
+# ---------------------------------------------------------------------------
+
+def _h60(s):
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _feat_buckets(text, buckets, seed):
+    words = " ".join(text.lower().split()).split(" ")
+    feats = words + [f"{a} {b}" for a, b in zip(words, words[1:])]
+    return [_h60(f"{seed}|{g}") % buckets for g in feats]
+
+
+def test_classifier_train_iter1_hand_values(spark):
+    """One GD iteration from w0=0 is exactly hand-computable: every doc's
+    residual is the constant ±2^19 (sigmoid(0)=0.5), so
+    w1[b] = -((sum_docs r_doc * count_b) >> lr_shift)."""
+    corpus = [(1, "good good stuff", 1), (2, "bad stuff", 0), (3, "good bad", 1)]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text", "y"])
+    out = {
+        r["bucket"]: r["weight"]
+        for r in TX.classifier_train(
+            docs, "y", buckets=32, iters=1, seed="t1", lr_shift=4
+        ).collect()
+    }
+    scale = 1 << 20
+    grads = {}
+    for _, text, y in corpus:
+        r = math.floor((0.5 - y) * scale)
+        for b in _feat_buckets(text, 32, "t1"):
+            grads[b] = grads.get(b, 0) + r
+    for b in range(32):
+        expect = round(-(grads.get(b, 0) >> 4) / scale, 6)
+        assert out[b] == pytest.approx(expect, abs=1e-12), b
+    assert len(out) == 32
+
+
+def test_classifier_train_learns_separation(spark):
+    """Two disjoint vocabularies, three iterations: every positive doc
+    must outscore every negative under classifier_apply with the trained
+    weights (the train-then-filter loop actually filters)."""
+    pos_words = ["good", "great", "fine", "super"]
+    neg_words = ["bad", "awful", "poor", "grim"]
+    rows = []
+    for i in range(20):
+        rows.append((i, " ".join(pos_words[j % 4] for j in range(i % 5 + 2)), 1))
+        rows.append((100 + i, " ".join(neg_words[j % 4] for j in range(i % 5 + 2)), 0))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "y"])
+    w = TX.classifier_train(docs, "y", buckets=256, iters=3, seed="sep",
+                            lr_shift=10)
+    scored = TX.classifier_apply(docs, w, buckets=256, seed="sep").collect()
+    pos = [r["score"] for r in scored if r["doc_id"] < 100]
+    neg = [r["score"] for r in scored if r["doc_id"] >= 100]
+    assert min(pos) > max(neg)
+    assert min(pos) > 0.5 > max(neg)
+
+
+def test_classifier_train_margin_agg_is_shuffle_free(spark):
+    """The per-iteration margin aggregation must add no data shuffle: the
+    persisted feature relation is partitioned by doc, which satisfies the
+    (doc, label) clustering; the only Exchange in the margin plan is the
+    model broadcast."""
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{i % 3} w{i % 5}", i % 2) for i in range(50)],
+        ["doc_id", "text", "y"])
+    ex = TX._train_feature_relation(docs, "y", "text", "doc_id", 64, "s").persist()
+    try:
+        ex.count()  # materialize so downstream plans see the cached partitioning
+        wdf = spark.createDataFrame([(3, 17)], "_b bigint, _w bigint")
+        plan = TX._train_margins(ex, wdf) \
+            ._jdf.queryExecution().executedPlan().toString()
+        # the InMemoryRelation node embeds the CACHE-BUILD plan (which
+        # legitimately contains the one-time repartition(doc) exchange);
+        # the training-iteration plan is everything above the cache scan
+        iter_plan = plan.split("InMemoryTableScan")[0]
+        assert "Exchange hashpartitioning" not in iter_plan, plan
+        assert "BroadcastHashJoin" in iter_plan
+    finally:
+        ex.unpersist()
+
+
+def test_classifier_train_weight_table_covers_all_buckets(spark):
+    """Buckets never touched by any feature come back with weight 0.0 —
+    stable (buckets)-row schema for the model artifact."""
+    docs = spark.createDataFrame([(1, "only one doc", 1)], ["doc_id", "text", "y"])
+    rows = TX.classifier_train(docs, "y", buckets=16, iters=1, seed="z").collect()
+    assert len(rows) == 16
+    assert {r["bucket"] for r in rows} == set(range(16))
+    assert any(r["weight"] == 0.0 for r in rows)
+    assert any(r["weight"] != 0.0 for r in rows)
