@@ -167,8 +167,30 @@ def main():
         from firmwarescraper_spark.operators import graph as GR
         from firmwarescraper_spark.operators import similarity as SIM
         from firmwarescraper_spark.operators import sketches as SK
+        from firmwarescraper_spark.operators import extract as EXT
         from firmwarescraper_spark.sources import warc as WA
         from firmwarescraper_spark.streaming import events as EV
+
+        # synthetic pages for the web-text-extraction rows: nav + two
+        # body paragraphs + a per-doc promo link + footer; '/w/<word>'
+        # anchor targets follow the vocab (∝ N/5), so the anchor_texts
+        # group count grows linearly — a growing crawl's link graph
+        w = F.split("text", " ")
+        pages = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit('<div class="nav"><a href="/">home</a> '
+                      '<a href="/about">about us</a> '
+                      '<a href="/more">more links here now</a></div><p>'),
+                F.array_join(F.slice(w, 1, 20), " "),
+                F.lit('</p><div>see <a href="/w/'), F.get(w, 0),
+                F.lit('">'), F.array_join(F.slice(w, 1, 2), " "),
+                F.lit('</a> offer</div><p>'),
+                F.array_join(F.slice(w, 21, 100), " "),
+                F.lit('</p><div class="footer"><a href="/tos">terms</a> '
+                      '<a href="/priv">privacy</a></div>'),
+            ).alias("html"),
+        )
 
         # a fixed deterministic query vector (dim matches synth_embeddings)
         query = [((i * 37) % 200 - 100) / 100.0 for i in range(EMB_DIM)]
@@ -339,6 +361,12 @@ def main():
             # learned-filter inference: all work inside one projection —
             # flat per row at any scale
             "classifier_score": lambda: TX.classifier_score(docs),
+            # boilerplate removal: one projection over the page scan —
+            # regex block split + per-block strip/density, zero shuffle
+            "html_main_content": lambda: EXT.main_content(pages),
+            # anchor-text harvest: explode anchors in-scan, one href-keyed
+            # shuffle of capped fixed-width rows; groups ∝ vocab ∝ N
+            "anchor_texts": lambda: EXT.anchor_texts(pages),
             # learned-filter TRAINING (2 full-batch GD iterations): the
             # feature relation is built once (∝ N) and persisted
             # partitioned by doc; each iteration is a broadcast of the

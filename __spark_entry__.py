@@ -769,6 +769,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             scale_bits=20, lr_shift=14,
         ).orderBy("bucket")
 
+    def _synth_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Deterministic page corpus for the extraction rows: each
+        document's text wrapped in a nav bar, two paragraphs, an inline
+        promo link, and a footer — built from the same string algebra on
+        both engines so only the EXTRACTION differs under test."""
+        w = F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+        )
+        html = F.concat(
+            F.lit('<div class="nav"><a href="/">home</a> '
+                  '<a href="/about">about us</a> '
+                  '<a href="/more">more links here now</a></div><p>'),
+            F.array_join(F.slice(w, 1, 12), " "),
+            F.lit('</p><div>see <a href="/w/'),
+            F.get(w, 0),
+            F.lit('">'),
+            F.array_join(F.slice(w, 1, 2), " "),
+            F.lit('</a> offer</div><p>'),
+            F.array_join(F.slice(w, 13, 1000000), " "),
+            F.lit('</p><div class="footer"><a href="/tos">terms</a> '
+                  '<a href="/priv">privacy</a></div>'),
+        )
+        return (
+            _t(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select("doc_id", html.alias("html"))
+        )
+
+    def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """HTML boilerplate removal (extract.main_content): jusText/
+        Arc90-style block heuristic — split at block-closing tags, keep
+        blocks with >= 25 visible chars and link density <= 0.34. The
+        nav bar and footer fail density, the short promo block fails
+        length, the body paragraphs survive. Whole operator is ONE
+        projection (zero Exchange, plan-pinned); the oracle replays the
+        same Java/RE2-common-subset regexes block by block."""
+        from firmwarescraper_spark.operators import extract as EX
+
+        pages = _synth_html(spark, sf_dir)
+        return EX.main_content(pages).select(
+            "doc_id", "n_blocks", "n_kept", "main_len", "main_text"
+        ).orderBy("doc_id")
+
+    def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Anchor-text harvest (extract.anchor_pairs/anchor_texts): the
+        link-text corpus — (href, visible anchor text) pairs exploded
+        from every page, then per-target n_links / n_texts / first-20
+        sorted distinct phrases. One href-keyed shuffle of rows capped
+        fixed-width (anchor truncated at 100 chars); the '/w/<word>'
+        targets collide across documents so the aggregation is real."""
+        from firmwarescraper_spark.operators import extract as EX
+
+        pages = _synth_html(spark, sf_dir)
+        return EX.anchor_texts(pages).orderBy("href")
+
     def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         """WARC (ISO 28500) source/sink (sources/warc.py): documents are
         materialized as Common-Crawl-layout records (per-record gzip
@@ -1100,6 +1155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "classifier_score": q_classifier_score,
         "classifier_train": q_classifier_train,
+        "html_main_content": q_html_main_content,
+        "anchor_texts": q_anchor_texts,
         "bpe_encode": q_bpe_encode,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -1215,6 +1272,94 @@ def _bpe_mod():
 
     return BPE
 
+
+# Shared by the two web-text-extraction oracles: rebuild the synthetic
+# page corpus (nav bar + two body paragraphs + promo link + footer) from
+# documents.text with the same string algebra as the Spark side.
+_SYNTH_HTML_CTE = r"""
+    d AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    h AS (
+      SELECT doc_id,
+             '<div class="nav"><a href="/">home</a> <a href="/about">about us</a> <a href="/more">more links here now</a></div><p>'
+             || array_to_string(w[1:12], ' ')
+             || '</p><div>see <a href="/w/' || w[1] || '">'
+             || array_to_string(w[1:2], ' ')
+             || '</a> offer</div><p>'
+             -- array_to_string([]) is NULL in DuckDB but '' in Spark's
+             -- array_join: coalesce pins the Spark semantics
+             || coalesce(array_to_string(w[13:], ' '), '')
+             || '</p><div class="footer"><a href="/tos">terms</a> <a href="/priv">privacy</a></div>'
+             AS html
+      FROM d
+    )
+"""
+
+
+def _block_text_sql(expr: str) -> str:
+    """DuckDB replay of extract.block_text: drop script/style subtrees,
+    strip tags, collapse whitespace, trim."""
+    return (
+        "trim(regexp_replace(regexp_replace(regexp_replace(" + expr
+        + r", '(?is)<script(?:\s[^>]*)?>.*?</script>|<style(?:\s[^>]*)?>.*?</style>', ' ', 'g')"
+        + r", '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))"
+    )
+
+
+_HTML_MAIN_SQL = (
+    "WITH " + _SYNTH_HTML_CTE + r""",
+    b AS (
+      SELECT doc_id,
+             regexp_split_to_array(html,
+               '(?i)</p>|</div>|</li>|</h[1-6]>|</td>|</tr>|</blockquote>|<br[^>]*>') AS blocks
+      FROM h
+    ),
+    s AS (
+      SELECT doc_id,
+             [{'t': """ + _block_text_sql("bl") + r""",
+               'a': coalesce(list_sum([length(""" + _block_text_sql("a") + r""")
+                      FOR a IN regexp_extract_all(bl, '(?is)<a(?:\s[^>]*)?>.*?</a>', 0)]), 0)}
+              FOR bl IN blocks] AS sc
+      FROM b
+    ),
+    k AS (
+      SELECT doc_id,
+             list_filter(sc, x -> length(x.t) > 0) AS ne,
+             list_filter(list_filter(sc, x -> length(x.t) > 0),
+                         x -> length(x.t) >= 25
+                              AND CAST(x.a AS DOUBLE) / length(x.t) <= 0.34) AS kept
+      FROM s
+    )
+    SELECT doc_id,
+           len(ne)::BIGINT AS n_blocks,
+           len(kept)::BIGINT AS n_kept,
+           length(coalesce(array_to_string([x.t FOR x IN kept], chr(10)), ''))::BIGINT AS main_len,
+           coalesce(array_to_string([x.t FOR x IN kept], chr(10)), '') AS main_text
+    FROM k ORDER BY doc_id
+"""
+)
+
+_ANCHOR_TEXTS_SQL = (
+    "WITH " + _SYNTH_HTML_CTE + r""",
+    p AS (
+      SELECT regexp_extract(a, '(?is)href\s*=\s*"([^"]*)"', 1) AS href,
+             substr(""" + _block_text_sql("a") + r""", 1, 100) AS anchor
+      FROM h, unnest(regexp_extract_all(html, '(?is)<a(?:\s[^>]*)?>.*?</a>', 0)) AS u(a)
+    ),
+    f AS (SELECT href, anchor FROM p WHERE href <> '' AND anchor <> ''),
+    n AS (SELECT href, count(*) AS n_links FROM f GROUP BY href),
+    t AS (
+      SELECT href, count(*)::BIGINT AS n_texts,
+             array_to_string((list(anchor ORDER BY anchor))[1:20], '|') AS texts
+      FROM (SELECT DISTINCT href, anchor FROM f) GROUP BY href
+    )
+    SELECT n.href, n.n_links::BIGINT AS n_links, t.n_texts, t.texts
+    FROM n JOIN t USING (href) ORDER BY href
+"""
+)
 
 _PAGERANK_SQL = """
     WITH nodes AS (SELECT doc_id FROM documents WHERE doc_id < 200),
@@ -2021,6 +2166,15 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _dup_spans_sql(),
         "budget_mix": _BUDGET_MIX_SQL,
         "global_shuffle": _GLOBAL_SHUFFLE_SQL,
+        # html_main_content: DuckDB rebuilds the identical synthetic pages
+        # from documents.text and replays the block heuristic with the
+        # same Java/RE2-common-subset regexes (split at block closers,
+        # strip tags, length + link-density gates)
+        "html_main_content": _HTML_MAIN_SQL,
+        # anchor_texts: same pages; (href, visible text) pairs from every
+        # anchor element, per-target counts + first-20 sorted distinct
+        # phrases (binary collation on both engines)
+        "anchor_texts": _ANCHOR_TEXTS_SQL,
         # classifier_train: DuckDB replays BOTH gradient-descent iterations
         # bit-for-bit — weights are bigint fixed-point (units of 2^20),
         # residuals floor-quantize back to bigint before the gradient sum,

@@ -1,0 +1,161 @@
+"""Web-text extraction: HTML boilerplate removal and anchor-text harvest.
+
+The crawl side of this repo parses HTML for *navigation* (link extraction,
+table-cell rulepacks — functions/html.py, the reference's scrapy-XPath
+analogue); this module is the *corpus-production* side: turning fetched
+pages into training text, the Common-Crawl -> C4/FineWeb stage that sits
+between the WARC source (sources/warc.py) and the curation operators
+(curation.py, textops.py).
+
+Both operators are PURE COLUMN ALGEBRA (regexp split/extract/replace +
+higher-order array functions) — JVM-side, whole-stage codegen, zero
+Python in the hot path — and every regex is written in the Java/RE2
+common subset so the DuckDB oracle replays them verbatim (probed: block
+split keeps trailing empties on both engines, lazy quantifiers and
+inline (?is) flags agree).
+
+* ``main_content`` — jusText/Arc90-flavored block heuristic: split the
+  page at block-closing tags, strip tags per block, keep blocks whose
+  visible text is long enough and whose link density (anchor-text chars /
+  text chars) is low enough, re-join. Deliberately a per-row projection:
+  no shuffle, scales with scan width only.
+* ``anchor_pairs`` / ``anchor_texts`` — harvest (href, anchor text)
+  pairs and aggregate the distinct anchor phrases per target: the
+  link-text corpus used for query-document training data and anchor-
+  based page titling (and the classic web-IR signal). One href-keyed
+  shuffle whose rows are capped fixed-width (anchor text truncated at
+  ``max_text_len``).
+
+Simplifications (documented contract, same on both engines): character
+entities are not decoded; nested/ill-formed anchors resolve by lazy
+matching; block structure is tag-based, not CSS/visual. Reference parity
+note: the reference's spiders never produce corpus text (they navigate
+and download binaries); this stage is part of the training-data surface
+the brief adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Block-closing boundaries: the page splits into visual blocks at these.
+BLOCK_SPLIT_RE = r"(?i)</p>|</div>|</li>|</h[1-6]>|</td>|</tr>|</blockquote>|<br[^>]*>"
+# Full anchor elements (lazy body, optional attributes).
+ANCHOR_RE = r"(?is)<a(?:\s[^>]*)?>.*?</a>"
+HREF_RE = r'(?is)href\s*=\s*"([^"]*)"'
+# Script/style subtrees vanish before tag stripping.
+SCRIPT_STYLE_RE = r"(?is)<script(?:\s[^>]*)?>.*?</script>|<style(?:\s[^>]*)?>.*?</style>"
+TAG_RE = r"<[^>]*>"
+
+
+def block_text(block: Column) -> Column:
+    """Visible text of one block: drop script/style subtrees, strip tags,
+    collapse whitespace."""
+    no_code = F.regexp_replace(block, SCRIPT_STYLE_RE, " ")
+    no_tags = F.regexp_replace(no_code, TAG_RE, " ")
+    return F.trim(F.regexp_replace(no_tags, r"\s+", " "))
+
+
+def anchor_text_len(block: Column) -> Column:
+    """Total visible-text characters inside the block's anchors — the
+    numerator of link density."""
+    anchors = F.regexp_extract_all(block, F.lit(ANCHOR_RE), 0)
+    return F.aggregate(
+        anchors, F.lit(0), lambda acc, a: acc + F.length(block_text(a))
+    )
+
+
+def main_content(
+    df: DataFrame,
+    html_col: str = "html",
+    min_text_len: int = 25,
+    max_link_density: float = 0.34,
+    out_col: str = "main_text",
+) -> DataFrame:
+    """Boilerplate removal: keep blocks with >= ``min_text_len`` visible
+    chars and link density <= ``max_link_density``; navigation bars,
+    footers, and link farms fail one or both tests. Adds (n_blocks =
+    non-empty-text blocks, n_kept, main_text, main_len). ZERO shuffle —
+    the whole operator is one projection over the scan, so at 100 TB it
+    rides the WARC read for free. Link density compares an exact
+    int/int double on both engines — no rounding boundary exists."""
+    blocks = F.split(F.col(html_col), BLOCK_SPLIT_RE)
+    scored = F.transform(
+        blocks,
+        lambda b: F.struct(
+            block_text(b).alias("t"), anchor_text_len(b).alias("a")
+        ),
+    )
+    nonempty = F.filter(scored, lambda s: F.length(s["t"]) > 0)
+    kept = F.filter(
+        nonempty,
+        lambda s: (F.length(s["t"]) >= min_text_len)
+        & (
+            s["a"].cast("double") / F.length(s["t"]).cast("double")
+            <= F.lit(float(max_link_density))
+        ),
+    )
+    out = df.withColumn("_ne", nonempty).withColumn("_kept", kept)
+    return (
+        out.withColumn("n_blocks", F.size("_ne").cast("bigint"))
+        .withColumn("n_kept", F.size("_kept").cast("bigint"))
+        .withColumn(
+            out_col, F.array_join(F.transform("_kept", lambda s: s["t"]), "\n")
+        )
+        .withColumn("main_len", F.length(out_col).cast("bigint"))
+        .drop("_ne", "_kept")
+    )
+
+
+def anchor_pairs(
+    df: DataFrame,
+    html_col: str = "html",
+    max_text_len: int = 100,
+) -> DataFrame:
+    """Explode every page into (href, anchor) rows: href from the
+    element's href attribute, anchor = visible text truncated at
+    ``max_text_len`` (the fixed-width-shuffle cap). Elements without an
+    href or without visible text are dropped. URL resolution against the
+    page URL is the crawl side's job (functions/url.py urljoin, X1) —
+    hrefs here stay verbatim so the extraction is engine-replayable."""
+    elems = F.explode(
+        F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RE), 0)
+    ).alias("_a")
+    pairs = df.select(*df.columns, elems).select(
+        *df.columns,
+        F.regexp_extract("_a", HREF_RE, 1).alias("href"),
+        F.substring(block_text(F.col("_a")), 1, max_text_len).alias("anchor"),
+    )
+    return pairs.filter((F.col("href") != "") & (F.col("anchor") != ""))
+
+
+def anchor_texts(
+    df: DataFrame,
+    html_col: str = "html",
+    max_text_len: int = 100,
+    max_texts: int = 20,
+) -> DataFrame:
+    """Aggregate the link-text corpus per target: n_links (total anchor
+    occurrences), n_texts (distinct phrases), texts (first ``max_texts``
+    distinct phrases, sorted, '|'-joined — a bounded column by
+    construction). One href-keyed shuffle of capped fixed-width rows;
+    the distinct pass combines map-side (hot targets like '/' collapse
+    before the exchange)."""
+    pairs = anchor_pairs(df, html_col, max_text_len).select("href", "anchor")
+    n_links = pairs.groupBy("href").agg(F.count("*").alias("n_links"))
+    texts = (
+        pairs.distinct()
+        .groupBy("href")
+        .agg(
+            F.count("*").cast("bigint").alias("n_texts"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("anchor")), 1, max_texts),
+                "|",
+            ).alias("texts"),
+        )
+    )
+    return n_links.join(texts, "href").select(
+        "href", F.col("n_links").cast("bigint").alias("n_links"),
+        "n_texts", "texts",
+    )

@@ -1,0 +1,122 @@
+"""Web-text extraction (operators/extract.py): boilerplate removal and
+anchor-text harvest — golden hand values, gate semantics, plan pins, and
+a crawl-corpus smoke check."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from firmwarescraper_spark.operators import extract as EX
+
+NAV = ('<div class="nav"><a href="/">home</a> <a href="/a">about us page</a>'
+       ' <a href="/b">more links here</a></div>')
+BODY1 = "<p>this is the real body of the page with plenty of text</p>"
+PROMO = '<div>see <a href="/x">this great promotional offer right now</a> ok</div>'
+BODY2 = "<p>a second real paragraph that also has enough visible text</p>"
+FOOT = '<div class="footer"><a href="/tos">terms</a> <a href="/p">privacy</a></div>'
+PAGE = NAV + BODY1 + PROMO + BODY2 + FOOT
+
+
+def _mc(spark, html, **kw):
+    df = spark.createDataFrame([(1, html)], ["doc_id", "html"])
+    return EX.main_content(df, **kw).collect()[0]
+
+
+def test_main_content_golden(spark):
+    row = _mc(spark, PAGE)
+    assert row["main_text"] == (
+        "this is the real body of the page with plenty of text\n"
+        "a second real paragraph that also has enough visible text"
+    )
+    # nav, body1, promo, body2, footer all have visible text
+    assert row["n_blocks"] == 5
+    assert row["n_kept"] == 2
+    assert row["main_len"] == len(row["main_text"])
+
+
+def test_main_content_density_gate(spark):
+    # the promo block is long enough (>25 chars) but ~86% of its text is
+    # anchor text -> density gate drops it; loosening the gate keeps it
+    row = _mc(spark, PROMO)
+    assert row["n_kept"] == 0
+    row = _mc(spark, PROMO, max_link_density=0.95)
+    assert row["n_kept"] == 1
+    assert "promotional offer" in row["main_text"]
+
+
+def test_main_content_length_gate(spark):
+    short = "<p>tiny clean text</p>"
+    assert _mc(spark, short)["n_kept"] == 0
+    assert _mc(spark, short, min_text_len=5)["n_kept"] == 1
+
+
+def test_main_content_strips_scripts_and_styles(spark):
+    html = ("<p>visible body text that is long enough to keep here"
+            "<script>var boilerplate = 'should never ever appear';</script>"
+            "<style>p { color: red }</style> and continues after</p>")
+    row = _mc(spark, html)
+    assert "boilerplate" not in row["main_text"]
+    assert "color" not in row["main_text"]
+    assert row["main_text"].startswith("visible body text")
+    assert row["main_text"].endswith("and continues after")
+
+
+def test_main_content_case_insensitive_blocks(spark):
+    html = "<P>upper case paragraph tags still delimit blocks fine</P><BR>"
+    assert _mc(spark, html)["n_kept"] == 1
+
+
+def test_main_content_plan_has_no_exchange(spark):
+    df = spark.createDataFrame([(1, PAGE)], ["doc_id", "html"])
+    plan = EX.main_content(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_anchor_pairs_golden(spark):
+    html = ('<a href="/x">First Link</a> <A HREF="/y">second\n link</A>'
+            ' <a name="noref">no href</a> <a href="/z"><img src="i"/></a>')
+    df = spark.createDataFrame([(1, html)], ["doc_id", "html"])
+    rows = {r["href"]: r["anchor"] for r in EX.anchor_pairs(df).collect()}
+    # uppercase attribute + embedded newline both extract; the href-less
+    # anchor and the image-only (no visible text) anchor are dropped
+    assert rows == {"/x": "First Link", "/y": "second link"}
+
+
+def test_anchor_pairs_truncates_text(spark):
+    html = '<a href="/long">' + "word " * 60 + "</a>"
+    df = spark.createDataFrame([(1, html)], ["doc_id", "html"])
+    row = EX.anchor_pairs(df, max_text_len=40).collect()[0]
+    assert len(row["anchor"]) == 40
+
+
+def test_anchor_texts_aggregation(spark):
+    pages = [
+        (1, '<a href="/t">alpha</a> <a href="/t">beta</a> <a href="/u">x y</a>'),
+        (2, '<a href="/t">alpha</a> <a href="/t">gamma</a>'),
+    ]
+    df = spark.createDataFrame(pages, ["doc_id", "html"])
+    out = {r["href"]: r for r in EX.anchor_texts(df).collect()}
+    assert out["/t"]["n_links"] == 4          # alpha twice counts twice
+    assert out["/t"]["n_texts"] == 3          # but once among distinct
+    assert out["/t"]["texts"] == "alpha|beta|gamma"  # sorted
+    assert out["/u"]["n_links"] == 1 and out["/u"]["texts"] == "x y"
+
+
+def test_anchor_texts_caps_phrase_list(spark):
+    html = " ".join(f'<a href="/t">phrase {i:02d}</a>' for i in range(30))
+    df = spark.createDataFrame([(1, html)], ["doc_id", "html"])
+    row = EX.anchor_texts(df, max_texts=5).collect()[0]
+    assert row["n_texts"] == 30               # count is NOT truncated
+    assert row["texts"].count("|") == 4       # phrase list is
+
+
+def test_extract_on_crawl_corpus(spark, tmp_path):
+    """Smoke over the vendor page corpus: extraction never emits markup,
+    and link-farm vendor index pages yield anchor pairs."""
+    from firmwarescraper_spark.sources import generate as G
+
+    path = str(tmp_path / "pages")
+    G.write_corpus(spark, path, n_avm=2, n_linksys=2)
+    pages = spark.read.parquet(path).filter(F.col("html").isNotNull())
+    mc = EX.main_content(pages, html_col="html")
+    assert mc.filter(F.col("main_text").contains("<")).count() == 0
+    assert EX.anchor_pairs(pages, html_col="html").count() > 0
