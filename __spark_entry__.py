@@ -769,6 +769,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             scale_bits=20, lr_shift=14,
         ).orderBy("bucket")
 
+    def q_quality_train_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The COMPOSED train-then-filter loop (CCNet/DCLM/FineWeb's
+        core pattern): classifier_train (2 GD iterations, label =
+        lang='en') -> classifier_apply with the FIXED-POINT model
+        artifact (exact bigint inference reduction — the quantized
+        weights make the whole pipeline engine-replayable) -> keep
+        docs scoring >= 0.5. The oracle reuses the training CTEs and
+        replays inference + threshold on top."""
+        from firmwarescraper_spark.operators import textops as TX
+
+        docs = _t(spark, sf_dir, "documents").withColumn(
+            "is_en", (F.col("lang") == "en").cast("int")
+        )
+        w = TX.classifier_train(
+            docs, "is_en", buckets=64, iters=2, seed="langid-v1",
+            scale_bits=20, lr_shift=14, output="fixed",
+        )
+        scored = TX.classifier_apply(
+            docs, w, buckets=64, seed="langid-v1", scale_bits=20
+        )
+        return scored.filter(F.col("score") >= 0.5).orderBy("doc_id")
+
     def _synth_html(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Deterministic page corpus for the extraction rows: each
         document's text wrapped in a nav bar, two paragraphs, an inline
@@ -1155,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "classifier_score": q_classifier_score,
         "classifier_train": q_classifier_train,
+        "quality_train_filter": q_quality_train_filter,
         "html_main_content": q_html_main_content,
         "anchor_texts": q_anchor_texts,
         "bpe_encode": q_bpe_encode,
@@ -1271,6 +1294,83 @@ def _bpe_mod():
     from firmwarescraper_spark.operators import bpe as BPE
 
     return BPE
+
+
+# Shared by the classifier-training oracles: both logistic-GD iterations
+# in exact fixed-point (weights in units of 2^20, residuals
+# floor-quantized to bigint before the gradient sum); w2 is the trained
+# model over every bucket that carries features.
+_CLASSIFIER_TRAIN_CTES = r"""
+    d AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT doc_id, y,
+             w || [w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w)-1)] AS feats
+      FROM d
+    ),
+    ex AS (
+      SELECT doc_id, y,
+             (('0x' || substr(md5('langid-v1|' || f), 1, 15))::BIGINT % 64) AS b,
+             count(*) AS c
+      FROM g, unnest(feats) AS t(f)
+      GROUP BY 1, 2, 3
+    ),
+    g1 AS (
+      SELECT b, sum(CAST(floor((0.5 - y) * 1048576) AS BIGINT) * c) AS gsum
+      FROM ex GROUP BY b
+    ),
+    w1 AS (SELECT b, -CAST(floor(gsum / 16384.0) AS BIGINT) AS wgt FROM g1),
+    m2 AS (
+      SELECT e.doc_id, any_value(e.y) AS y,
+             sum(coalesce(w1.wgt, 0) * e.c) AS m
+      FROM ex e LEFT JOIN w1 ON w1.b = e.b
+      GROUP BY e.doc_id
+    ),
+    r2 AS (
+      SELECT doc_id,
+             CAST(floor((1.0 / (1.0 + exp(-(m::DOUBLE / 1048576))) - y)
+                        * 1048576) AS BIGINT) AS r
+      FROM m2
+    ),
+    g2 AS (
+      SELECT e.b, sum(r2.r * e.c) AS gsum
+      FROM ex e JOIN r2 USING (doc_id)
+      GROUP BY e.b
+    ),
+    w2 AS (
+      SELECT w1.b, w1.wgt - CAST(floor(g2.gsum / 16384.0) AS BIGINT) AS wgt
+      FROM w1 JOIN g2 ON g2.b = w1.b
+    )
+"""
+
+_CLASSIFIER_TRAIN_SQL = (
+    "WITH " + _CLASSIFIER_TRAIN_CTES + """
+    SELECT t.b AS bucket,
+           round(coalesce(w2.wgt, 0)::DOUBLE / 1048576, 6) AS weight
+    FROM generate_series(0, 63) t(b) LEFT JOIN w2 ON w2.b = t.b
+    ORDER BY bucket
+"""
+)
+
+_TRAIN_FILTER_SQL = (
+    "WITH " + _CLASSIFIER_TRAIN_CTES + """,
+    a AS (
+      SELECT e.doc_id, sum(coalesce(w2.wgt, 0) * e.c) AS tot
+      FROM ex e LEFT JOIN w2 ON w2.b = e.b
+      GROUP BY e.doc_id
+    ),
+    sc AS (
+      SELECT doc_id,
+             round(tot::DOUBLE / 1048576, 6) AS logit,
+             round(1.0 / (1.0 + exp(-(tot::DOUBLE / 1048576))), 6) AS score
+      FROM a
+    )
+    SELECT doc_id, logit, score FROM sc WHERE score >= 0.5 ORDER BY doc_id
+"""
+)
 
 
 # Shared by the two web-text-extraction oracles: rebuild the synthetic
@@ -2181,55 +2281,11 @@ def oracle_sql() -> dict[str, str]:
         # so no float accumulation order exists to diverge; iteration 1's
         # residual is the exact constant ±2^19 (w0=0 -> p=0.5) and
         # iteration 2's sigmoid is each doc's single float op.
-        "classifier_train": r"""
-            WITH d AS (
-              SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-                     string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w
-              FROM documents WHERE text IS NOT NULL
-            ),
-            g AS (
-              SELECT doc_id, y,
-                     w || [w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w)-1)] AS feats
-              FROM d
-            ),
-            ex AS (
-              SELECT doc_id, y,
-                     (('0x' || substr(md5('langid-v1|' || f), 1, 15))::BIGINT % 64) AS b,
-                     count(*) AS c
-              FROM g, unnest(feats) AS t(f)
-              GROUP BY 1, 2, 3
-            ),
-            g1 AS (
-              SELECT b, sum(CAST(floor((0.5 - y) * 1048576) AS BIGINT) * c) AS gsum
-              FROM ex GROUP BY b
-            ),
-            w1 AS (SELECT b, -CAST(floor(gsum / 16384.0) AS BIGINT) AS wgt FROM g1),
-            m2 AS (
-              SELECT e.doc_id, any_value(e.y) AS y,
-                     sum(coalesce(w1.wgt, 0) * e.c) AS m
-              FROM ex e LEFT JOIN w1 ON w1.b = e.b
-              GROUP BY e.doc_id
-            ),
-            r2 AS (
-              SELECT doc_id,
-                     CAST(floor((1.0 / (1.0 + exp(-(m::DOUBLE / 1048576))) - y)
-                                * 1048576) AS BIGINT) AS r
-              FROM m2
-            ),
-            g2 AS (
-              SELECT e.b, sum(r2.r * e.c) AS gsum
-              FROM ex e JOIN r2 USING (doc_id)
-              GROUP BY e.b
-            ),
-            w2 AS (
-              SELECT w1.b, w1.wgt - CAST(floor(g2.gsum / 16384.0) AS BIGINT) AS wgt
-              FROM w1 JOIN g2 ON g2.b = w1.b
-            )
-            SELECT t.b AS bucket,
-                   round(coalesce(w2.wgt, 0)::DOUBLE / 1048576, 6) AS weight
-            FROM generate_series(0, 63) t(b) LEFT JOIN w2 ON w2.b = t.b
-            ORDER BY bucket
-        """,
+        "classifier_train": _CLASSIFIER_TRAIN_SQL,
+        # quality_train_filter: the composed train-then-filter loop — the
+        # SAME training CTEs feed a fixed-point inference pass (exact
+        # bigint reduction again) and the corpus filter keeps score>=0.5
+        "quality_train_filter": _TRAIN_FILTER_SQL,
         # classifier_score: DuckDB replays the hashing trick, the integer
         # weight vector, and the exact bigint reduction; the sigmoid is the
         # single float op (rounded 6 both sides)

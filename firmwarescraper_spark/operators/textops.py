@@ -523,6 +523,7 @@ def classifier_train(
     seed: str = "langid-v1",
     scale_bits: int = 20,
     lr_shift: int = 14,
+    output: str = "real",
 ) -> DataFrame:
     """Train the fastText-style hashed linear classifier that
     ``classifier_score`` infers with: full-batch logistic-regression
@@ -557,10 +558,16 @@ def classifier_train(
     data. Mini-batching / adaptive LR are orthogonal refinements of the
     same plan.
 
-    Returns the trained weight table: (bucket BIGINT, weight DOUBLE)
-    for all ``buckets`` rows, weight in real units (fixed-point / 2**
-    scale_bits, exact power-of-two division), rounded 6.
+    Returns the trained weight table for all ``buckets`` rows:
+    ``output="real"`` -> (bucket BIGINT, weight DOUBLE), weight in real
+    units (fixed-point / 2**scale_bits, exact power-of-two division),
+    rounded 6; ``output="fixed"`` -> (bucket BIGINT, wgt BIGINT), the
+    raw fixed-point integers — the quantized-model artifact that keeps
+    downstream inference reductions exact (classifier_apply with
+    ``scale_bits``).
     """
+    if output not in ("real", "fixed"):
+        raise ValueError(f"output must be real|fixed, got {output!r}")
     spark = docs.sparkSession
     scale = 1 << scale_bits
     ex = _train_feature_relation(
@@ -594,6 +601,9 @@ def classifier_train(
                 weights[b] = weights.get(b, 0) - (g >> lr_shift)
     finally:
         ex.unpersist()
+    if output == "fixed":
+        rows = [(b, int(weights.get(b, 0))) for b in range(buckets)]
+        return spark.createDataFrame(rows, "bucket bigint, wgt bigint")
     rows = [(b, float(weights.get(b, 0)) / scale) for b in range(buckets)]
     out = spark.createDataFrame(rows, "bucket bigint, weight double")
     return out.select("bucket", F.round("weight", 6).alias("weight"))
@@ -606,26 +616,45 @@ def classifier_apply(
     id_col: str = "doc_id",
     buckets: int = 64,
     seed: str = "langid-v1",
+    scale_bits: int | None = None,
 ) -> DataFrame:
     """Score documents with a TRAINED weight table (the output of
     ``classifier_train``): logit = sum_f weight[h(f)] * count(f),
     score = sigmoid(logit). Same plan as ``classifier_score(via='join')``
     — broadcast the model onto the exploded features, one doc-keyed
     aggregation — but with real coefficients instead of the md5 stand-in.
-    Output: (id, logit, score)."""
+
+    With ``scale_bits`` set, ``weights`` is the FIXED-POINT artifact
+    (bucket, wgt BIGINT from ``classifier_train(output='fixed')``): the
+    per-doc reduction is an exact bigint sum (no float-accumulation
+    order exists) and logit = sum / 2**scale_bits — this is the
+    engine-replayable path the train-then-filter oracle uses. Without
+    it, weights are real doubles and the per-doc sum is float (fine for
+    serving, not for bit-exact cross-engine replay).
+
+    Output: (id, logit, score), rounded 6."""
     base = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.explode(hashed_features(F.col(text_col), buckets, seed)).alias("bucket"),
     )
-    scored = (
-        base.join(F.broadcast(weights), "bucket", "left")
-        .groupBy(id_col)
-        .agg(F.sum(F.coalesce(F.col("weight"), F.lit(0.0))).alias("_logit"))
-    )
+    if scale_bits is not None:
+        scored = (
+            base.join(F.broadcast(weights), "bucket", "left")
+            .groupBy(id_col)
+            .agg(F.sum(F.coalesce(F.col("wgt"), F.lit(0))).alias("_tot"))
+        )
+        logit = F.col("_tot").cast("double") / F.lit(float(1 << scale_bits))
+    else:
+        scored = (
+            base.join(F.broadcast(weights), "bucket", "left")
+            .groupBy(id_col)
+            .agg(F.sum(F.coalesce(F.col("weight"), F.lit(0.0))).alias("_tot"))
+        )
+        logit = F.col("_tot")
     return scored.select(
         id_col,
-        F.round(F.col("_logit"), 6).alias("logit"),
+        F.round(logit, 6).alias("logit"),
         F.round(
-            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_logit"))), 6
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6
         ).alias("score"),
     )

@@ -244,6 +244,60 @@ def test_classifier_train_margin_agg_is_shuffle_free(spark):
         ex.unpersist()
 
 
+def test_classifier_train_fixed_output_matches_real(spark):
+    """output='fixed' is the same model in fixed-point: wgt / 2^20
+    rounded 6 equals the real-units table exactly."""
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} w{i % 3}", i % 2) for i in range(30)],
+        ["doc_id", "text", "y"])
+    kw = dict(buckets=32, iters=2, seed="fx")
+    real = {r["bucket"]: r["weight"]
+            for r in TX.classifier_train(docs, "y", **kw).collect()}
+    fixed = {r["bucket"]: r["wgt"]
+             for r in TX.classifier_train(docs, "y", output="fixed", **kw).collect()}
+    assert set(real) == set(fixed)
+    for b, wgt in fixed.items():
+        assert real[b] == pytest.approx(round(wgt / (1 << 20), 6), abs=1e-12)
+    with pytest.raises(ValueError):
+        TX.classifier_train(docs, "y", output="nope", **kw)
+
+
+def test_classifier_apply_fixed_point_close_to_real(spark):
+    """Fixed-point inference (exact bigint sum / 2^20) and real-units
+    inference (float sum of rounded-6 weights) agree to rounding noise —
+    the fixed path is the engine-replayable one."""
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} w{i % 3} w{i % 7}", i % 2) for i in range(40)],
+        ["doc_id", "text", "y"])
+    kw = dict(buckets=64, iters=2, seed="fp")
+    wr = TX.classifier_train(docs, "y", **kw)
+    wf = TX.classifier_train(docs, "y", output="fixed", **kw)
+    a = {r["doc_id"]: r for r in
+         TX.classifier_apply(docs, wr, buckets=64, seed="fp").collect()}
+    b = {r["doc_id"]: r for r in
+         TX.classifier_apply(docs, wf, buckets=64, seed="fp",
+                             scale_bits=20).collect()}
+    for i in a:
+        assert a[i]["logit"] == pytest.approx(b[i]["logit"], abs=1e-4)
+        assert a[i]["score"] == pytest.approx(b[i]["score"], abs=1e-4)
+
+
+def test_train_then_filter_keeps_positive_class(spark):
+    """End-to-end composed loop on a separable corpus: filtering at 0.5
+    keeps exactly the positive-vocabulary docs."""
+    rows = []
+    for i in range(15):
+        rows.append((i, "good great fine work here today", 1))
+        rows.append((100 + i, "bad awful poor mess there now", 0))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "y"])
+    w = TX.classifier_train(docs, "y", buckets=256, iters=3, seed="tf",
+                            lr_shift=8, output="fixed")
+    kept = TX.classifier_apply(docs, w, buckets=256, seed="tf",
+                               scale_bits=20) \
+        .filter("score >= 0.5").select("doc_id").collect()
+    assert {r["doc_id"] for r in kept} == set(range(15))
+
+
 def test_classifier_train_weight_table_covers_all_buckets(spark):
     """Buckets never touched by any feature come back with weight 0.0 —
     stable (buckets)-row schema for the model artifact."""
