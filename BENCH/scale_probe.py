@@ -274,6 +274,11 @@ def main():
             # tables, scoring is scan + broadcast joins; the prune cap is
             # FIXED across scales (the broadcastability invariant)
             "lm_score": lambda: TX.lm_score(docs, top_bigrams=20_000),
+            # CCNet head/middle/tail partition: lm_score + a window over
+            # the COMPACT per-score distribution (bounded by rounded-4
+            # score cardinality) + broadcast bucket join — adds no
+            # corpus-sized wide op beyond lm_score itself
+            "ppl_buckets": lambda: TX.ppl_buckets(docs, top_bigrams=20_000),
             # HLL distinct per group: the shuffle carries at most
             # groups × 2^p fixed-width register rows (map-side combined)
             # no matter the input size — flat-to-linear by construction.

@@ -1122,6 +1122,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents")
         return TX.lm_score(docs, top_bigrams=500)
 
+    def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """CCNet head/middle/tail perplexity partition (textops.
+        ppl_buckets): lm_score thirds by integer threshold math over the
+        compact per-score distribution table — NOT a corpus-wide ntile
+        (no global sort at 10^10 rows); ties share a bucket. The oracle
+        replays the strictly-better cumulative rank and the 3r<n /
+        3r<2n cutoffs on top of the lm_score CTEs."""
+        docs = _t(spark, sf_dir, "documents")
+        return TX.ppl_buckets(docs, top_bigrams=500).orderBy("doc_id")
+
     return {
         "anti_join_seen": q_anti_join_seen,
         "bloom_anti_join": q_bloom_anti_join,
@@ -1196,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "bm25_topk": q_bm25_topk,
         "lm_score": q_lm_score,
+        "ppl_buckets": q_ppl_buckets,
         "revenue_by_segment": q_revenue_by_segment,
         "length_quantiles": q_length_quantiles,
     }
@@ -1294,6 +1305,65 @@ def _bpe_mod():
     from firmwarescraper_spark.operators import bpe as BPE
 
     return BPE
+
+
+_LM_SCORE_SQL = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ), uni AS (
+        SELECT w, count(*)::DOUBLE AS cu
+        FROM (SELECT unnest(toks) AS w FROM toks) GROUP BY w
+    ), vocab AS (
+        SELECT count(*)::DOUBLE AS v FROM uni
+    ), bgs AS (
+        SELECT doc_id,
+               [toks[i] || ' ' || toks[i+1]
+                FOR i IN generate_series(1, len(toks)-1)] AS bgs
+        FROM toks WHERE len(toks) >= 2
+    ), big AS (
+        SELECT bg, count(*)::DOUBLE AS cb
+        FROM (SELECT unnest(bgs) AS bg FROM bgs) GROUP BY bg
+        ORDER BY cb DESC, bg LIMIT 500
+    ), pos_bg AS (
+        SELECT doc_id, unnest(bgs) AS bg,
+               generate_subscripts(bgs, 1) AS pos
+        FROM bgs
+    ), lp AS (
+        SELECT p.doc_id, p.pos,
+               round(ln((coalesce(big.cb, 0) + 1.0)
+                        / (coalesce(uni.cu, 0) + vocab.v)), 6) AS logp
+        FROM pos_bg p
+        LEFT JOIN big ON p.bg = big.bg
+        LEFT JOIN uni ON string_split(p.bg, ' ')[1] = uni.w
+        CROSS JOIN vocab
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           round(list_sum(list(logp ORDER BY pos)) / count(*), 4)
+               AS lm_logprob
+    FROM lp GROUP BY doc_id
+"""
+
+_PPL_BUCKETS_SQL = (
+    "WITH s AS (" + _LM_SCORE_SQL + """),
+    per AS (SELECT lm_logprob, count(*) AS c FROM s GROUP BY 1),
+    cum AS (
+      SELECT lm_logprob,
+             coalesce(sum(c) OVER (ORDER BY lm_logprob DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r
+      FROM per
+    ),
+    n AS (SELECT count(*) AS n FROM s)
+    SELECT s.doc_id, s.n_bigrams, s.lm_logprob,
+           CASE WHEN 3 * cum.r < (SELECT n FROM n) THEN 'head'
+                WHEN 3 * cum.r < 2 * (SELECT n FROM n) THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM s JOIN cum USING (lm_logprob)
+    ORDER BY s.doc_id
+"""
+)
 
 
 # Shared by the classifier-training oracles: both logistic-GD iterations
@@ -2412,44 +2482,11 @@ def oracle_sql() -> dict[str, str]:
         # add-one bigram LM pruned to top-500 bigrams (count desc, bigram
         # asc tie-break); per-bigram logs rounded to 6 and summed in
         # document position order, mean rounded to 4 — mirrors lm_score.
-        "lm_score": """
-            WITH toks AS (
-                SELECT doc_id,
-                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                                   t -> t <> '') AS toks
-                FROM documents
-            ), uni AS (
-                SELECT w, count(*)::DOUBLE AS cu
-                FROM (SELECT unnest(toks) AS w FROM toks) GROUP BY w
-            ), vocab AS (
-                SELECT count(*)::DOUBLE AS v FROM uni
-            ), bgs AS (
-                SELECT doc_id,
-                       [toks[i] || ' ' || toks[i+1]
-                        FOR i IN generate_series(1, len(toks)-1)] AS bgs
-                FROM toks WHERE len(toks) >= 2
-            ), big AS (
-                SELECT bg, count(*)::DOUBLE AS cb
-                FROM (SELECT unnest(bgs) AS bg FROM bgs) GROUP BY bg
-                ORDER BY cb DESC, bg LIMIT 500
-            ), pos_bg AS (
-                SELECT doc_id, unnest(bgs) AS bg,
-                       generate_subscripts(bgs, 1) AS pos
-                FROM bgs
-            ), lp AS (
-                SELECT p.doc_id, p.pos,
-                       round(ln((coalesce(big.cb, 0) + 1.0)
-                                / (coalesce(uni.cu, 0) + vocab.v)), 6) AS logp
-                FROM pos_bg p
-                LEFT JOIN big ON p.bg = big.bg
-                LEFT JOIN uni ON string_split(p.bg, ' ')[1] = uni.w
-                CROSS JOIN vocab
-            )
-            SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-                   round(list_sum(list(logp ORDER BY pos)) / count(*), 4)
-                       AS lm_logprob
-            FROM lp GROUP BY doc_id
-        """,
+        "lm_score": _LM_SCORE_SQL,
+        # ppl_buckets: head/middle/tail thirds via the strictly-better
+        # cumulative rank over the compact per-score distribution and
+        # integer 3r<n / 3r<2n cutoffs — replayed on the lm_score CTEs
+        "ppl_buckets": _PPL_BUCKETS_SQL,
         "revenue_by_segment": """
             SELECT c.c_mktsegment,
                    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)

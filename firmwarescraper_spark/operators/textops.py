@@ -383,6 +383,53 @@ def lm_score(
     )
 
 
+def ppl_buckets(
+    docs: DataFrame,
+    lm_docs: DataFrame | None = None,
+    top_bigrams: int = 50_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's head/middle/tail perplexity partition: score every doc
+    with ``lm_score`` and split the corpus into thirds by LM quality
+    (head = best mean log-prob = lowest perplexity).
+
+    Scale shape — deliberately NOT a global ntile: a corpus-wide sorted
+    window would funnel 10^10 rows through one ordering. Instead the
+    score DISTRIBUTION is aggregated per distinct rounded-4 score (a
+    bounded table — scores live in a few units of log-prob, so ~10^5
+    distinct values at any corpus size, the same broadcast scale as the
+    LM tables), the strictly-better cumulative rank runs as a window
+    over THAT compact table, and each doc gets its bucket by a broadcast
+    join on its score. Integer threshold math (3*rank < n, 3*rank < 2n)
+    — no float quantile interpolation to diverge between engines. Ties
+    share one score hence one bucket (threshold semantics, saner than
+    ntile's arbitrary tie split — CCNet itself buckets by fixed cutoffs).
+
+    Output: (id, n_bigrams, lm_logprob, bucket in head|middle|tail).
+    """
+    from pyspark.sql import Window
+
+    s = lm_score(docs, lm_docs, top_bigrams, text_col, id_col)
+    per = s.groupBy("lm_logprob").agg(F.count("*").alias("_c"))
+    w = (
+        Window.orderBy(F.desc("lm_logprob"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per.withColumn("_r", F.coalesce(F.sum("_c").over(w), F.lit(0)))
+    tot = cum.agg(F.sum("_c").alias("_n"))
+    lab = cum.crossJoin(F.broadcast(tot)).select(
+        "lm_logprob",
+        F.when(3 * F.col("_r") < F.col("_n"), "head")
+        .when(3 * F.col("_r") < 2 * F.col("_n"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    return s.join(F.broadcast(lab), "lm_logprob").select(
+        id_col, "n_bigrams", "lm_logprob", "bucket"
+    )
+
+
 # ---------------------------------------------------------------------------
 # hashed-n-gram linear classifier inference (fastText-style quality filter)
 # ---------------------------------------------------------------------------

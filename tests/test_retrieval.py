@@ -96,6 +96,35 @@ def test_lm_score_pruning_floor(spark):
     assert out[0] > out[99]
 
 
+def test_ppl_buckets_thirds_and_ordering(spark):
+    """head/middle/tail split ~n/3 by integer cutoffs, and every head
+    score beats every middle score beats every tail score."""
+    rows = (
+        [(i, "the quick brown fox jumps the quick brown fox") for i in range(10)]
+        + [(100 + i, f"the quick brown w{i} jumps") for i in range(10)]
+        + [(200 + i, f"z{i} q{i} v{i} k{i}") for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = TX.ppl_buckets(docs, top_bigrams=100).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["lm_logprob"])
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert min(by_bucket["head"]) >= max(by_bucket["middle"])
+    assert min(by_bucket["middle"]) >= max(by_bucket["tail"])
+    # each template family lands in one bucket (ties share a bucket)
+    assert len(by_bucket["head"]) == 10
+
+
+def test_ppl_buckets_tie_semantics(spark):
+    """Identical docs = identical scores = ONE bucket, even when a
+    global ntile would have split them across the cutoff."""
+    docs = spark.createDataFrame(
+        [(i, "same text every time") for i in range(9)], ["doc_id", "text"])
+    out = TX.ppl_buckets(docs, top_bigrams=100).collect()
+    assert {r["bucket"] for r in out} == {"head"}
+
+
 # ---------------------------------------------------------------------------
 # hashed-n-gram linear classifier (fastText-style quality-filter inference)
 # ---------------------------------------------------------------------------
