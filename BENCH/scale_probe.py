@@ -215,6 +215,12 @@ def main():
         pq_cbs = SIM.pq_codebooks(emb, m=4, ksub=16)
         return {
             "minhash_lsh_pairs": lambda: DD.minhash_lsh_pairs(docs),
+            # daily-increment dedup on the grouped corpus: index = 3/4 of
+            # the docs (signatures only — old text never re-shingled),
+            # new shard = 1/4; shared group texts make cross pairs ∝ N
+            "incremental_neardup": lambda: DD.incremental_lsh_pairs(
+                DD.minhash_signatures(docs_dup.filter("doc_id % 4 != 0")),
+                docs_dup.filter("doc_id % 4 = 0")),
             # the 10^10-row simhash config: 48-bit signatures (sparse true-pair
             # space) + 8-block Manku combination keys (36-bit join keys)
             "simhash_pairs": lambda: DD.simhash_neardup_pairs(

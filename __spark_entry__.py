@@ -347,6 +347,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             num_hashes=8, bands=4,
         )
 
+    def q_incremental_neardup(spark, sf):
+        """Incremental near-dup (dedup.incremental_lsh_pairs): dedupe a
+        NEW crawl shard against the stored signature INDEX without
+        re-forming old-old pairs or re-shingling old text — the daily-
+        increment shape at 100 TB (index bucketed by band_key = a no-
+        exchange index side). Corpus split: index = doc_id%4!=0; the new
+        shard = fresh docs (%4=0, +100000) plus exact re-crawls of index
+        docs (%8=1, +200000), which MUST surface as vs='index' pairs."""
+        docs = _t(spark, sf, "documents").filter(
+            F.col("text").isNotNull() & (F.col("doc_id") < 200))
+        index_docs = docs.filter(F.col("doc_id") % 4 != 0)
+        new_docs = (
+            docs.filter(F.col("doc_id") % 4 == 0)
+            .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+            .unionByName(
+                docs.filter(F.col("doc_id") % 8 == 1)
+                .select((F.col("doc_id") + 200000).alias("doc_id"), "text"))
+        )
+        index_sigs = DD.minhash_signatures(index_docs, num_hashes=8)
+        return DD.incremental_lsh_pairs(
+            index_sigs, new_docs, num_hashes=8, bands=4,
+        ).orderBy("id_new", "id_other", "vs")
+
     def q_pack_sequences(spark, sf):
         """Sequence packing (operators/curation.pack_sequences): greedy
         concat-in-id-order slicing into 256-token training sequences via
@@ -1157,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_skew_agg": q_salted_skew_agg,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "incremental_neardup": q_incremental_neardup,
         "neardup_components": q_neardup_components,
         "pagerank": q_pagerank,
         "hll_distinct": q_hll_distinct,
@@ -1255,6 +1279,44 @@ _MINHASH_PAIRS_SQL = (
     + ")\n"
     "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a "
     "JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id"
+)
+
+# incremental_neardup: replay signatures + banding over the three-way
+# corpus split (index / fresh new / re-crawled dups), then the two
+# asymmetric joins — never index x index
+_INCR_NEARDUP_SQL = (
+    "WITH base AS (SELECT doc_id, text FROM documents"
+    " WHERE text IS NOT NULL AND doc_id < 200),\n"
+    "corpus AS (\n"
+    "  SELECT doc_id, 'index' AS side, " + _NORM + " AS w"
+    " FROM base WHERE doc_id % 4 != 0\n"
+    "  UNION ALL SELECT doc_id + 100000, 'new', " + _NORM
+    + " FROM base WHERE doc_id % 4 = 0\n"
+    "  UNION ALL SELECT doc_id + 200000, 'new', " + _NORM
+    + " FROM base WHERE doc_id % 8 = 1\n"
+    "),\n"
+    "shg AS (SELECT DISTINCT doc_id, side, unnest([array_to_string(w[i:i+2],' ')"
+    " FOR i IN generate_series(1, greatest(len(w)-2,1))]) AS sh FROM corpus),\n"
+    "sigs AS (SELECT doc_id, side, "
+    + ", ".join(
+        "min(" + _H64.format(x=f"'{i}|' || sh") + f") AS sig_{i}" for i in range(8)
+    )
+    + " FROM shg GROUP BY doc_id, side),\n"
+    "bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, side, {b} || '_' || sig_{2 * b} || '_' || sig_{2 * b + 1}"
+        " AS band_key FROM sigs"
+        for b in range(4)
+    )
+    + "),\n"
+    "nk AS (SELECT doc_id, band_key FROM bands WHERE side = 'new'),\n"
+    "ik AS (SELECT doc_id, band_key FROM bands WHERE side = 'index')\n"
+    "SELECT DISTINCT * FROM (\n"
+    "  SELECT a.doc_id AS id_new, b.doc_id AS id_other, 'index' AS vs"
+    " FROM nk a JOIN ik b ON a.band_key = b.band_key\n"
+    "  UNION ALL SELECT a.doc_id, b.doc_id, 'new'"
+    " FROM nk a JOIN nk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)\n"
+    "ORDER BY id_new, id_other, vs"
 )
 
 _PACK_SEQUENCES_SQL = """
@@ -2284,6 +2346,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_signatures": _MINHASH_SIGS_SQL,
         "minhash_lsh_pairs": _MINHASH_PAIRS_SQL,
+        "incremental_neardup": _INCR_NEARDUP_SQL,
         "neardup_components": _NEARDUP_COMPONENTS_SQL,
         "pagerank": _PAGERANK_SQL,
         "hll_distinct": _sketches_mod().hll_oracle_sql(

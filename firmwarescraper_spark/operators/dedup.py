@@ -289,15 +289,16 @@ def minhash_signatures(
     return shingled.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    num_hashes: int = 8, bands: int = 4, shingle_n: int = 3,
+def minhash_band_keys(
+    sigs: DataFrame, id_col: str = "doc_id",
+    num_hashes: int = 8, bands: int = 4,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (id_a < id_b) that agree on at least
-    one LSH band (rows_per_band = num_hashes / bands). Equi-join on the
-    band key — no quadratic blow-up."""
+    """Stack a signature table into (id, band_key) rows — band b's key is
+    'b_sig..sig' over its rows_per_band = num_hashes/bands signature
+    slots. This is the LSH INDEX layout: stored bucketed/partitioned by
+    band_key, an incremental job's index side is a bucketed scan with no
+    exchange (the frontier-state pattern, PLANS.md §2b)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     band_cols = [
         F.concat_ws(
             "_", F.lit(b),
@@ -306,10 +307,21 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     banded = sigs.select(id_col, *band_cols)
-    stacked = banded.select(
+    return banded.select(
         id_col,
         F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("band_key"),
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 8, bands: int = 4, shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) that agree on at least
+    one LSH band (rows_per_band = num_hashes / bands). Equi-join on the
+    band key — no quadratic blow-up."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    stacked = minhash_band_keys(sigs, id_col, num_hashes, bands)
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -318,6 +330,54 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+
+
+def incremental_lsh_pairs(
+    index_sigs: DataFrame, new_docs: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 8, bands: int = 4, shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup candidates for a NEW crawl shard against a stored
+    signature INDEX — the daily-increment shape at 100 TB: old-old pairs
+    are never re-formed and old text is never re-shingled (the index IS
+    the signature table ``minhash_signatures`` wrote when each old shard
+    arrived; append the new shard's signatures after this job).
+
+    ``index_sigs``: (id, sig_0..sig_{k-1}) for the accumulated corpus.
+    ``new_docs``: raw (id, text) for the increment. Id spaces must be
+    disjoint (the crawl's url_hash key is).
+
+    Output: (id_new, id_other, vs) where vs='index' for new-vs-corpus
+    matches (id_other is the index doc) and vs='new' for within-shard
+    matches (id_new < id_other). Pair volume is banded-equi-join bounded
+    exactly like minhash_lsh_pairs — never all-pairs, and never
+    index x index.
+
+    Scale shape: the index's (id, band_key) layout is stored bucketed by
+    band_key, so the vs-index join plans as a bucketed scan with NO
+    exchange on the (10^10-row) index side; only the shard-sized new
+    side shuffles. The within-shard self-join touches shard-sized data
+    only."""
+    new_sigs = minhash_signatures(new_docs, text_col, id_col, num_hashes,
+                                  shingle_n)
+    idx_keys = minhash_band_keys(index_sigs, id_col, num_hashes, bands)
+    new_keys = minhash_band_keys(new_sigs, id_col, num_hashes, bands)
+    a, b = new_keys.alias("a"), idx_keys.alias("b")
+    vs_index = (
+        a.join(b, F.col("a.band_key") == F.col("b.band_key"))
+        .select(F.col(f"a.{id_col}").alias("id_new"),
+                F.col(f"b.{id_col}").alias("id_other"),
+                F.lit("index").alias("vs"))
+    )
+    n1, n2 = new_keys.alias("n1"), new_keys.alias("n2")
+    vs_new = (
+        n1.join(n2, (F.col("n1.band_key") == F.col("n2.band_key"))
+                & (F.col(f"n1.{id_col}") < F.col(f"n2.{id_col}")))
+        .select(F.col(f"n1.{id_col}").alias("id_new"),
+                F.col(f"n2.{id_col}").alias("id_other"),
+                F.lit("new").alias("vs"))
+    )
+    return vs_index.unionByName(vs_new).distinct()
 
 
 def connected_components(

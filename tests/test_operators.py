@@ -148,6 +148,48 @@ def test_minhash_identical_docs_share_all_bands(spark, docs_df):
     assert (0, 3) not in pairs and (1, 3) not in pairs
 
 
+def test_incremental_lsh_equals_full_minus_oldold(spark):
+    """incremental_lsh_pairs over (index, new) must equal
+    minhash_lsh_pairs over the UNION minus the old-old pairs — the whole
+    point of the incremental shape — with vs labels telling the two
+    match kinds apart."""
+    rows = [(i, f"shared prefix words here plus tail w{i % 4} w{i % 2} end extra pad")
+            for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    index_docs = docs.filter("doc_id < 8")
+    new_docs = docs.filter("doc_id >= 8")
+    inc = {(r["id_new"], r["id_other"], r["vs"])
+           for r in DD.incremental_lsh_pairs(
+               DD.minhash_signatures(index_docs), new_docs).collect()}
+    full = {(r["id_a"], r["id_b"])
+            for r in DD.minhash_lsh_pairs(docs).collect()}
+    expect = set()
+    for a, b in full:
+        if a >= 8 and b >= 8:
+            expect.add((a, b, "new"))
+        elif b >= 8:                       # (old, new) -> new is id_new
+            expect.add((b, a, "index"))
+        elif a >= 8:
+            expect.add((a, b, "index"))
+        # old-old pairs are deliberately absent
+    assert inc == expect
+    assert any(v == "index" for *_, v in inc)  # re-crawl matches exist
+
+
+def test_incremental_lsh_detects_exact_recrawl(spark):
+    index_docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "totally different content with other words")],
+        "doc_id long, text string")
+    new_docs = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],  # re-crawl of 1
+        "doc_id long, text string")
+    out = DD.incremental_lsh_pairs(
+        DD.minhash_signatures(index_docs), new_docs).collect()
+    assert {(r["id_new"], r["id_other"], r["vs"]) for r in out} == {
+        (100, 1, "index")}
+
+
 def test_simhash_properties(spark, docs_df):
     sh = {r["doc_id"]: r["simhash"] for r in DD.simhash(docs_df).collect()}
     assert sh[0] == sh[1]                        # identical text -> same hash
