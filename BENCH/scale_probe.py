@@ -360,6 +360,10 @@ def main():
             # ∝ N): the window explode is ~40 fixed-width rows/doc,
             # doc-frequency reduce combines map-side, semi-join mark
             "dup_spans": lambda: DD.dup_spans(docs_dup, L=8),
+            # CCNet chunk-dedup APPLY on the grouped corpus (duplicated
+            # chunks ∝ N): hash-only df mark + doc-keyed regroup of
+            # surviving text — boilerplate never rides the shuffle
+            "chunk_dedup_apply": lambda: CU.chunk_dedup_apply(docs_dup),
             # token-budget mixture: per-(source, hash-bucket) windows —
             # budgets ∝ N so the kept fraction is scale-constant
             "budget_mix": lambda: CU.budget_mix(

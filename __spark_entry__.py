@@ -973,6 +973,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents")
         return CU.chunk_dedup_stats(docs)
 
+    def q_chunk_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The APPLY step of CCNet chunk dedup
+        (curation.chunk_dedup_apply): chunks with corpus document-
+        frequency > 1 are excised and each doc reassembled from its
+        surviving chunks in position order — only fixed-width keys
+        shuffle for the df mark; boilerplate text never rides the final
+        doc-keyed regroup."""
+        from firmwarescraper_spark.operators import curation as CU
+
+        docs = _t(spark, sf_dir, "documents")
+        return CU.chunk_dedup_apply(docs).orderBy("doc_id")
+
     def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Benchmark decontamination (curation.decontaminate — the GPT-3
         appendix-C n-gram overlap rule): docs with doc_id % 97 == 0 stand
@@ -1220,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "pii_scrub": q_pii_scrub,
         "chunk_dedup": q_chunk_dedup,
+        "chunk_dedup_apply": q_chunk_dedup_apply,
         "decontaminate": q_decontaminate,
         "domain_mix": q_domain_mix,
         "c4_clean": q_c4_clean,
@@ -2122,6 +2135,27 @@ _CHUNK_DEDUP_SQL = (
     "FROM per"
 )
 
+# chunk_dedup_apply: replay chunking with positions, df per chunk hash,
+# excise df>1 occurrences, reassemble surviving chunks in position order
+_CHUNK_DEDUP_APPLY_SQL = (
+    "WITH d AS (SELECT doc_id, "
+    "string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')),' ') AS w "
+    "FROM documents WHERE text IS NOT NULL),\n"
+    "ch AS (SELECT doc_id,\n"
+    "         unnest([{'p': i, 'c': array_to_string(w[(i-1)*10+1:i*10],' ')}\n"
+    "                 FOR i IN generate_series(1, greatest(ceil(len(w)/10.0)::INT, 1))]) AS pc\n"
+    "       FROM d),\n"
+    "h AS (SELECT doc_id, pc.p AS p, pc.c AS c, " + _H60.format(x="pc.c")
+    + " AS chash FROM ch),\n"
+    "f AS (SELECT chash, count(DISTINCT doc_id) AS df FROM h GROUP BY chash),\n"
+    "m AS (SELECT h.doc_id, h.p, h.c, f.df FROM h JOIN f USING (chash))\n"
+    "SELECT doc_id, count(*)::BIGINT AS n_chunks,\n"
+    "       sum(CASE WHEN df <= 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,\n"
+    "       coalesce(array_to_string(list(c ORDER BY p) FILTER (WHERE df <= 1), ' '), '')\n"
+    "           AS text_clean\n"
+    "FROM m GROUP BY doc_id ORDER BY doc_id"
+)
+
 _DECONTAMINATE_SQL = (
     "WITH d AS (SELECT doc_id, "
     "string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')),' ') AS w "
@@ -2478,6 +2512,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_scrub": _pii_scrub_sql(),
         "chunk_dedup": _CHUNK_DEDUP_SQL,
+        "chunk_dedup_apply": _CHUNK_DEDUP_APPLY_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "domain_mix": _DOMAIN_MIX_SQL,
         "c4_clean": _C4_CLEAN_SQL,

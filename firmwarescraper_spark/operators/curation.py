@@ -369,6 +369,63 @@ def chunk_dedup_stats(
     )
 
 
+def chunk_dedup_apply(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 10,
+    max_df: int = 1,
+) -> DataFrame:
+    """The APPLY step of CCNet-style chunk/paragraph dedup
+    (``chunk_dedup_stats`` is the profiling step): drop every chunk whose
+    corpus document-frequency exceeds ``max_df`` (boilerplate — cookie
+    banners, nav strings, templated footers) and reassemble each
+    document from its surviving chunks in position order.
+
+    Output: (id, n_chunks, n_kept, text_clean) — text_clean is '' when
+    every chunk was boilerplate (the downstream length filter's job).
+
+    Scale shape: same as the stats op — chunks hash to 60-bit ints
+    in-scan, document frequency is a map-side-combinable hash
+    aggregation on fixed-width keys, the df mark joins back on the
+    hash; the only text-carrying wide op is the final doc-keyed regroup
+    (collect surviving (pos, chunk) structs), whose width is bounded by
+    the SURVIVING text — boilerplate never rides the shuffle."""
+    chunks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(word_chunks(F.col(text_col), chunk_words)).alias("_p", "_c"),
+    ).withColumn("_ch", _md5_hash64(F.col("_c")))
+    freq = (
+        chunks.select(id_col, "_ch").distinct()
+        .groupBy("_ch").agg(F.count("*").alias("_df"))
+    )
+    marked = chunks.join(freq, "_ch")
+    kept = marked.filter(F.col("_df") <= max_df)
+    per_doc = (
+        marked.groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_chunks"))
+        .join(
+            kept.groupBy(id_col).agg(
+                F.count("*").cast("bigint").alias("n_kept"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("_p", "_c"))),
+                        lambda s: s["_c"],
+                    ),
+                    " ",
+                ).alias("text_clean"),
+            ),
+            id_col,
+            "left",
+        )
+    )
+    return per_doc.select(
+        id_col, "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination (GPT-3 appendix-C style n-gram overlap)
 # ---------------------------------------------------------------------------

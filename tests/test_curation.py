@@ -144,6 +144,42 @@ def test_chunk_dedup_within_doc_repeat_not_dup(spark):
     assert out[0]["n_chunks"] == 1
 
 
+def test_chunk_dedup_apply_excises_shared_chunks(spark):
+    shared = " ".join(f"w{i}" for i in range(10))
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))  # full chunk: alignment
+    rows = [
+        (0, "s", f"{shared} {uniq_a}"),
+        (1, "s", f"{uniq_b} {shared}"),   # shared chunk in SECOND position
+        (2, "s", shared),                 # all-boilerplate doc
+    ]
+    out = {r["doc_id"]: r
+           for r in CU.chunk_dedup_apply(_docs(spark, rows)).collect()}
+    assert (out[0]["n_chunks"], out[0]["n_kept"]) == (2, 1)
+    assert out[0]["text_clean"] == uniq_a
+    # doc 1's surviving text is its FIRST chunk — position order held
+    assert out[1]["text_clean"] == uniq_b
+    # every chunk boilerplate -> empty string, counts still reported
+    assert (out[2]["n_chunks"], out[2]["n_kept"]) == (1, 0)
+    assert out[2]["text_clean"] == ""
+
+
+def test_chunk_dedup_apply_max_df_loosens(spark):
+    shared = " ".join(f"w{i}" for i in range(10))
+    rows = [(i, "s", shared) for i in range(3)]
+    strict = CU.chunk_dedup_apply(_docs(spark, rows)).collect()
+    assert all(r["text_clean"] == "" for r in strict)
+    loose = CU.chunk_dedup_apply(_docs(spark, rows), max_df=3).collect()
+    assert all(r["text_clean"] == shared for r in loose)
+
+
+def test_chunk_dedup_apply_preserves_chunk_order(spark):
+    words = " ".join(f"u{i}" for i in range(35))   # 4 chunks, last short
+    out = CU.chunk_dedup_apply(_docs(spark, [(0, "s", words)])).collect()[0]
+    assert out["text_clean"] == words              # unique -> identity
+    assert (out["n_chunks"], out["n_kept"]) == (4, 4)
+
+
 # ---------------------------------------------------------------------------
 # decontamination
 # ---------------------------------------------------------------------------
