@@ -394,6 +394,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = DD.minhash_lsh_pairs(docs, num_hashes=8, bands=4)
         return DD.neardup_components(docs, pairs)
 
+    def q_dedup_keep_best(spark, sf):
+        """Cluster-representative dedup (dedup.dedup_keep_best — the
+        FineWeb keep rule): near-dup components from LSH pairs, survivor
+        = highest quality_score per component (ties -> lowest id) via a
+        map-side-combinable struct-max — no window over the corpus. One
+        row per component with its member count."""
+        from firmwarescraper_spark.operators import textops as TX
+
+        docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+        pairs = DD.minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+        scored = docs.select(
+            "doc_id", TX.quality_score(F.col("text")).alias("quality"))
+        return DD.dedup_keep_best(scored, pairs, "quality").orderBy("doc_id")
+
     def q_pagerank(spark, sf):
         """Link-authority frontier scoring (operators/graph.py): 3
         damped PageRank sweeps over a deterministic md5-derived link
@@ -1194,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "incremental_neardup": q_incremental_neardup,
         "neardup_components": q_neardup_components,
+        "dedup_keep_best": q_dedup_keep_best,
         "pagerank": q_pagerank,
         "hll_distinct": q_hll_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -1870,6 +1885,20 @@ _QUALITY_SQL = r"""
     FROM f
 """
 
+# dedup_keep_best: components (recursive closure) + quality replay +
+# per-component struct-argmax (ties -> lowest id via the -id field)
+_DEDUP_KEEP_BEST_SQL = (
+    "WITH lab AS (" + _NEARDUP_COMPONENTS_SQL + "),\n"
+    "q AS (SELECT doc_id, quality FROM (" + _QUALITY_SQL
+    + ") WHERE doc_id < 200),\n"
+    "j AS (SELECT lab.doc_id, lab.component, q.quality"
+    " FROM lab JOIN q USING (doc_id)),\n"
+    "b AS (SELECT component, max({'s': quality, 'n': -doc_id}) AS best,\n"
+    "             count(*)::BIGINT AS n_members FROM j GROUP BY component)\n"
+    "SELECT -(best.n) AS doc_id, component, best.s AS quality, n_members\n"
+    "FROM b ORDER BY doc_id"
+)
+
 # The pretraining-data pipeline composition: language gate -> quality gate
 # -> exact-dedup survivor selection, each stage the SAME definition its
 # standalone oracle uses (the langid / quality CTEs below are the
@@ -2382,6 +2411,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _MINHASH_PAIRS_SQL,
         "incremental_neardup": _INCR_NEARDUP_SQL,
         "neardup_components": _NEARDUP_COMPONENTS_SQL,
+        "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
         "pagerank": _PAGERANK_SQL,
         "hll_distinct": _sketches_mod().hll_oracle_sql(
             "events", "user_id", ["event_type"]

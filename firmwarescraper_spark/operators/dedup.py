@@ -467,6 +467,35 @@ def neardup_components(
     )
 
 
+def dedup_keep_best(
+    df: DataFrame, pairs: DataFrame, score_col: str, id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster-representative dedup (the FineWeb/DCLM keep rule): label
+    near-dup components, keep the HIGHEST-``score_col`` document per
+    component (ties -> lowest id), instead of neardup_components' min-id
+    survivor. One row per component: (id, component, score, n_members).
+
+    The argmax is a single struct-max aggregation — (score, -id) structs
+    compare lexicographically, so no window/sort over the corpus and the
+    per-component reduction combines map-side. At 100 TB this is the
+    same shuffle as the component labeling itself (component-keyed,
+    fixed-width)."""
+    comp = neardup_components(df, pairs, id_col)
+    j = comp.join(df.select(id_col, score_col), id_col)
+    best = j.groupBy("component").agg(
+        F.max(
+            F.struct(F.col(score_col).alias("s"), (-F.col(id_col)).alias("n"))
+        ).alias("_b"),
+        F.count("*").cast("bigint").alias("n_members"),
+    )
+    return best.select(
+        (-F.col("_b.n")).cast("long").alias(id_col),
+        "component",
+        F.col("_b.s").alias(score_col),
+        "n_members",
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -190,6 +190,25 @@ def test_incremental_lsh_detects_exact_recrawl(spark):
         (100, 1, "index")}
 
 
+def test_dedup_keep_best_picks_highest_score(spark):
+    """Survivor = argmax(score) per component, ties -> lowest id;
+    singletons survive as their own component."""
+    scored = spark.createDataFrame(
+        [(1, 0.3), (2, 0.9), (3, 0.9),   # cluster {1,2,3}: 2 wins tie vs 3
+         (7, 0.1),                        # singleton
+         (8, 0.5), (9, 0.8)],             # cluster {8,9}: 9 wins
+        "doc_id long, quality double")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (8, 9)], "id_a long, id_b long")
+    out = {r["doc_id"]: r
+           for r in DD.dedup_keep_best(scored, pairs, "quality").collect()}
+    assert set(out) == {2, 7, 9}
+    assert out[2]["component"] == 1 and out[2]["n_members"] == 3
+    assert out[2]["quality"] == 0.9
+    assert out[7]["n_members"] == 1 and out[7]["component"] == 7
+    assert out[9]["component"] == 8 and out[9]["n_members"] == 2
+
+
 def test_simhash_properties(spark, docs_df):
     sh = {r["doc_id"]: r["simhash"] for r in DD.simhash(docs_df).collect()}
     assert sh[0] == sh[1]                        # identical text -> same hash
