@@ -14,6 +14,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from firmwarescraper_spark.sources.cdx import surt_sql as _surt_sql
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -912,6 +914,116 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.md5(F.col("html")).alias("payload_md5"),
         ).orderBy("url")
 
+    def _synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Deterministic messy-URL corpus for the CDX/SURT rows: mixed
+        case, a www prefix, default and non-default ports, unsorted
+        query params, and a fragment — every rule surt_key normalizes.
+        Same string algebra on both engines."""
+        d = _t(spark, sf_dir, "documents")
+        port = (
+            F.when(F.col("doc_id") % 3 == 0, F.lit(":8080"))
+            .when(F.col("doc_id") % 3 == 1, F.lit(":443"))
+            .otherwise(F.lit(""))
+        )
+        url = F.concat(
+            F.lit("https://WWW."), F.col("source"), F.lit(".Example.COM"),
+            port, F.lit("/Docs/"), F.col("doc_id").cast("string"),
+            F.lit("?b="), (F.col("doc_id") % 7).cast("string"),
+            F.lit("&a="), (F.col("doc_id") % 5).cast("string"),
+            F.lit("#sec"),
+        )
+        return d.select("doc_id", url.alias("url"))
+
+    def _synth_capture_ts(year: int):
+        return F.make_timestamp(
+            F.lit(year), (F.col("doc_id") % 12 + 1), (F.col("doc_id") % 28 + 1),
+            (F.col("doc_id") % 24), (F.col("doc_id") % 60), (F.col("doc_id") % 60),
+        )
+
+    def q_surt_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SURT canonicalization (sources/cdx.surt_key): the CC/Wayback
+        URL sort key — lowercase, fragment/userinfo/www/default-port
+        strip, reversed comma-joined host labels, bytewise query sort.
+        Pure column algebra, zero shuffle; the oracle replays the same
+        RE2-subset regexes via cdx.surt_sql."""
+        from firmwarescraper_spark.sources import cdx as CX
+
+        urls = _synth_urls(spark, sf_dir)
+        return urls.select(
+            "doc_id", "url", CX.surt_key(F.col("url")).alias("surt")
+        ).orderBy("doc_id")
+
+    def q_cdx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """CDX-JSON index lines (sources/cdx.to_cdx/parse_cdx): Common
+        Crawl's URL-index wire format — emit one CDXJ line per capture
+        and parse it back to typed columns; a hash match against the
+        directly-recomputed oracle proves the (surt, ts14, JSON) framing
+        round-trips byte-identically. Both directions are single
+        projections (zero Exchange, plan-pinned by tests/test_cdx.py)."""
+        from firmwarescraper_spark.sources import cdx as CX
+
+        pages = _synth_urls(spark, sf_dir).withColumn(
+            "warc_ts", _synth_capture_ts(2024)
+        )
+        return CX.parse_cdx(CX.to_cdx(pages)).orderBy("surt")
+
+    def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Cross-crawl URL index (sources/cdx.cdx_index): collapse the
+        capture log to the latest snapshot per SURT via ONE map-side-
+        combinable struct-max aggregation (the dedup_keep_best pattern —
+        never a window over the log); feeds anti_join_cdx, the
+        don't-refetch filter. Two captures per URL here (2024 + 2025
+        digests), so the argmax is real."""
+        from firmwarescraper_spark.sources import cdx as CX
+
+        urls = _synth_urls(spark, sf_dir)
+        cap1 = urls.withColumn("warc_ts", _synth_capture_ts(2024)).withColumn(
+            "digest", F.concat(F.lit("sha1:"), F.md5(F.col("url")))
+        )
+        cap2 = urls.withColumn("warc_ts", _synth_capture_ts(2025)).withColumn(
+            "digest",
+            F.concat(F.lit("sha1:"), F.md5(F.concat(F.col("url"), F.lit("v2")))),
+        )
+        lines = CX.to_cdx(cap1.unionByName(cap2))
+        return CX.cdx_index(CX.parse_cdx(lines)).orderBy("surt")
+
+    def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Sitemap-XML frontier feeder (sources/sitemaps.sitemap_entries):
+        one row per <url>/<sitemap> block with loc/lastmod/changefreq/
+        priority — the seed-discovery stage between robots.txt Sitemap:
+        lines (operators/robots.parse_robots_txt) and the frontier
+        enqueue. regexp_extract_all + explode, a narrow generator: zero
+        shuffle (plan-pinned); the oracle replays the RE2-subset block
+        and field regexes verbatim."""
+        from firmwarescraper_spark.sources import sitemaps as SM
+
+        d = _t(spark, sf_dir, "documents")
+        w = F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+        )
+        xml = F.concat(
+            F.lit("<urlset><url><loc> https://Ex.com/"), F.get(w, 0),
+            F.lit(" </loc><lastmod>2024-0"),
+            (F.col("doc_id") % 9 + 1).cast("string"),
+            F.lit("-15T08:30:00+00:00</lastmod><priority>0."),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit("</priority></url><url><loc>https://ex.com/p/"), F.get(w, 1),
+            F.lit("</loc><changefreq>daily</changefreq></url>"
+                  "<sitemap><loc>https://ex.com/maps/"),
+            F.col("doc_id").cast("string"),
+            F.lit(".xml</loc><lastmod>2025-02-01</lastmod></sitemap></urlset>"),
+        )
+        pages = d.filter(F.col("text").isNotNull() & (F.size(w) >= 2)).select(
+            "doc_id", xml.alias("xml")
+        )
+        return (
+            SM.sitemap_entries(pages, keep_cols=("doc_id",))
+            # DATE -> string for the driver compare (pandas renders DuckDB
+            # dates as midnight timestamps; the ISO string is unambiguous)
+            .withColumn("lastmod", F.col("lastmod").cast("string"))
+            .orderBy("doc_id", "kind", "loc")
+        )
+
     def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Deterministic train/val/test split assignment
         (operators/curation.assign_splits): md5-derived hash bucket of the
@@ -1241,6 +1353,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_train_filter": q_quality_train_filter,
         "html_main_content": q_html_main_content,
         "anchor_texts": q_anchor_texts,
+        "surt_canon": q_surt_canon,
+        "cdx_roundtrip": q_cdx_roundtrip,
+        "cdx_index": q_cdx_index,
+        "sitemap_urls": q_sitemap_urls,
         "bpe_encode": q_bpe_encode,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -1618,6 +1734,111 @@ _ANCHOR_TEXTS_SQL = (
     )
     SELECT n.href, n.n_links::BIGINT AS n_links, t.n_texts, t.texts
     FROM n JOIN t USING (href) ORDER BY href
+"""
+)
+
+# Messy-URL corpus for the CDX/SURT rows (mirrors _synth_urls).
+_SYNTH_URLS_CTE = """
+    u AS (
+      SELECT doc_id,
+             'https://WWW.' || source || '.Example.COM'
+               || CASE WHEN doc_id % 3 = 0 THEN ':8080'
+                       WHEN doc_id % 3 = 1 THEN ':443' ELSE '' END
+               || '/Docs/' || CAST(doc_id AS VARCHAR)
+               || '?b=' || CAST(doc_id % 7 AS VARCHAR)
+               || '&a=' || CAST(doc_id % 5 AS VARCHAR) || '#sec' AS url
+      FROM documents
+    )
+"""
+
+
+def _capture_ts_sql(year: int) -> str:
+    return (
+        f"make_timestamp({year}, doc_id % 12 + 1, doc_id % 28 + 1, "
+        "doc_id % 24, doc_id % 60, doc_id % 60)"
+    )
+
+
+_SURT_CANON_SQL = (
+    "WITH " + _SYNTH_URLS_CTE
+    + f" SELECT doc_id, url, {_surt_sql('url')} AS surt FROM u ORDER BY doc_id"
+)
+
+# cdx_roundtrip: the oracle recomputes the parsed rows directly — equality
+# with the Spark side (which goes through the real CDXJ line framing and
+# back) proves the (surt, ts14, JSON) wire round trip byte-identical.
+_CDX_ROUNDTRIP_SQL = (
+    "WITH " + _SYNTH_URLS_CTE + f"""
+    SELECT {_surt_sql('url')} AS surt,
+           {_capture_ts_sql(2024)} AS warc_ts,
+           url,
+           'text/html' AS mime,
+           CAST(200 AS INTEGER) AS status,
+           'sha1:' || md5(url) AS digest,
+           CAST(0 AS BIGINT) AS "length",
+           CAST(0 AS BIGINT) AS "offset",
+           'crawl.warc.gz' AS filename
+    FROM u ORDER BY surt
+"""
+)
+
+_CDX_INDEX_SQL = (
+    "WITH " + _SYNTH_URLS_CTE + f""",
+    c AS (
+      SELECT doc_id, url, {_capture_ts_sql(2024)} AS ts,
+             'sha1:' || md5(url) AS digest FROM u
+      UNION ALL
+      SELECT doc_id, url, {_capture_ts_sql(2025)} AS ts,
+             'sha1:' || md5(url || 'v2') AS digest FROM u
+    )
+    SELECT {_surt_sql('url')} AS surt,
+           count(*) AS n_captures,
+           max(ts) AS last_ts,
+           CAST(200 AS INTEGER) AS last_status,
+           arg_max(digest, ts) AS last_digest,
+           arg_max(url, ts) AS last_url
+    FROM c GROUP BY 1 ORDER BY surt
+"""
+)
+
+_SITEMAP_URLS_SQL = (
+    "WITH d AS (SELECT doc_id, " + _NORM
+    + r""" AS w FROM documents WHERE text IS NOT NULL),
+    x AS (
+      SELECT doc_id,
+             '<urlset><url><loc> https://Ex.com/' || w[1]
+               || ' </loc><lastmod>2024-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+               || '-15T08:30:00+00:00</lastmod><priority>0.'
+               || CAST(doc_id % 10 AS VARCHAR)
+               || '</priority></url><url><loc>https://ex.com/p/' || w[2]
+               || '</loc><changefreq>daily</changefreq></url>'
+               || '<sitemap><loc>https://ex.com/maps/'
+               || CAST(doc_id AS VARCHAR)
+               || '.xml</loc><lastmod>2025-02-01</lastmod></sitemap></urlset>'
+               AS xml
+      FROM d WHERE len(w) >= 2
+    ),
+    blocks AS (
+      SELECT doc_id, 'url' AS kind,
+             unnest(regexp_extract_all(xml, '(?is)<url>.*?</url>', 0)) AS b
+      FROM x
+      UNION ALL
+      SELECT doc_id, 'sitemap',
+             unnest(regexp_extract_all(xml, '(?is)<sitemap>.*?</sitemap>', 0))
+      FROM x
+    ),
+    f AS (
+      SELECT doc_id, kind,
+             nullif(regexp_extract(b, '(?is)<loc>\s*(.*?)\s*</loc>', 1), '') AS loc,
+             nullif(regexp_extract(b, '(?is)<lastmod>\s*(.*?)\s*</lastmod>', 1), '') AS lastmod_raw,
+             nullif(regexp_extract(b, '(?is)<changefreq>\s*(.*?)\s*</changefreq>', 1), '') AS changefreq,
+             try_cast(nullif(regexp_extract(b, '(?is)<priority>\s*(.*?)\s*</priority>', 1), '') AS DOUBLE) AS priority
+      FROM blocks
+    )
+    SELECT doc_id, kind, loc, lastmod_raw,
+           CAST(try_cast(substr(lastmod_raw, 1, 10) AS DATE) AS VARCHAR) AS lastmod,
+           changefreq, priority
+    FROM f ORDER BY doc_id, kind, loc
 """
 )
 
@@ -2472,6 +2693,10 @@ def oracle_sql() -> dict[str, str]:
         # anchor element, per-target counts + first-20 sorted distinct
         # phrases (binary collation on both engines)
         "anchor_texts": _ANCHOR_TEXTS_SQL,
+        "surt_canon": _SURT_CANON_SQL,
+        "cdx_roundtrip": _CDX_ROUNDTRIP_SQL,
+        "cdx_index": _CDX_INDEX_SQL,
+        "sitemap_urls": _SITEMAP_URLS_SQL,
         # classifier_train: DuckDB replays BOTH gradient-descent iterations
         # bit-for-bit — weights are bigint fixed-point (units of 2^20),
         # residuals floor-quantize back to bigint before the gradient sum,
