@@ -408,6 +408,47 @@ def main():
             "dhash_neardup": lambda: __import__(
                 "firmwarescraper_spark.multimodal.binary", fromlist=["x"]
             ).dhash_neardup_pairs(imgs),
+            # CDX capture-log collapse: two captures per URL (urls ∝ N)
+            # through the full emit→parse→struct-max-index pipeline; the
+            # only wide op is the map-side-combinable latest-per-SURT agg
+            "cdx_index": lambda: (lambda CX, caps: CX.cdx_index(
+                CX.parse_cdx(CX.to_cdx(caps))))(
+                __import__("firmwarescraper_spark.sources.cdx",
+                           fromlist=["x"]),
+                docs.select(
+                    F.concat(F.lit("https://WWW.h"),
+                             F.pmod(F.xxhash64("doc_id"), F.lit(1000)),
+                             F.lit(".Example.com/"), "doc_id",
+                             F.lit("?b=2&a=1")).alias("url"),
+                    F.timestamp_seconds(
+                        F.lit(1704067200)
+                        + F.pmod(F.xxhash64("doc_id"), F.lit(86400))
+                    ).alias("warc_ts"),
+                ).unionByName(docs.select(
+                    F.concat(F.lit("https://WWW.h"),
+                             F.pmod(F.xxhash64("doc_id"), F.lit(1000)),
+                             F.lit(".Example.com/"), "doc_id",
+                             F.lit("?b=2&a=1")).alias("url"),
+                    F.timestamp_seconds(
+                        F.lit(1735689600)
+                        + F.pmod(F.xxhash64("doc_id"), F.lit(86400))
+                    ).alias("warc_ts"),
+                ))),
+            # sitemap parse: 3 blocks per page, regexp_extract_all +
+            # explode — a narrow generator, expected flat per-page
+            "sitemap_entries": lambda: __import__(
+                "firmwarescraper_spark.sources.sitemaps", fromlist=["x"]
+            ).sitemap_entries(
+                docs.select("doc_id", F.concat(
+                    F.lit("<urlset><url><loc>https://h/"), F.get(w, 0),
+                    F.lit("</loc><lastmod>2024-01-15</lastmod>"
+                          "<priority>0.8</priority></url>"
+                          "<url><loc>https://h/p/"), F.get(w, 1),
+                    F.lit("</loc><changefreq>daily</changefreq></url>"
+                          "<sitemap><loc>https://h/maps/"), "doc_id",
+                    F.lit(".xml</loc></sitemap></urlset>"),
+                ).alias("xml")),
+                keep_cols=("doc_id",)),
         }
 
     import math
