@@ -66,6 +66,36 @@ def parse_robots_txt(body: str) -> tuple:
     return rules, delay
 
 
+# RFC 9309 §2.3: Sitemap lines are group-independent — they apply to the
+# whole file regardless of user-agent sections, so a pure column harvest
+# (no group-state machine) is exact.
+_SITEMAP_LINE_RE = r"(?im)^\s*sitemap\s*:\s*(\S+)"
+
+
+def robots_sitemaps(pages: DataFrame) -> DataFrame:
+    """Harvest ``Sitemap:`` lines from every robots.txt in the corpus —
+    the seed-discovery input to sources/sitemaps.sitemap_entries. Output:
+    (host, sitemap_url), one row per declared sitemap. Pure column
+    algebra over the filtered robots scan (regexp_extract_all + explode,
+    a narrow generator — no shuffle, no Python), unlike the rules parse
+    above which needs the stateful user-agent group machine."""
+    robots = pages.filter(
+        F.col("url").rlike(r"^[a-z]+://[^/]+/robots\.txt$")
+    ).select(
+        F.regexp_replace(
+            F.regexp_replace(F.col("url"), r"^[a-z]+://", ""),
+            r"(:\d+)?/robots\.txt$", "",
+        ).alias("host"),
+        F.col("html").cast("string").alias("body"),
+    )
+    return robots.select(
+        "host",
+        F.explode(
+            F.regexp_extract_all(F.col("body"), F.lit(_SITEMAP_LINE_RE), 1)
+        ).alias("sitemap_url"),
+    )
+
+
 def build_robots_rules(pages: DataFrame, persist: bool = False) -> tuple:
     """From the pages corpus, build (rules_df, delay_df) — fully
     distributed, no driver-side ``.collect()``: at 10^7 hosts the robots

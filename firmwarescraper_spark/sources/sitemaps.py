@@ -3,7 +3,7 @@
 The reference's spiders hardcode their seed URLs
 (/root/reference/firmware/spiders/*.py ``start_urls``); a web-scale
 crawl discovers most of its frontier from robots.txt ``Sitemap:`` lines
-(operators/robots.parse_robots_txt already surfaces those) and the
+(operators/robots.robots_sitemaps harvests those) and the
 sitemap/sitemap-index XML they point at. This module parses fetched
 sitemap payloads into frontier rows, Spark-first:
 

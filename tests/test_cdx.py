@@ -177,6 +177,60 @@ def test_parse_and_sitemap_plans_have_no_exchange(spark):
     assert "Exchange" not in sm_plan
 
 
+ROBOTS = (
+    "User-agent: *\nDisallow: /private\n"
+    "Sitemap: https://ex.com/s0.xml\n"
+    "User-agent: bot\nDisallow: /\n"
+    "SITEMAP: https://ex.com/s1.xml  # trailing comment\n"
+)
+
+
+def test_robots_sitemaps_harvest(spark):
+    from firmwarescraper_spark.operators.robots import robots_sitemaps
+
+    pages = spark.createDataFrame(
+        [("http://ex.com:8080/robots.txt", ROBOTS.encode()),
+         ("http://other.net/robots.txt", b"User-agent: *\nAllow: /"),
+         ("http://ex.com/page.html", b"Sitemap: https://decoy.xml")],
+        ["url", "html"],
+    )
+    rows = robots_sitemaps(pages).orderBy("sitemap_url").collect()
+    # group-independent (RFC 9309): the line inside the foreign-agent
+    # group is harvested too; non-robots pages are not; port stripped
+    # to match the frontier host key
+    assert [(r["host"], r["sitemap_url"]) for r in rows] == [
+        ("ex.com", "https://ex.com/s0.xml"),
+        ("ex.com", "https://ex.com/s1.xml"),
+    ]
+
+
+def test_discovery_path_robots_to_frontier(spark):
+    """End-to-end seed discovery: robots.txt Sitemap lines -> fetch the
+    sitemap payloads (corpus join, the sandbox fetch stage) -> parse ->
+    enqueueable frontier rows + child sitemaps."""
+    from firmwarescraper_spark.operators.robots import robots_sitemaps
+
+    corpus = spark.createDataFrame(
+        [("http://ex.com/robots.txt", ROBOTS.encode()),
+         ("https://ex.com/s0.xml", SITEMAP.encode()),
+         ("https://ex.com/s1.xml", SITEMAP_INDEX.encode())],
+        ["url", "html"],
+    )
+    declared = robots_sitemaps(corpus)
+    fetched = declared.join(
+        corpus.select(F.col("url").alias("sitemap_url"),
+                      F.col("html").cast("string").alias("xml")),
+        on="sitemap_url",
+    )
+    urls, children = S.sitemap_frontier(
+        S.sitemap_entries(fetched, keep_cols=("host", "sitemap_url")))
+    assert sorted(r["loc"] for r in urls.collect()) == [
+        "https://ex.com/a", "https://ex.com/b"]
+    # the sitemap-index child comes back as a next-round fetch target —
+    # the W4 pagination-fixpoint shape
+    assert [r["loc"] for r in children.collect()] == ["https://ex.com/s1.xml"]
+
+
 def test_cdx_index_single_aggregate_exchange(spark):
     idx = C.cdx_index(C.parse_cdx(C.to_cdx(_pages(spark))))
     plan = idx._jdf.queryExecution().executedPlan().toString()
