@@ -434,6 +434,21 @@ def main():
                         + F.pmod(F.xxhash64("doc_id"), F.lit(86400))
                     ).alias("warc_ts"),
                 ))),
+            # URL filter: suffix-chain explode (bounded ~4 rows/URL) +
+            # semi/anti join against a fixed blocklist + keyword CASE sum;
+            # hosts follow the vocab so distinct-domain count grows ∝ N
+            "url_filter": lambda: (lambda UF: UF.url_filter(
+                docs.select("doc_id", F.concat(
+                    F.lit("https://www."), F.get(w, 0),
+                    F.lit(".example.com/"),
+                    F.when(F.col("doc_id") % 11 == 0, F.lit("casino/"))
+                    .otherwise(F.lit("blog/")),
+                    "doc_id").alias("url")),
+                spark.createDataFrame(
+                    [(f"w{i}.example.com",) for i in range(500)],
+                    ["domain"])))(
+                __import__("firmwarescraper_spark.operators.urlfilter",
+                           fromlist=["x"])),
             # sitemap parse: 3 blocks per page, regexp_extract_all +
             # explode — a narrow generator, expected flat per-page
             "sitemap_entries": lambda: __import__(

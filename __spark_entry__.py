@@ -1024,6 +1024,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id", "kind", "loc")
         )
 
+    def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """URL-level corpus filter (operators/urlfilter.py): the FIRST
+        stage of the published pipelines (RefinedWeb/FineWeb/CCNet) —
+        UT1-style domain blocklist with subdomain semantics (suffix-chain
+        explode -> semi-join -> anti-join; bounded fan-out, keys-only
+        shuffles) then the weighted keyword-score gate (unrolled literal
+        CASE sum, zero shuffle). Here src3/src7 domains are blocklisted
+        (their www. subdomains must drop too) and casino / poker+viagra
+        paths score >= 1.0."""
+        from firmwarescraper_spark.operators import urlfilter as UF
+
+        d = _t(spark, sf_dir, "documents")
+        seg = (
+            F.when(F.col("doc_id") % 11 == 0, F.lit("/casino"))
+            .when(F.col("doc_id") % 17 == 0, F.lit("/poker-viagra"))
+            .when(F.col("doc_id") % 5 == 0, F.lit("/torrent"))
+            .otherwise(F.lit("/blog"))
+        )
+        urls = d.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://WWW."), F.col("source"), F.lit(".Example.COM"),
+                seg, F.lit("/"), F.col("doc_id").cast("string"),
+            ).alias("url"),
+        )
+        blocked = spark.createDataFrame(
+            [("src3.example.com",), ("src7.example.com",)], ["domain"]
+        )
+        return UF.url_filter(urls, blocked).orderBy("doc_id")
+
     def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Deterministic train/val/test split assignment
         (operators/curation.assign_splits): md5-derived hash bucket of the
@@ -1357,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_roundtrip": q_cdx_roundtrip,
         "cdx_index": q_cdx_index,
         "sitemap_urls": q_sitemap_urls,
+        "url_filter": q_url_filter,
         "bpe_encode": q_bpe_encode,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -1841,6 +1872,40 @@ _SITEMAP_URLS_SQL = (
     FROM f ORDER BY doc_id, kind, loc
 """
 )
+
+def _url_filter_sql() -> str:
+    from firmwarescraper_spark.operators.urlfilter import keyword_score_sql
+
+    return r"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://WWW.' || source || '.Example.COM'
+               || CASE WHEN doc_id % 11 = 0 THEN '/casino'
+                       WHEN doc_id % 17 = 0 THEN '/poker-viagra'
+                       WHEN doc_id % 5 = 0 THEN '/torrent'
+                       ELSE '/blog' END
+               || '/' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, url,
+             """ + keyword_score_sql("url") + r""" AS url_score,
+             string_split(
+               regexp_extract(lower(trim(url)),
+                 '^[a-z][a-z0-9+.-]*://(?:[^@/?#]*@)?([^/:?#]+)', 1),
+               '.') AS labels
+      FROM u
+    )
+    SELECT doc_id, url, url_score
+    FROM s
+    WHERE NOT list_has_any(
+            [array_to_string(list_slice(labels, i, len(labels)), '.')
+             FOR i IN generate_series(1, len(labels))],
+            ['src3.example.com', 'src7.example.com'])
+      AND url_score < 1.0
+    ORDER BY doc_id
+"""
+
 
 _PAGERANK_SQL = """
     WITH nodes AS (SELECT doc_id FROM documents WHERE doc_id < 200),
@@ -2697,6 +2762,7 @@ def oracle_sql() -> dict[str, str]:
         "cdx_roundtrip": _CDX_ROUNDTRIP_SQL,
         "cdx_index": _CDX_INDEX_SQL,
         "sitemap_urls": _SITEMAP_URLS_SQL,
+        "url_filter": _url_filter_sql(),
         # classifier_train: DuckDB replays BOTH gradient-descent iterations
         # bit-for-bit — weights are bigint fixed-point (units of 2^20),
         # residuals floor-quantize back to bigint before the gradient sum,
