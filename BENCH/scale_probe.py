@@ -449,6 +449,18 @@ def main():
                     ["domain"])))(
                 __import__("firmwarescraper_spark.operators.urlfilter",
                            fromlist=["x"])),
+            # CCNet normalization: two translate tables + four regexes in
+            # one codegen projection — scan-proportional, expected flat
+            "ccnet_normalize": lambda: docs.select(
+                "doc_id", TX.ccnet_normalize(F.col("text")).alias("n")),
+            # PR threshold sweep: per-score counts combine map-side to a
+            # compact table (scores here take 1000 distinct values at any
+            # N); the cumulative window runs over that table only
+            "pr_curve": lambda: TX.pr_curve(docs.select(
+                (F.pmod(F.xxhash64("doc_id"), F.lit(1000)).cast("double")
+                 / F.lit(1000.0)).alias("score"),
+                F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(2))
+                .cast("int").alias("label"))),
             # sitemap parse: 3 blocks per page, regexp_extract_all +
             # explode — a narrow generator, expected flat per-page
             "sitemap_entries": lambda: __import__(

@@ -1054,6 +1054,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return UF.url_filter(urls, blocked).orderBy("doc_id")
 
+    def q_ccnet_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """CCNet hashing normalization (textops.ccnet_normalize): lower +
+        fixed-table accent fold + digits->0 + unicode-punctuation fold +
+        whitespace collapse — the normalization CCNet applies BEFORE
+        hashing dedup keys, so 'Héllo  Nº 42' and 'hello no 00' collide.
+        One codegen projection, zero shuffle; the oracle replays the
+        identical translate tables and regexes. Accented/quoted/numeric
+        decorations are injected deterministically around each doc."""
+        from firmwarescraper_spark.operators import textops as TX
+
+        d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+        deco = F.concat(
+            F.lit("Héllo “Nº "), F.col("doc_id").cast("string"),
+            F.lit("” — Ça va… "), F.col("text"),
+        )
+        norm = TX.ccnet_normalize(deco)
+        return d.select(
+            "doc_id",
+            norm.alias("norm_text"),
+            F.md5(norm).alias("dedup_key"),
+        ).orderBy("doc_id")
+
+    def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Classifier threshold sweep (textops.pr_curve): per distinct
+        rounded score, cumulative tp/fp and precision/recall/f1 of
+        "keep iff score >= t" — how every train-then-filter loop picks
+        its cut. The per-score distribution aggregates map-side to a
+        compact table; the cumulative window runs over THAT, never a
+        corpus sort (the ppl_buckets shape). Scores here are integer-
+        constructed doubles (label signal + md5 noise), so grouping is
+        exact on both engines."""
+        from firmwarescraper_spark.operators import textops as TX
+
+        d = _t(spark, sf_dir, "documents")
+        h = F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        scored = d.select(
+            (
+                (
+                    F.when(F.col("lang") == "en", F.lit(5000)).otherwise(F.lit(0))
+                    + F.pmod(h, F.lit(1000))
+                ).cast("double") / F.lit(10000.0)
+            ).alias("score"),
+            (F.col("lang") == "en").cast("int").alias("label"),
+        )
+        return TX.pr_curve(scored).orderBy(F.desc("threshold"))
+
     def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Deterministic train/val/test split assignment
         (operators/curation.assign_splits): md5-derived hash bucket of the
@@ -1388,6 +1436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "sitemap_urls": q_sitemap_urls,
         "url_filter": q_url_filter,
+        "ccnet_normalize": q_ccnet_normalize,
+        "pr_curve": q_pr_curve,
         "bpe_encode": q_bpe_encode,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -1872,6 +1922,52 @@ _SITEMAP_URLS_SQL = (
     FROM f ORDER BY doc_id, kind, loc
 """
 )
+
+def _ccnet_normalize_sql() -> str:
+    from firmwarescraper_spark.operators.textops import ccnet_normalize_sql
+
+    deco = ("'Héllo “Nº ' || CAST(doc_id AS VARCHAR) || '” — Ça va… ' || text")
+    n = ccnet_normalize_sql(deco)
+    return (
+        "SELECT doc_id, " + n + " AS norm_text, md5(" + n + ") AS dedup_key "
+        "FROM documents WHERE text IS NOT NULL ORDER BY doc_id"
+    )
+
+
+_PR_CURVE_SQL = """
+    WITH s AS (
+      SELECT (CASE WHEN lang = 'en' THEN 5000 ELSE 0 END
+              + (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000)
+             )::DOUBLE / 10000.0 AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    per AS (
+      SELECT round(score, 4) AS threshold,
+             sum(y)::BIGINT AS pos,
+             (count(*) - sum(y))::BIGINT AS neg
+      FROM s GROUP BY 1
+    ),
+    c AS (
+      SELECT threshold, pos, neg,
+             sum(pos) OVER (ORDER BY threshold DESC
+                            ROWS UNBOUNDED PRECEDING) AS tp,
+             sum(neg) OVER (ORDER BY threshold DESC
+                            ROWS UNBOUNDED PRECEDING) AS fp
+      FROM per
+    ),
+    t AS (SELECT sum(pos) AS p FROM per)
+    SELECT threshold,
+           tp::BIGINT AS tp, fp::BIGINT AS fp, (t.p - tp)::BIGINT AS fn,
+           round(tp::DOUBLE / (tp + fp)::DOUBLE, 6) AS precision,
+           round(CASE WHEN t.p > 0 THEN tp::DOUBLE / t.p::DOUBLE
+                      ELSE 0.0 END, 6) AS recall,
+           round(CASE WHEN tp + fp + t.p > 0
+                      THEN 2.0 * tp::DOUBLE / (tp + fp + t.p)::DOUBLE
+                      ELSE 0.0 END, 6) AS f1
+    FROM c, t ORDER BY threshold DESC
+"""
+
 
 def _url_filter_sql() -> str:
     from firmwarescraper_spark.operators.urlfilter import keyword_score_sql
@@ -2763,6 +2859,8 @@ def oracle_sql() -> dict[str, str]:
         "cdx_index": _CDX_INDEX_SQL,
         "sitemap_urls": _SITEMAP_URLS_SQL,
         "url_filter": _url_filter_sql(),
+        "ccnet_normalize": _ccnet_normalize_sql(),
+        "pr_curve": _PR_CURVE_SQL,
         # classifier_train: DuckDB replays BOTH gradient-descent iterations
         # bit-for-bit — weights are bigint fixed-point (units of 2^20),
         # residuals floor-quantize back to bigint before the gradient sum,

@@ -97,6 +97,59 @@ def normalize_text(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
+# CCNet hashing normalization (Wenzek et al. text_normalizer, public):
+# lowercase, strip accents, every digit -> 0, unicode punctuation folded
+# to ASCII, whitespace collapsed. Implemented as fixed translate tables +
+# regex — pure codegen column algebra, and byte-identical in DuckDB
+# (translate/lower/regexp_replace agree codepoint-for-codepoint).
+# Latin-1 + Latin-Extended-A accent fold (the fixed-table analogue of
+# NFD + drop-combining-marks for the European-language range CCNet's
+# own table covers; chars outside the table pass through unchanged).
+_ACCENT_FROM = (
+    "àáâãäåāăąçćčĉċďđèéêëēĕėęěĝğġģĥħìíîïĩīĭįıĵķĺļľŀłñńņňòóôõöøōŏő"
+    "ŕŗřśŝşšţťŧùúûüũūŭůűųŵýÿŷźżžðºª"
+)
+_ACCENT_TO = (
+    "aaaaaaaaacccccddeeeeeeeeegggghhiiiiiiiiijklllllnnnnoooooooo"
+    "orrrsssstttuuuuuuuuuuwyyyzzzdoa"
+)
+# ligature/sharp-s folds expand to TWO chars — a regex step, not translate
+_MULTI_FOLDS = (("ß", "ss"), ("æ", "ae"), ("œ", "oe"))
+# unicode punctuation -> ASCII (curly quotes, dashes, ellipsis, NBSP)
+_PUNCT_FROM = "‘’“”–—… «»"
+_PUNCT_TO = "''\"\"--. \"\""
+
+
+def ccnet_normalize(text: Column) -> Column:
+    """CCNet-style normalization of *text* for dedup/LM hashing keys:
+    lower + accent fold + digits->0 + punctuation fold + whitespace
+    collapse. One projection; the dedup key is ``md5(ccnet_normalize)``
+    exactly like fingerprint_md5 over normalize_text, but robust to the
+    accent/digit/quote variation real web text carries."""
+    t = F.lower(text)
+    t = F.translate(t, _ACCENT_FROM, _ACCENT_TO)
+    t = F.translate(t, _PUNCT_FROM, _PUNCT_TO)
+    for src, dst in _MULTI_FOLDS:
+        t = F.regexp_replace(t, src, dst)
+    t = F.regexp_replace(t, r"[0-9]", "0")
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def ccnet_normalize_sql(expr: str) -> str:
+    """DuckDB replay of ``ccnet_normalize`` (identical tables/regexes)."""
+    af = _ACCENT_FROM.replace("'", "''")
+    at = _ACCENT_TO.replace("'", "''")
+    pf = _PUNCT_FROM.replace("'", "''")
+    pt = _PUNCT_TO.replace("'", "''")
+    s = f"translate(translate(lower({expr}), '{af}', '{at}'), '{pf}', '{pt}')"
+    for src, dst in _MULTI_FOLDS:
+        s = f"regexp_replace({s}, '{src}', '{dst}', 'g')"
+    return (
+        "trim(regexp_replace(regexp_replace(" + s
+        + r", '[0-9]', '0', 'g'), '\s+', ' ', 'g'))"
+    )
+
+
 def fingerprint_md5(text: Column) -> Column:
     """Content fingerprint of the normalized text (md5 — reproducible in
     any engine; used for exact dedup keys)."""
@@ -704,4 +757,69 @@ def classifier_apply(
         F.round(
             F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6
         ).alias("score"),
+    )
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Precision/recall threshold sweep for a learned corpus filter —
+    the eval step every train-then-filter loop needs to PICK its
+    threshold (CCNet/DCLM/FineWeb-Edu all publish one). For every
+    distinct rounded score t: tp/fp/fn and precision/recall/f1 of the
+    classifier "keep iff score >= t".
+
+    Scale shape (the ppl_buckets pattern): per-score counts aggregate
+    map-side to a COMPACT distribution table (bounded by rounded-score
+    cardinality, <= 10^round_digits + 1 rows at any corpus size), the
+    cumulative tp/fp window runs over that table only, and total
+    positives broadcast as a scalar — never a corpus-wide sort. All
+    count arithmetic is exact integers; the three ratios are the only
+    float ops (rounded 6 for cross-engine replay).
+
+    Output: (threshold, tp, fp, fn, precision, recall, f1), one row per
+    distinct rounded score, descending-threshold cumulative semantics.
+    """
+    from pyspark.sql import Window
+
+    per = (
+        df.select(
+            F.round(F.col(score_col).cast("double"), round_digits).alias(
+                "threshold"
+            ),
+            F.col(label_col).cast("bigint").alias("_y"),
+        )
+        .groupBy("threshold")
+        .agg(
+            F.sum("_y").alias("_pos"),
+            (F.count(F.lit(1)) - F.sum("_y")).alias("_neg"),
+        )
+    )
+    w = Window.orderBy(F.desc("threshold")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.withColumn("tp", F.sum("_pos").over(w)).withColumn(
+        "fp", F.sum("_neg").over(w)
+    )
+    tot = per.agg(F.sum("_pos").alias("_p"))
+    out = cum.crossJoin(F.broadcast(tot))
+    prec = F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double")
+    rec = F.when(F.col("_p") > 0,
+                 F.col("tp").cast("double") / F.col("_p").cast("double")
+                 ).otherwise(F.lit(0.0))
+    f1 = F.when((F.col("tp") + F.col("fp") + F.col("_p")) > 0,
+                F.lit(2.0) * F.col("tp").cast("double")
+                / (F.col("tp") + F.col("fp") + F.col("_p")).cast("double")
+                ).otherwise(F.lit(0.0))
+    return out.select(
+        "threshold",
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        (F.col("_p") - F.col("tp")).cast("bigint").alias("fn"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
     )
