@@ -1054,6 +1054,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return UF.url_filter(urls, blocked).orderBy("doc_id")
 
+    def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Freshness-aware recrawl scheduling (sources/cdx.
+        recrawl_priority): Cho/Garcia-Molina change-rate estimate per
+        SURT from the capture log — three captures per URL here, with
+        digests rotating on doc_id%2 / doc_id%3 schedules so rates hit
+        0, 0.5, and 1.0. One surt-keyed aggregation (count +
+        count-distinct, map-side combined)."""
+        from firmwarescraper_spark.sources import cdx as CX
+
+        urls = _synth_urls(spark, sf_dir)
+
+        def cap(year: int, suffix_mod: int) -> DataFrame:
+            dig = F.md5(
+                F.when(F.col("doc_id") % suffix_mod == 0,
+                       F.concat(F.col("url"), F.lit(f"v{suffix_mod}")))
+                .otherwise(F.col("url"))
+            ) if suffix_mod else F.md5(F.col("url"))
+            return urls.withColumn("warc_ts", _synth_capture_ts(year)) \
+                .withColumn("digest", dig)
+
+        caps = cap(2024, 0).unionByName(cap(2025, 2)).unionByName(cap(2026, 3))
+        parsed = CX.parse_cdx(CX.to_cdx(caps))
+        return CX.recrawl_priority(parsed).orderBy("surt")
+
     def q_ccnet_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         """CCNet hashing normalization (textops.ccnet_normalize): lower +
         fixed-table accent fold + digits->0 + unicode-punctuation fold +
@@ -1438,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "ccnet_normalize": q_ccnet_normalize,
         "pr_curve": q_pr_curve,
+        "recrawl_priority": q_recrawl_priority,
         "bpe_encode": q_bpe_encode,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -1922,6 +1947,33 @@ _SITEMAP_URLS_SQL = (
     FROM f ORDER BY doc_id, kind, loc
 """
 )
+
+_RECRAWL_SQL = (
+    "WITH " + _SYNTH_URLS_CTE + f""",
+    c AS (
+      SELECT doc_id, url, md5(url) AS digest,
+             {_capture_ts_sql(2024)} AS ts FROM u
+      UNION ALL
+      SELECT doc_id, url,
+             md5(CASE WHEN doc_id % 2 = 0 THEN url || 'v2' ELSE url END),
+             {_capture_ts_sql(2025)} FROM u
+      UNION ALL
+      SELECT doc_id, url,
+             md5(CASE WHEN doc_id % 3 = 0 THEN url || 'v3' ELSE url END),
+             {_capture_ts_sql(2026)} FROM u
+    )
+    SELECT {_surt_sql('url')} AS surt,
+           count(*)::BIGINT AS n_captures,
+           count(DISTINCT digest)::BIGINT AS n_versions,
+           max(ts) AS last_ts,
+           round(CASE WHEN count(*) > 1
+                      THEN (count(DISTINCT digest) - 1)::DOUBLE
+                           / (count(*) - 1)::DOUBLE
+                      ELSE 0.0 END, 6) AS change_rate
+    FROM c GROUP BY 1 ORDER BY surt
+"""
+)
+
 
 def _ccnet_normalize_sql() -> str:
     from firmwarescraper_spark.operators.textops import ccnet_normalize_sql
@@ -2861,6 +2913,7 @@ def oracle_sql() -> dict[str, str]:
         "url_filter": _url_filter_sql(),
         "ccnet_normalize": _ccnet_normalize_sql(),
         "pr_curve": _PR_CURVE_SQL,
+        "recrawl_priority": _RECRAWL_SQL,
         # classifier_train: DuckDB replays BOTH gradient-descent iterations
         # bit-for-bit — weights are bigint fixed-point (units of 2^20),
         # residuals floor-quantize back to bigint before the gradient sum,

@@ -230,3 +230,35 @@ def anti_join_cdx(
             how="left_anti",
         ).drop("_surt")
     )
+
+
+def recrawl_priority(parsed: DataFrame) -> DataFrame:
+    """Freshness-aware recrawl scheduling over the capture log (the
+    Cho/Garcia-Molina change-frequency estimator, uniform-interval
+    form): per SURT, the fraction of revisits that observed a NEW
+    content digest — URLs that change every visit float to the top of
+    the refetch frontier, static ones sink. One aggregation keyed by
+    surt (count + count-distinct combine map-side; the distinct pass
+    shuffles only (surt, digest) pairs). Output: (surt, n_captures,
+    n_versions, last_ts, change_rate), change_rate = (versions-1) /
+    (captures-1), 0.0 for single-capture URLs, rounded 6 for
+    cross-engine replay. Feeds frontier.priority_score as the recrawl
+    term alongside the link-heuristic term."""
+    g = (
+        parsed.filter(F.col("surt").isNotNull())
+        .groupBy("surt")
+        .agg(
+            F.count(F.lit(1)).alias("n_captures"),
+            F.count_distinct(F.col("digest")).alias("n_versions"),
+            F.max("warc_ts").alias("last_ts"),
+        )
+    )
+    rate = F.when(
+        F.col("n_captures") > 1,
+        (F.col("n_versions") - 1).cast("double")
+        / (F.col("n_captures") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return g.select(
+        "surt", "n_captures", "n_versions", "last_ts",
+        F.round(rate, 6).alias("change_rate"),
+    )

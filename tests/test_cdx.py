@@ -237,3 +237,46 @@ def test_cdx_index_single_aggregate_exchange(spark):
     # one hash-partitioned exchange for the struct-max agg, nothing else
     assert plan.count("Exchange") == 1
     assert "partial_max" in plan or "partial" in plan.lower()
+
+
+def test_recrawl_priority(spark):
+    urls = spark.createDataFrame(
+        [("http://static.com/",), ("http://hot.com/",), ("http://half.com/",)],
+        ["url"])
+
+    def cap(year, digests):
+        return urls.withColumn(
+            "warc_ts", F.to_timestamp(F.lit(f"{year}-01-01 00:00:00"))
+        ).withColumn(
+            "digest",
+            F.element_at(
+                F.map_from_arrays(
+                    F.array(*[F.lit(u) for u in digests]),
+                    F.array(*[F.lit(d) for d in digests.values()]),
+                ), F.col("url")),
+        )
+
+    caps = (
+        cap(2024, {"http://static.com/": "s1", "http://hot.com/": "h1",
+                   "http://half.com/": "m1"})
+        .unionByName(cap(2025, {"http://static.com/": "s1",
+                                "http://hot.com/": "h2",
+                                "http://half.com/": "m1"}))
+        .unionByName(cap(2026, {"http://static.com/": "s1",
+                                "http://hot.com/": "h3",
+                                "http://half.com/": "m2"}))
+    )
+    out = C.recrawl_priority(C.parse_cdx(C.to_cdx(caps))).collect()
+    by = {r["surt"]: r for r in out}
+    assert by["com,static)/"]["change_rate"] == 0.0
+    assert by["com,hot)/"]["change_rate"] == 1.0
+    assert by["com,half)/"]["change_rate"] == 0.5
+    assert all(r["n_captures"] == 3 for r in out)
+    assert str(by["com,hot)/"]["last_ts"]) == "2026-01-01 00:00:00"
+
+
+def test_recrawl_priority_single_capture_rate_zero(spark):
+    one = spark.createDataFrame([("http://a.com/",)], ["url"]).withColumn(
+        "warc_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    row = C.recrawl_priority(C.parse_cdx(C.to_cdx(one))).collect()[0]
+    assert row["n_captures"] == 1 and row["change_rate"] == 0.0
