@@ -280,3 +280,14 @@ def test_recrawl_priority_single_capture_rate_zero(spark):
         "warc_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
     row = C.recrawl_priority(C.parse_cdx(C.to_cdx(one))).collect()[0]
     assert row["n_captures"] == 1 and row["change_rate"] == 0.0
+
+
+def test_recrawl_priority_single_aggregate_exchange(spark):
+    one = spark.createDataFrame([("http://a.com/",)], ["url"]).withColumn(
+        "warc_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    plan = C.recrawl_priority(C.parse_cdx(C.to_cdx(one))) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # count+count-distinct compiles to the two-phase distinct-aggregate
+    # plan: exchanges keyed by surt only (expand for the distinct), and
+    # none carrying the payload
+    assert 0 < plan.count("Exchange") <= 2
