@@ -449,6 +449,26 @@ def main():
                     ["domain"])))(
                 __import__("firmwarescraper_spark.operators.urlfilter",
                            fromlist=["x"])),
+            # trap detection: one projection (regex/array algebra) + ONE
+            # host-keyed agg (two count-distincts share one Expand of
+            # fixed-width keys); hosts follow the vocab (∝ N/5) with a
+            # calendar-trap template on every 7th URL — expected ~linear
+            "trap_signals": lambda: (lambda UF: UF.trap_signals(
+                docs.select(F.concat(
+                    F.lit("https://"), F.get(w, 0), F.lit(".example.com/"),
+                    F.when(
+                        F.col("doc_id") % 7 == 0,
+                        F.concat(F.lit("cal/2024/"),
+                                 (F.col("doc_id") % 12).cast("string"),
+                                 F.lit("/"),
+                                 F.col("doc_id").cast("string")),
+                    ).otherwise(
+                        F.concat(F.lit("post/"), F.get(w, 1),
+                                 F.lit("-"), F.get(w, 2))
+                    )).alias("url")),
+                min_urls=10))(
+                __import__("firmwarescraper_spark.operators.urlfilter",
+                           fromlist=["x"])),
             # CCNet normalization: two translate tables + four regexes in
             # one codegen projection — scan-proportional, expected flat
             "ccnet_normalize": lambda: docs.select(

@@ -1054,6 +1054,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return UF.url_filter(urls, blocked).orderBy("doc_id")
 
+    def q_trap_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Crawler-trap detection (operators/urlfilter.trap_signals):
+        per-host URL-space signals — distinct-URL/distinct-template
+        explosion (calendar/session-id traps), single-segment repetition
+        (symlink cycles), runaway depth — in ONE host-keyed aggregation
+        over pure column algebra (IRLbot budgeting / Heritrix
+        path-repetition rules, Spark-first). Here src1 hosts a calendar
+        trap (every URL collapses to /cal/N/N/N), src2 a /a/b/a/b/a/b
+        cycle, src4 a 13-deep static tree; every other host serves
+        letter-slug posts with a 1.0 template ratio."""
+        from firmwarescraper_spark.operators import urlfilter as UF
+
+        d = _t(spark, sf_dir, "documents")
+        slug = F.translate(
+            F.col("doc_id").cast("string"), "0123456789", "abcdefghij"
+        )
+        path = (
+            F.when(
+                F.col("source") == "src1",
+                F.concat(F.lit("/cal/2024/"),
+                         (F.col("doc_id") % 12).cast("string"),
+                         F.lit("/"), F.col("doc_id").cast("string")),
+            )
+            .when(
+                F.col("source") == "src2",
+                F.concat(F.lit("/a/b/a/b/a/b/p"), slug),
+            )
+            .when(
+                F.col("source") == "src4",
+                F.concat(F.lit("/d/e/f/g/h/i/j/k/l/m/n/o/"), slug),
+            )
+            .otherwise(F.concat(F.lit("/post/"), slug))
+        )
+        urls = d.select(
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example.com"), path
+            ).alias("url")
+        )
+        return UF.trap_signals(urls, min_urls=10).orderBy("host")
+
     def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Freshness-aware recrawl scheduling (sources/cdx.
         recrawl_priority): Cho/Garcia-Molina change-rate estimate per
@@ -1460,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "sitemap_urls": q_sitemap_urls,
         "url_filter": q_url_filter,
+        "trap_signals": q_trap_signals,
         "ccnet_normalize": q_ccnet_normalize,
         "pr_curve": q_pr_curve,
         "recrawl_priority": q_recrawl_priority,
@@ -2052,6 +2093,72 @@ def _url_filter_sql() -> str:
             ['src3.example.com', 'src7.example.com'])
       AND url_score < 1.0
     ORDER BY doc_id
+"""
+
+
+_TRAP_SQL = r"""
+    WITH u AS (
+      SELECT 'https://' || source || '.example.com'
+             || CASE WHEN source = 'src1'
+                       THEN '/cal/2024/' || CAST(doc_id % 12 AS VARCHAR)
+                            || '/' || CAST(doc_id AS VARCHAR)
+                     WHEN source = 'src2'
+                       THEN '/a/b/a/b/a/b/p' || translate(
+                              CAST(doc_id AS VARCHAR),
+                              '0123456789', 'abcdefghij')
+                     WHEN source = 'src4'
+                       THEN '/d/e/f/g/h/i/j/k/l/m/n/o/' || translate(
+                              CAST(doc_id AS VARCHAR),
+                              '0123456789', 'abcdefghij')
+                     ELSE '/post/' || translate(
+                              CAST(doc_id AS VARCHAR),
+                              '0123456789', 'abcdefghij') END AS url
+      FROM documents
+    ),
+    p AS (
+      SELECT url,
+             regexp_extract(lower(trim(url)),
+               '^[a-z][a-z0-9+.-]*://(?:[^@/?#]*@)?([^/:?#]+)', 1) AS host,
+             regexp_extract(
+               regexp_replace(
+                 regexp_replace(lower(trim(url)),
+                   '^[a-z][a-z0-9+.-]*://(?:[^@/?#]*@)?([^/:?#]+)', ''),
+                 '^[^/?#]*', ''),
+               '^([^?#]*)', 1) AS path
+      FROM u
+    ),
+    seg AS (
+      SELECT host, url,
+             regexp_replace(path, '[0-9]+', 'N', 'g') AS tmpl,
+             list_filter(string_split(path, '/'), x -> x <> '') AS segs
+      FROM p
+    ),
+    per AS (
+      SELECT host, url, tmpl,
+             CAST(len(segs) AS BIGINT) AS depth,
+             CAST(coalesce(list_max(list_transform(list_distinct(segs),
+                    s -> len(list_filter(segs, y -> y = s)))), 0)
+                  AS BIGINT) AS rep
+      FROM seg
+    ),
+    a AS (
+      SELECT host,
+             count(DISTINCT url) AS n_urls,
+             count(DISTINCT tmpl) AS n_templates,
+             max(depth) AS max_depth,
+             max(rep) AS max_segment_repeat
+      FROM per GROUP BY host
+    )
+    SELECT host, n_urls, n_templates,
+           CAST(n_urls AS DOUBLE) / CAST(n_templates AS DOUBLE)
+             AS url_template_ratio,
+           max_depth, max_segment_repeat,
+           ((n_urls >= 10
+             AND CAST(n_urls AS DOUBLE) / CAST(n_templates AS DOUBLE) >= 10.0)
+            OR max_segment_repeat >= 3
+            OR max_depth >= 12) AS is_trap
+    FROM a
+    ORDER BY host
 """
 
 
@@ -2911,6 +3018,7 @@ def oracle_sql() -> dict[str, str]:
         "cdx_index": _CDX_INDEX_SQL,
         "sitemap_urls": _SITEMAP_URLS_SQL,
         "url_filter": _url_filter_sql(),
+        "trap_signals": _TRAP_SQL,
         "ccnet_normalize": _ccnet_normalize_sql(),
         "pr_curve": _PR_CURVE_SQL,
         "recrawl_priority": _RECRAWL_SQL,

@@ -156,6 +156,113 @@ def url_filter(
     return out.filter(F.col("url_score") < F.lit(float(max_score)))
 
 
+def url_path(url: Column) -> Column:
+    """Path component of *url* (query and fragment stripped), lowercased."""
+    pathq = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(url)), _HOST_RE, ""), r"^[^/?#]*", ""
+    )
+    return F.regexp_extract(pathq, r"^([^?#]*)", 1)
+
+
+def path_template(url: Column) -> Column:
+    """URL-space template of *url*: the path with every digit run
+    collapsed to ``N``. Calendar pickers, session ids, and paginated
+    archives generate unbounded distinct URLs from a handful of
+    templates — the explosion signal the trap detectors key on."""
+    return F.regexp_replace(url_path(url), r"[0-9]+", "N")
+
+
+def trap_signals(
+    df: DataFrame,
+    url_col: str = "url",
+    min_urls: int = 20,
+    template_ratio: float = 10.0,
+    repeat_limit: int = 3,
+    depth_limit: int = 12,
+) -> DataFrame:
+    """Per-host crawler-trap signals over a frontier / URL log — the
+    trap heuristics published for large crawlers (IRLbot's URL-space
+    budgeting, Heritrix's path-repetition and depth rules), Spark-first.
+
+    Three independent flags, OR-ed into ``is_trap``:
+
+    * **template explosion** — ``>= min_urls`` distinct URLs whose
+      distinct-URL / distinct-template ratio is ``>= template_ratio``
+      (one ``/cal/N/N/N`` template backing thousands of URLs is a
+      calendar trap, not content);
+    * **segment repetition** — some path repeats a single segment
+      ``>= repeat_limit`` times (the ``/a/b/a/b/a/...`` symlink-cycle
+      shape Heritrix's path-repetition filter kills);
+    * **runaway depth** — some path has ``>= depth_limit`` segments.
+
+    Plan: one projection (pure regex/array column algebra, codegen'd,
+    zero Python) then ONE host-keyed aggregation. Hosts are a
+    high-cardinality key with partial (map-side) combine, so the
+    shuffle moves one short row per (host, template) group — at a
+    10^10-URL frontier the aggregate output is ~|hosts| rows, which is
+    what the per-host politeness state already costs. The two
+    count-distincts share one Expand of fixed-width keys (url hash /
+    template string), never the page payload. Per-path segment stats
+    are O(len^2) higher-order array expressions on paths capped by the
+    frontier's own URL-length guard.
+    """
+    url = F.col(url_col)
+    path = url_path(url)
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    max_rep = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(segs),
+                lambda s: F.size(F.filter(segs, lambda x: x == s)),
+            )
+        ),
+        F.lit(0),
+    )
+    per_url = df.select(
+        url_host(url).alias("host"),
+        url.alias("_u"),
+        path_template(url).alias("_t"),
+        F.size(segs).cast("bigint").alias("_depth"),
+        max_rep.cast("bigint").alias("_rep"),
+    )
+    agg = per_url.groupBy("host").agg(
+        F.countDistinct("_u").alias("n_urls"),
+        F.countDistinct("_t").alias("n_templates"),
+        F.max("_depth").alias("max_depth"),
+        F.max("_rep").alias("max_segment_repeat"),
+    )
+    ratio = F.col("n_urls").cast("double") / F.col("n_templates").cast("double")
+    return agg.select(
+        "host",
+        "n_urls",
+        "n_templates",
+        ratio.alias("url_template_ratio"),
+        "max_depth",
+        "max_segment_repeat",
+        (
+            ((F.col("n_urls") >= int(min_urls))
+             & (ratio >= float(template_ratio)))
+            | (F.col("max_segment_repeat") >= int(repeat_limit))
+            | (F.col("max_depth") >= int(depth_limit))
+        ).alias("is_trap"),
+    )
+
+
+def trap_filter(df: DataFrame, url_col: str = "url", **signal_kw) -> DataFrame:
+    """Drop every URL on a host ``trap_signals`` flags. The trapped-host
+    set is tiny by construction (hosts, not URLs), so the anti-join back
+    is an explicit broadcast — the frontier side never shuffles."""
+    trapped = (
+        trap_signals(df, url_col=url_col, **signal_kw)
+        .filter(F.col("is_trap"))
+        .select(F.col("host").alias("_host"))
+    )
+    keyed = df.withColumn("_host", url_host(F.col(url_col)))
+    return keyed.join(
+        F.broadcast(trapped), on="_host", how="left_anti"
+    ).drop("_host")
+
+
 def keyword_score_sql(expr: str, weights: dict | None = None) -> str:
     """DuckDB replay of ``url_keyword_score`` over SQL expression
     *expr* — identical keyword order and float literals."""

@@ -94,3 +94,45 @@ def test_blocklist_joins_carry_keys_not_payload(spark):
         .optimizedPlan().toString()
     gen = [ln for ln in plan.splitlines() if "Generate" in ln]
     assert gen and all("text" not in ln for ln in gen)
+
+
+def test_trap_signals_hand_values(spark):
+    # calendar trap: 25 URLs, one /cal/N/N template
+    cal = [(f"https://trap.cal.org/cal/2024/{i % 12}/{i}",) for i in range(25)]
+    # symlink cycle: one segment repeats 3 times
+    cyc = [("https://trap.cyc.org/a/b/a/b/a/b/page",)]
+    # runaway depth: 13 segments
+    deep = [("https://trap.deep.org/" + "/".join(f"d{c}" for c in "abcdefghijklm"),)]
+    # clean host: letter slugs, template ratio 1.0
+    ok = [(f"https://fine.org/post/{'x' * (i + 1)}",) for i in range(25)]
+    df = spark.createDataFrame(cal + cyc + deep + ok, ["url"])
+    rows = {r["host"]: r for r in UF.trap_signals(df, min_urls=10).collect()}
+
+    cal_r = rows["trap.cal.org"]
+    assert cal_r["n_urls"] == 25 and cal_r["n_templates"] == 1
+    assert cal_r["url_template_ratio"] == 25.0 and cal_r["is_trap"]
+
+    cyc_r = rows["trap.cyc.org"]
+    assert cyc_r["max_segment_repeat"] == 3 and cyc_r["is_trap"]
+
+    deep_r = rows["trap.deep.org"]
+    assert deep_r["max_depth"] == 13 and deep_r["is_trap"]
+
+    ok_r = rows["fine.org"]
+    assert ok_r["url_template_ratio"] == 1.0
+    assert ok_r["max_segment_repeat"] == 1 and not ok_r["is_trap"]
+
+
+def test_trap_filter_drops_trapped_hosts_only(spark):
+    urls = [(f"https://trap.cal.org/cal/2024/{i % 12}/{i}",) for i in range(25)]
+    urls += [(f"https://fine.org/post/{'x' * (i + 1)}",) for i in range(5)]
+    df = spark.createDataFrame(urls, ["url"])
+    kept = UF.trap_filter(df, min_urls=10).collect()
+    assert len(kept) == 5
+    assert all(r["url"].startswith("https://fine.org/") for r in kept)
+
+
+def test_trap_filter_broadcasts_host_set(spark):
+    df = spark.createDataFrame([("https://fine.org/post/x",)], ["url"])
+    plan = UF.trap_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
