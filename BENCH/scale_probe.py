@@ -276,6 +276,14 @@ def main():
                 docs.select("doc_id"),
                 GR.synthetic_link_edges(docs.select("doc_id")),
                 iterations=3),
+            # HyperBall harmonic centrality: per-hop register shipping is
+            # one src-join + one (v,j)-keyed max fold — state <= 64
+            # rows/node at p=6 regardless of ball size, so cost tracks
+            # |E| per hop; expected ~linear
+            "hyperball": lambda: GR.hyperball_centrality(
+                docs.select("doc_id"),
+                GR.synthetic_link_edges(docs.select("doc_id")),
+                max_t=2),
             # pruned bigram LM: training aggregations shuffle vocab-sized
             # tables, scoring is scan + broadcast joins; the prune cap is
             # FIXED across scales (the broadcastability invariant)

@@ -427,6 +427,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         edges = G.synthetic_link_edges(nodes, out_degree=3)
         return G.pagerank(nodes, edges, iterations=3, damping=0.85)
 
+    def q_hyperball(spark, sf):
+        """HyperBall harmonic centrality (operators/graph.py): the
+        Boldi-Vigna HLL-neighborhood algorithm behind Common Crawl's
+        published host ranking — per-node register tables ship along
+        edges (join + union + max-fold per hop), neighborhood sizes
+        come from the exact-integer HLL estimator, and harmonic(v) =
+        sum of clamped per-hop ball growth / t. Same 200-node
+        md5-derived graph as q_pagerank, 2 hops at p=6; the oracle
+        unrolls seeding, shipping, folds, and the estimator in SQL."""
+        from firmwarescraper_spark.operators import graph as G
+
+        nodes = (
+            _t(spark, sf, "documents")
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id")
+        )
+        edges = G.synthetic_link_edges(nodes, out_degree=3)
+        return G.hyperball_centrality(nodes, edges, max_t=2, p=6).orderBy(
+            "doc_id"
+        )
+
     def q_hll_distinct(spark, sf):
         """HyperLogLog distinct-user estimate per event type
         (operators/sketches.py): md5-hash registers, exact integer
@@ -1464,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_components": q_neardup_components,
         "dedup_keep_best": q_dedup_keep_best,
         "pagerank": q_pagerank,
+        "hyperball": q_hyperball,
         "hll_distinct": q_hll_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "pack_sequences": q_pack_sequences,
@@ -1658,6 +1680,13 @@ def _bpe_mod():
     from firmwarescraper_spark.operators import bpe as BPE
 
     return BPE
+
+
+def _graph_mod():
+    """Deferred like _sketches_mod — pure string builder."""
+    from firmwarescraper_spark.operators import graph as GR
+
+    return GR
 
 
 _LM_SCORE_SQL = """
@@ -2954,6 +2983,9 @@ def oracle_sql() -> dict[str, str]:
         "neardup_components": _NEARDUP_COMPONENTS_SQL,
         "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
         "pagerank": _PAGERANK_SQL,
+        "hyperball": _graph_mod().hyperball_oracle_sql(
+            200, out_degree=3, max_t=2, p=6
+        ),
         "hll_distinct": _sketches_mod().hll_oracle_sql(
             "events", "user_id", ["event_type"]
         ),

@@ -140,3 +140,142 @@ def pagerank(
     return ranks.select(
         F.col("v").alias(id_col), F.round(F.col("rank"), 6).alias("pagerank")
     )
+
+
+def hyperball_centrality(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_t: int = 3,
+    p: int = 6,
+    id_col: str = "doc_id",
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Approximate harmonic centrality via HyperBall (Boldi & Vigna,
+    "In-Core Computation of Geometric Centralities with HyperBall") —
+    the algorithm behind Common Crawl's published host-level harmonic
+    centrality ranking, which is the standard authority prior for
+    frontier prioritization alongside :func:`pagerank`.
+
+    State: ONE row-wise HLL register table ``(v, j, mj)`` — node v's
+    sketch of the set of nodes that reach v within t hops (the t-ball
+    along REVERSE edges, which is what centrality counts). t=0 seeds
+    each node's sketch with itself; each iteration ships registers
+    along every edge ``src -> dst`` and folds with max:
+
+        regs_t = (regs_{t-1}  UNION  regs_{t-1} joined src->dst)
+                 .groupBy(v, j).max(mj)
+
+    Per-t neighborhood sizes come from sketches.hll_estimate_from_regs
+    (the exact-integer HLL estimator shared with hll_distinct), and
+
+        harmonic(v) = sum_{t=1..max_t} max(0, N_t(v) - N_{t-1}(v)) / t
+
+    (the deltas are clamped because the linear-counting switchover can
+    locally invert an otherwise monotone estimate; the clamp is
+    replayed in the oracle). The final round is 6 decimals, strictly
+    finer than the 1e-4-grid deltas the sum is built from — a 4-decimal
+    round would land on exact .xxxx5 ties where JVM HALF_UP and
+    binary-double rounding disagree.
+
+    Scale (10^10 nodes): the register table holds at most
+    ``min(|ball|, 2^p)`` rows per node — <= 64·|V| fixed-width rows at
+    p=6; the per-iteration shuffle is one equi-join on ``src`` against
+    the pre-partitioned edge table plus one map-side-combinable
+    groupBy(v, j) max. No RDDs, no driver loops over rows, and
+    in-link skew (everyone links to the homepage) combines map-side
+    exactly like pagerank's contribution stream. ``checkpoint_every``
+    truncates the per-iteration lineage growth (the compact_state /
+    robots_http pattern). Common Crawl's config is p=12-14 at host
+    granularity (~KB per host, ~100M hosts) — same plan shape.
+    """
+    from .sketches import hll_estimate_from_regs, hll_register_table
+
+    e = edges.select("src", "dst").repartition("src").persist()
+    regs = hll_register_table(
+        nodes.select(F.col(id_col).alias("v"), F.col(id_col).alias("_val")),
+        "_val", ["v"], p,
+    )
+    ests = [
+        hll_estimate_from_regs(regs, ["v"], p)
+        .withColumnRenamed("hll_est", "est_0")
+    ]
+    for t in range(1, max_t + 1):
+        shipped = (
+            e.join(regs.withColumnRenamed("v", "src"), on="src")
+            .select(F.col("dst").alias("v"), "j", "mj")
+        )
+        regs = (
+            regs.unionByName(shipped)
+            .groupBy("v", "j")
+            .agg(F.max("mj").alias("mj"))
+        )
+        if checkpoint_every and t % checkpoint_every == 0:
+            regs = regs.localCheckpoint()
+        ests.append(
+            hll_estimate_from_regs(regs, ["v"], p)
+            .withColumnRenamed("hll_est", f"est_{t}")
+        )
+    out = nodes.select(F.col(id_col).alias("v"))
+    for est in ests:
+        out = out.join(est, on="v")
+    cent = F.lit(0.0)
+    for t in range(1, max_t + 1):
+        cent = cent + F.greatest(
+            F.lit(0.0), F.col(f"est_{t}") - F.col(f"est_{t - 1}")
+        ) / F.lit(float(t))
+    return out.select(
+        F.col("v").alias(id_col), F.round(cent, 6).alias("harmonic")
+    )
+
+
+def hyperball_oracle_sql(
+    n_nodes: int, out_degree: int = 3, max_t: int = 2, p: int = 6,
+    node_table: str = "documents", id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of :func:`hyperball_centrality` over the
+    :func:`synthetic_link_edges` graph on the first *n_nodes* ids —
+    register seeding, per-edge shipping, max-folds, and the exact HLL
+    estimator all unrolled per iteration (the _PAGERANK_SQL pattern)."""
+    from .sketches import _hll_params, hll_estimate_sql
+
+    m, k, _, _ = _hll_params(p)
+    degs = ", ".join(str(i) for i in range(out_degree))
+    parts = [f"""
+    WITH nodes AS (SELECT {id_col} AS v FROM {node_table}
+                   WHERE {id_col} < {n_nodes}),
+    edges AS (
+        SELECT n.v AS src,
+               ('0x' || substr(md5('edge' || t.i || '|' || n.v), 1, 15))::BIGINT
+                   % {n_nodes} AS dst
+        FROM nodes n CROSS JOIN (SELECT unnest([{degs}]) AS i) t
+    ),
+    h0 AS (SELECT v, ('0x' || substr(md5(v::VARCHAR), 1, 15))::BIGINT AS h
+           FROM nodes),
+    r0 AS (SELECT v, h % {m} AS j,
+                  CASE WHEN h // {m} = 0 THEN {k}
+                       ELSE {k} - length(bin(h // {m})) END AS mj
+           FROM h0)"""]
+    for t in range(1, max_t + 1):
+        parts.append(f""",
+    r{t} AS (
+        SELECT v, j, max(mj) AS mj FROM (
+            SELECT v, j, mj FROM r{t - 1}
+            UNION ALL
+            SELECT e.dst AS v, r.j, r.mj
+            FROM edges e JOIN r{t - 1} r ON r.v = e.src
+        ) GROUP BY v, j
+    )""")
+    for t in range(0, max_t + 1):
+        est = hll_estimate_sql(f"r{t}", ["v"], p)
+        parts.append(f""",
+    e{t} AS (SELECT v, hll_est AS est_{t} FROM ({est}))""")
+    joins = " ".join(f"JOIN e{t} USING (v)" for t in range(0, max_t + 1))
+    cent = " + ".join(
+        f"greatest(0.0, est_{t} - est_{t - 1}) / {float(t)!r}"
+        for t in range(1, max_t + 1)
+    )
+    parts.append(f"""
+    SELECT v AS {id_col}, round({cent}, 6) AS harmonic
+    FROM nodes {joins}
+    ORDER BY {id_col}""")
+    return "".join(parts)

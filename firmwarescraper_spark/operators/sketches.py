@@ -91,6 +91,29 @@ def hll_register_table(
     )
 
 
+def hll_estimate_from_regs(
+    regs: DataFrame, group_cols: list, p: int = 6
+) -> DataFrame:
+    """Per-group estimate ``hll_est`` from an existing ``(group..., j,
+    mj)`` register table — the merge-then-estimate half of HLL, exposed
+    separately so iterative consumers (graph.hyperball_centrality merges
+    register tables along edges) reuse the exact same integer harmonic
+    sum and small-range correction as :func:`hll_distinct`."""
+    m, k, _, const = _hll_params(p)
+    agg = regs.groupBy(*group_cols).agg(
+        F.expr(f"sum(shiftleft(cast(1 as bigint), {k} - mj))").alias("s_present"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    s_total = F.col("s_present") + (F.lit(m) - F.col("cnt")) * F.lit(1 << k).cast("long")
+    v_zero = (F.lit(m) - F.col("cnt")).cast("double")
+    e_raw = F.lit(const) / s_total.cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero),
+    ).otherwise(e_raw)
+    return agg.select(*group_cols, F.round(est, 4).alias("hll_est"))
+
+
 def hll_distinct(
     df: DataFrame, value_col: str, group_cols: list, p: int = 6
 ) -> DataFrame:
@@ -104,20 +127,9 @@ def hll_distinct(
     ``CONST / S`` happens once per group, so Spark and the SQL oracle
     agree to the last bit before rounding.
     """
-    m, k, _, const = _hll_params(p)
-    regs = hll_register_table(df, value_col, group_cols, p)
-    agg = regs.groupBy(*group_cols).agg(
-        F.expr(f"sum(shiftleft(cast(1 as bigint), {k} - mj))").alias("s_present"),
-        F.count(F.lit(1)).alias("cnt"),
+    return hll_estimate_from_regs(
+        hll_register_table(df, value_col, group_cols, p), group_cols, p
     )
-    s_total = F.col("s_present") + (F.lit(m) - F.col("cnt")) * F.lit(1 << k).cast("long")
-    v_zero = (F.lit(m) - F.col("cnt")).cast("double")
-    e_raw = F.lit(const) / s_total.cast("double")
-    est = F.when(
-        (e_raw <= F.lit(2.5 * m)) & (v_zero > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero),
-    ).otherwise(e_raw)
-    return agg.select(*group_cols, F.round(est, 4).alias("hll_est"))
 
 
 def hll_oracle_sql(
@@ -155,6 +167,28 @@ def hll_oracle_sql(
                      ELSE {const!r} / (s_present + ({m} - cnt) * (1::BIGINT << {k}))::DOUBLE
                      END, 4) AS hll_est
         FROM agg
+    """
+
+
+def hll_estimate_sql(regs_rel: str, group_cols: list, p: int = 6) -> str:
+    """``SELECT <groups>, hll_est FROM <regs_rel>`` — the DuckDB replay
+    of :func:`hll_estimate_from_regs` over an existing ``(group..., j,
+    mj)`` relation, for oracles that build their own register tables
+    (graph.hyperball_oracle_sql merges them along edges)."""
+    m, k, _, const = _hll_params(p)
+    gc = ", ".join(group_cols)
+    return f"""
+        SELECT {gc},
+               round(CASE WHEN {const!r} / (s_present + ({m} - cnt) * (1::BIGINT << {k}))::DOUBLE
+                               <= {2.5 * m}
+                          AND ({m} - cnt) > 0
+                     THEN {float(m)} * ln({float(m)} / ({m} - cnt)::DOUBLE)
+                     ELSE {const!r} / (s_present + ({m} - cnt) * (1::BIGINT << {k}))::DOUBLE
+                     END, 4) AS hll_est
+        FROM (SELECT {gc},
+                     sum(1::BIGINT << ({k} - mj))::BIGINT AS s_present,
+                     count(*) AS cnt
+              FROM {regs_rel} GROUP BY {gc})
     """
 
 

@@ -73,3 +73,62 @@ def test_checkpoint_every_is_value_invariant(spark):
     plain = _ranks(G.pagerank(nodes, edges, iterations=6))
     ckpt = _ranks(G.pagerank(nodes, edges, iterations=6, checkpoint_every=2))
     assert plain == ckpt
+
+
+def _harmonic(df):
+    return {r["doc_id"]: r["harmonic"] for r in df.collect()}
+
+
+def test_hyperball_star_hub(spark):
+    # 3 spokes -> hub: harmonic(hub) ~ 3 at one hop, spokes unreachable
+    nodes = _nodes(spark, 4)
+    edges = spark.createDataFrame([(1, 0), (2, 0), (3, 0)], ["src", "dst"])
+    out = _harmonic(G.hyperball_centrality(nodes, edges, max_t=2))
+    assert abs(out[0] - 3.0) < 0.2   # HLL small-range is near-exact here
+    assert out[1] == out[2] == out[3] == 0.0
+
+
+def test_hyperball_chain_distance_weighting(spark):
+    # 0 -> 1 -> 2: harmonic(2) ~ 1/1 + 1/2, harmonic(1) ~ 1, harmonic(0) = 0
+    nodes = _nodes(spark, 3)
+    edges = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])
+    out = _harmonic(G.hyperball_centrality(nodes, edges, max_t=2))
+    assert abs(out[2] - 1.5) < 0.1
+    assert abs(out[1] - 1.0) < 0.1
+    assert out[0] == 0.0
+
+
+def test_hyperball_checkpoint_invariance(spark):
+    nodes = _nodes(spark, 50)
+    edges = G.synthetic_link_edges(nodes, out_degree=2)
+    plain = _harmonic(G.hyperball_centrality(nodes, edges, max_t=3))
+    ckpt = _harmonic(
+        G.hyperball_centrality(nodes, edges, max_t=3, checkpoint_every=1)
+    )
+    assert plain == ckpt
+
+
+def test_hyperball_register_state_is_bounded(spark):
+    # the sketch table can never exceed 2^p rows per node, however
+    # dense the graph — the property that makes HyperBall feasible at
+    # 10^10 nodes (the exact ball would be |V| rows per node here)
+    from firmwarescraper_spark.operators.sketches import hll_register_table
+
+    n, p = 40, 6
+    nodes = _nodes(spark, n)
+    # complete-ish digraph: every node links to every other
+    edges = (
+        nodes.select(F.col("doc_id").alias("src"))
+        .crossJoin(nodes.select(F.col("doc_id").alias("dst")))
+        .filter("src != dst")
+    )
+    regs = hll_register_table(
+        nodes.select(F.col("doc_id").alias("v"),
+                     F.col("doc_id").alias("_val")),
+        "_val", ["v"], p)
+    shipped = edges.join(regs.withColumnRenamed("v", "src"), on="src") \
+        .select(F.col("dst").alias("v"), "j", "mj")
+    merged = regs.unionByName(shipped).groupBy("v", "j") \
+        .agg(F.max("mj").alias("mj"))
+    per_node = merged.groupBy("v").count().agg(F.max("count")).collect()[0][0]
+    assert per_node <= (1 << p)
