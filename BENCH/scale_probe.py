@@ -504,6 +504,39 @@ def main():
                     F.lit(".xml</loc></sitemap></urlset>"),
                 ).alias("xml")),
                 keep_cols=("doc_id",)),
+            # redirect-chain resolution: pointer doubling — 4 self-joins
+            # of fixed-width rows regardless of N; expected ~linear
+            "redirect_resolve": lambda: GR.resolve_redirects(
+                docs.select("doc_id"),
+                GR.synthetic_redirect_edges(docs.select("doc_id")),
+                rounds=4),
+            # mirror detection: host count grows with N (~400 docs/host)
+            # so per-host content stays constant like a growing crawl;
+            # pair volume is linear via the per-fp host-set cap
+            "mirror_hosts": lambda: __import__(
+                "firmwarescraper_spark.operators.urlfilter", fromlist=["x"]
+            ).mirror_hosts(
+                docs.select(
+                    F.concat(
+                        F.lit("h"),
+                        F.pmod(F.xxhash64("doc_id", F.lit(11)),
+                               F.lit(max(12, n // 400))),
+                    ).alias("host"),
+                    # ~1/3 of docs fall into shared-content groups of
+                    # ~10 (group count ∝ N, group size constant — stays
+                    # under the per-fp host cap at every scale)
+                    F.md5(F.when(
+                        F.pmod(F.xxhash64("doc_id", F.lit(13)), F.lit(3))
+                        == 0,
+                        F.concat(F.lit("shared"),
+                                 F.pmod(F.col("doc_id"),
+                                        F.lit(max(7, n // 30)))),
+                    ).otherwise(F.col("text"))).alias("fp"),
+                ),
+                min_shared=2, min_jaccard=0.01),
+            # robots-policy extraction: zero-shuffle projection over the
+            # same synthetic pages as the other extraction rows
+            "robots_directives": lambda: EXT.robots_directives(pages),
         }
 
     import math

@@ -1456,6 +1456,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents")
         return TX.ppl_buckets(docs, top_bigrams=500).orderBy("doc_id")
 
+    def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Redirect-chain resolution (graph.resolve_redirects): POINTER
+        DOUBLING over a deterministic acyclic 3xx graph — 4 self-join
+        rounds resolve every chain up to 16 hops (the synthetic set is
+        provably <= 12), O(log L) shuffles of fixed-width rows vs the
+        naive per-hop walk's O(L). The oracle walks the identically-
+        reconstructed edges with a recursive CTE and keeps the terminal
+        row per source (arg_max on hops)."""
+        from firmwarescraper_spark.operators import graph as G
+
+        nodes = (
+            _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 500)
+            .select("doc_id")
+        )
+        edges = G.synthetic_redirect_edges(nodes)
+        return G.resolve_redirects(nodes, edges, rounds=4).orderBy("doc_id")
+
+    def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Mirror-host detection (urlfilter.mirror_hosts): host pairs
+        sharing content fingerprints — per-fp host sets capped (so
+        boilerplate fingerprints on every host cannot go quadratic),
+        intra-fp sorted pairs from array algebra, one pair-keyed count,
+        broadcast per-host totals, Jaccard filter. The synthetic corpus
+        plants real mirrors (docs with md5('mir|id')%10 < 3 appear on
+        'm<b>' as well as 'h<b>') plus an all-host boilerplate
+        fingerprint that min_shared must reject."""
+        from firmwarescraper_spark.operators import urlfilter as UF
+        from firmwarescraper_spark.operators.dedup import _md5_hash64
+
+        docs = _t(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull())
+        b = _md5_hash64(
+            F.concat(F.lit("hostof|"), F.col("doc_id").cast("string"))) % 12
+        m = _md5_hash64(
+            F.concat(F.lit("mir|"), F.col("doc_id").cast("string"))) % 10
+        fp = F.md5(F.col("text"))
+        d0 = docs.select(
+            F.col("doc_id"), b.alias("b"), m.alias("m"), fp.alias("fp"))
+        base = d0.select(
+            F.concat(F.lit("h"), F.col("b")).alias("host"), "fp")
+        mirror = d0.filter(F.col("m") < 3).select(
+            F.concat(F.lit("m"), F.col("b")).alias("host"), "fp")
+        boiler = d0.filter(F.col("doc_id") % 40 == 0).select(
+            F.concat(F.lit("h"), F.col("b")).alias("host"),
+            F.md5(F.lit("BOILERPLATE")).alias("fp"))
+        pf = base.unionByName(mirror).unionByName(boiler)
+        return UF.mirror_hosts(
+            pf, min_shared=3, min_jaccard=0.2
+        ).orderBy("host1", "host2")
+
+    def q_robots_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """In-HTML robots policy (extract.robots_directives): <meta
+        name="robots"> noindex/nofollow/none token parsing (comma-split,
+        trimmed) + per-anchor rel="nofollow" exclusion from the
+        followable-link count — one zero-shuffle projection. Four meta
+        variants rotate by md5 bucket (including a spaced 'noindex ,
+        none' that exercises trim and the none alias); a rel=nofollow
+        anchor and an href-less anchor appear conditionally so n_links
+        vs n_followable actually diverge."""
+        from firmwarescraper_spark.operators import extract as EX
+        from firmwarescraper_spark.operators.dedup import _md5_hash64
+
+        docs = _t(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull())
+        h = _md5_hash64(
+            F.concat(F.lit("robots|"), F.col("doc_id").cast("string")))
+        c = F.element_at(
+            F.array(
+                F.lit("index, follow"), F.lit("noindex"),
+                F.lit("nofollow"), F.lit("noindex , none"),
+            ),
+            (h % 4 + 1).cast("int"),
+        )
+        w = F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+            " ")
+        w0 = F.get(w, 0)
+        nf = F.when(
+            h % 3 == 0,
+            F.lit('<a rel="nofollow" href="/out">ext</a> '),
+        ).otherwise(F.lit(""))
+        html = F.concat(
+            F.lit('<meta name="robots" content="'), c,
+            F.lit('"><p><a href="/w/'), w0, F.lit('">'), w0,
+            F.lit("</a> "), nf,
+            F.lit('<a name="top">plain</a> <a href="/b">b</a></p>'),
+        )
+        pages = docs.select("doc_id", html.alias("html"))
+        return EX.robots_directives(pages).orderBy("doc_id")
+
     return {
         "anti_join_seen": q_anti_join_seen,
         "bloom_anti_join": q_bloom_anti_join,
@@ -1544,6 +1635,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "lm_score": q_lm_score,
         "ppl_buckets": q_ppl_buckets,
+        "redirect_resolve": q_redirect_resolve,
+        "mirror_hosts": q_mirror_hosts,
+        "robots_directives": q_robots_directives,
         "revenue_by_segment": q_revenue_by_segment,
         "length_quantiles": q_length_quantiles,
     }
@@ -3197,6 +3291,120 @@ def oracle_sql() -> dict[str, str]:
         # cumulative rank over the compact per-score distribution and
         # integer 3r<n / 3r<2n cutoffs — replayed on the lm_score CTEs
         "ppl_buckets": _PPL_BUCKETS_SQL,
+        "redirect_resolve": """
+            WITH RECURSIVE nodes AS (
+                SELECT doc_id AS v FROM documents WHERE doc_id < 500),
+            nn AS (SELECT count(*) AS c FROM nodes),
+            h AS (SELECT v,
+                         ('0x' || substr(md5('redir|' || v), 1, 15))::BIGINT AS h
+                  FROM nodes),
+            edges AS (
+                SELECT v AS src, v + 1 + ((h >> 8) % 4) AS dst
+                FROM h
+                WHERE h % 3 = 0 AND v % 16 < 12
+                  AND v <= (SELECT c FROM nn) - 5
+            ),
+            walk(v, cur, hops) AS (
+                SELECT v, v, CAST(0 AS BIGINT) FROM nodes
+                UNION ALL
+                SELECT w.v, e.dst, w.hops + 1
+                FROM walk w JOIN edges e ON e.src = w.cur
+            )
+            SELECT v AS doc_id, arg_max(cur, hops) AS final_id,
+                   max(hops) AS hops, TRUE AS resolved
+            FROM walk GROUP BY v ORDER BY doc_id
+        """,
+        "mirror_hosts": """
+            WITH d0 AS (
+                SELECT doc_id, md5(text) AS fp,
+                       ('0x' || substr(md5('hostof|' || doc_id), 1, 15))::BIGINT
+                           % 12 AS b,
+                       ('0x' || substr(md5('mir|' || doc_id), 1, 15))::BIGINT
+                           % 10 AS m
+                FROM documents WHERE text IS NOT NULL
+            ),
+            pf AS (
+                SELECT 'h' || b AS host, fp FROM d0
+                UNION ALL
+                SELECT 'm' || b AS host, fp FROM d0 WHERE m < 3
+                UNION ALL
+                SELECT 'h' || b AS host, md5('BOILERPLATE') AS fp
+                FROM d0 WHERE doc_id % 40 = 0
+            ),
+            d AS (SELECT DISTINCT host, fp FROM pf),
+            tot AS (SELECT host, count(*) AS n FROM d GROUP BY host),
+            elig AS (SELECT fp FROM d GROUP BY fp
+                     HAVING count(*) BETWEEN 2 AND 16),
+            pairs AS (
+                SELECT a.host AS host1, b.host AS host2, count(*) AS shared
+                FROM d a JOIN d b USING (fp) JOIN elig USING (fp)
+                WHERE a.host < b.host GROUP BY 1, 2
+            ),
+            j AS (
+                SELECT host1, host2, shared, t1.n AS n1, t2.n AS n2,
+                       round(CAST(shared AS DOUBLE)
+                             / (t1.n + t2.n - shared), 6) AS jaccard
+                FROM pairs
+                JOIN tot t1 ON t1.host = pairs.host1
+                JOIN tot t2 ON t2.host = pairs.host2
+            )
+            SELECT host1, host2, shared, n1, n2, jaccard
+            FROM j WHERE shared >= 3 AND jaccard >= 0.2
+            ORDER BY host1, host2
+        """,
+        "robots_directives": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('robots|' || doc_id), 1, 15))::BIGINT AS h,
+                       string_split(trim(regexp_replace(lower(text),
+                           '\s+', ' ', 'g')), ' ')[1] AS w0
+                FROM documents WHERE text IS NOT NULL
+            ),
+            p AS (
+                SELECT doc_id,
+                       '<meta name="robots" content="'
+                       || (['index, follow', 'noindex', 'nofollow',
+                            'noindex , none'])[CAST(h % 4 AS INT) + 1]
+                       || '"><p><a href="/w/' || w0 || '">' || w0
+                       || '</a> '
+                       || CASE WHEN h % 3 = 0
+                               THEN '<a rel="nofollow" href="/out">ext</a> '
+                               ELSE '' END
+                       || '<a name="top">plain</a> <a href="/b">b</a></p>'
+                           AS html
+                FROM d
+            ),
+            m AS (
+                SELECT doc_id,
+                       list_transform(string_split(lower(regexp_extract(
+                           regexp_extract(html,
+                               '(?is)<meta\s[^>]*name\s*=\s*"robots"[^>]*>',
+                               0),
+                           '(?is)content\s*=\s*"([^"]*)"', 1)), ','),
+                           x -> trim(x)) AS toks,
+                       list_filter(regexp_extract_all(html,
+                               '(?is)<a(?:\s[^>]*)?>.*?</a>', 0),
+                           a -> regexp_extract(a,
+                               '(?is)href\s*=\s*"([^"]*)"', 1) <> '')
+                           AS linked
+                FROM p
+            ),
+            f AS (
+                SELECT doc_id,
+                       list_has_any(toks, ['noindex', 'none']) AS noindex,
+                       list_has_any(toks, ['nofollow', 'none']) AS nofollow,
+                       linked
+                FROM m
+            )
+            SELECT doc_id, noindex, nofollow,
+                   CAST(len(linked) AS BIGINT) AS n_links,
+                   CAST(CASE WHEN nofollow THEN 0
+                        ELSE len(list_filter(linked, a -> NOT
+                             regexp_matches(a,
+                                 '(?is)rel\s*=\s*"[^"]*nofollow[^"]*"')))
+                        END AS BIGINT) AS n_followable
+            FROM f ORDER BY doc_id
+        """,
         "revenue_by_segment": """
             SELECT c.c_mktsegment,
                    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)

@@ -159,3 +159,55 @@ def anchor_texts(
         "href", F.col("n_links").cast("bigint").alias("n_links"),
         "n_texts", "texts",
     )
+
+
+# <meta name="robots"> element and its content attribute; rel=nofollow
+# attribute inside an anchor element (matched against the full element —
+# documented contract: a literal 'rel="..nofollow.."' in the anchor TEXT
+# also matches, same on both engines).
+META_ROBOTS_RE = r'(?is)<meta\s[^>]*name\s*=\s*"robots"[^>]*>'
+META_CONTENT_RE = r'(?is)content\s*=\s*"([^"]*)"'
+REL_NOFOLLOW_RE = r'(?is)rel\s*=\s*"[^"]*nofollow[^"]*"'
+
+
+def robots_directives(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-page robots POLICY extraction — the in-HTML half of RFC 9309
+    compliance that the robots.txt evaluator (operators/robots.py, T2)
+    cannot see: ``<meta name="robots" content="noindex, nofollow">`` and
+    per-anchor ``rel="nofollow"`` (Google/Bing's documented directives;
+    scrapy's LinkExtractor honors the anchor-level one the same way).
+    The crawl engine consumes this downstream of fetch: ``noindex``
+    pages are excluded from the corpus sink, ``nofollow`` pages (or
+    anchors) contribute nothing to the next round's frontier — at
+    10^10-URL scale this is a corpus-wide projection, so it is PURE
+    COLUMN ALGEBRA (regex + higher-order array functions, zero Python,
+    zero shuffle), fused into the page scan like main_content.
+
+    Returns ``(<id_col>, noindex, nofollow, n_links, n_followable)``:
+    ``n_links`` counts anchors with a non-empty href; ``n_followable``
+    is 0 under page-level nofollow, else the href-anchors not
+    individually rel="nofollow"-ed. Directive tokens are comma-split
+    and trimmed (``content="noindex , nofollow"`` parses); ``none``
+    means noindex+nofollow per the published semantics.
+    """
+    meta = F.regexp_extract(F.col(html_col), META_ROBOTS_RE, 0)
+    content = F.lower(F.regexp_extract(meta, META_CONTENT_RE, 1))
+    toks = F.transform(F.split(content, ","), lambda t: F.trim(t))
+    noindex = F.arrays_overlap(
+        toks, F.array(F.lit("noindex"), F.lit("none")))
+    nofollow = F.arrays_overlap(
+        toks, F.array(F.lit("nofollow"), F.lit("none")))
+    anchors = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RE), 0)
+    linked = F.filter(
+        anchors, lambda a: F.regexp_extract(a, HREF_RE, 1) != "")
+    n_follow = F.when(nofollow, F.lit(0)).otherwise(
+        F.size(F.filter(linked, lambda a: ~a.rlike(REL_NOFOLLOW_RE))))
+    return df.select(
+        F.col(id_col),
+        noindex.alias("noindex"),
+        nofollow.alias("nofollow"),
+        F.size(linked).cast("bigint").alias("n_links"),
+        n_follow.cast("bigint").alias("n_followable"),
+    )

@@ -273,3 +273,87 @@ def keyword_score_sql(expr: str, weights: dict | None = None) -> str:
         for kw, w in sorted(weights.items())
     ]
     return "(" + " + ".join(parts) + ")"
+
+
+def mirror_hosts(
+    pf: DataFrame,
+    host_col: str = "host",
+    fp_col: str = "fp",
+    min_shared: int = 3,
+    min_jaccard: float = 0.2,
+    max_hosts_per_fp: int = 16,
+) -> DataFrame:
+    """Mirror-host detection: host pairs whose CONTENT overlaps — the
+    crawl-dedup problem one level above URL dedup (the reference's own
+    bench corpus models AVM download mirrors; Common Crawl and IRLbot
+    both collapse mirrors so the politeness budget isn't spent fetching
+    the same bytes from twelve aliases). Input is one row per
+    ``(host, content fingerprint)`` observation.
+
+    Spark-first shape, never all-pairs-of-hosts:
+
+    1. ``distinct(host, fp)`` — map-side-combinable exchange on fp.
+    2. per-fp host sets CAPPED at ``max_hosts_per_fp``: a fingerprint on
+       more hosts than that is boilerplate (empty pages, error shells),
+       not mirroring — the cap bounds the next step to C(cap, 2) pairs
+       per fingerprint, which is what keeps the operator linear in
+       |observations| at 10^10 rows.
+    3. intra-fingerprint host pairs (h1 < h2) from the sorted host set
+       via nested array transforms (zero Python), then one pair-keyed
+       count — shared fingerprints per host pair.
+    4. per-host distinct-fp totals join in (broadcast-able: |hosts|
+       rows), Jaccard = shared / (n1 + n2 - shared).
+
+    Returns ``(host1, host2, shared, n1, n2, jaccard)`` for pairs with
+    ``shared >= min_shared`` and ``jaccard >= min_jaccard``, jaccard
+    rounded to 6 decimals for cross-engine float parity.
+    """
+    d = pf.select(
+        F.col(host_col).alias("host"), F.col(fp_col).alias("fp")
+    ).distinct()
+    totals = d.groupBy("host").agg(F.count(F.lit(1)).alias("n"))
+    hosts = (
+        d.groupBy("fp")
+        .agg(F.sort_array(F.collect_set("host")).alias("hs"))
+        .filter(
+            (F.size("hs") >= 2) & (F.size("hs") <= max_hosts_per_fp)
+        )
+    )
+    pairs = hosts.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("hs"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("hs"), i + 2,
+                            F.size(F.col("hs"))
+                        ),
+                        lambda y: F.struct(
+                            x.alias("host1"), y.alias("host2")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.host1", "p.host2")
+    shared = pairs.groupBy("host1", "host2").agg(
+        F.count(F.lit(1)).alias("shared"))
+    t1 = totals.select(F.col("host").alias("host1"), F.col("n").alias("n1"))
+    t2 = totals.select(F.col("host").alias("host2"), F.col("n").alias("n2"))
+    out = (
+        shared.join(F.broadcast(t1), "host1")
+        .join(F.broadcast(t2), "host2")
+        .select(
+            "host1", "host2", "shared", "n1", "n2",
+            F.round(
+                F.col("shared")
+                / (F.col("n1") + F.col("n2") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(
+        (F.col("shared") >= min_shared)
+        & (F.col("jaccard") >= min_jaccard)
+    )

@@ -120,3 +120,57 @@ def test_extract_on_crawl_corpus(spark, tmp_path):
     mc = EX.main_content(pages, html_col="html")
     assert mc.filter(F.col("main_text").contains("<")).count() == 0
     assert EX.anchor_pairs(pages, html_col="html").count() > 0
+
+
+# ---------------------------------------------------------------------------
+# robots directives (meta robots + rel=nofollow)
+# ---------------------------------------------------------------------------
+
+
+def _robots(spark, html):
+    from firmwarescraper_spark.operators.extract import robots_directives
+
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    r = robots_directives(df).collect()[0]
+    return (r["noindex"], r["nofollow"], r["n_links"], r["n_followable"])
+
+
+def test_robots_meta_tokens(spark):
+    assert _robots(
+        spark,
+        '<meta name="robots" content="noindex , nofollow">'
+        '<a href="/a">x</a>',
+    ) == (True, True, 1, 0)
+    # 'none' implies both; token parsing trims spaced commas
+    assert _robots(
+        spark, '<meta name="robots" content=" none ">'
+    ) == (True, True, 0, 0)
+    assert _robots(
+        spark, '<meta name="robots" content="index, follow"><a href="/a">x</a>'
+    ) == (False, False, 1, 1)
+    # no meta element at all: everything followable
+    assert _robots(spark, '<a href="/a">x</a>') == (False, False, 1, 1)
+    # substrings must NOT match tokens ('noindexing' is not 'noindex')
+    assert _robots(
+        spark, '<meta name="robots" content="noindexing">'
+    ) == (False, False, 0, 0)
+
+
+def test_robots_nofollow_anchors(spark):
+    html = (
+        '<a href="/a">a</a> <a rel="nofollow" href="/spam">s</a> '
+        '<a name="top">no href</a> <a href="/b">b</a>'
+    )
+    assert _robots(spark, html) == (False, False, 3, 2)
+    # page-level nofollow zeroes followable but keeps the link count
+    assert _robots(
+        spark, '<meta name="robots" content="nofollow">' + html
+    ) == (False, True, 3, 0)
+
+
+def test_robots_case_insensitive(spark):
+    assert _robots(
+        spark,
+        '<META NAME="robots" CONTENT="NOINDEX">'
+        '<A REL="NOFOLLOW" HREF="/x">x</A>',
+    ) == (True, False, 1, 0)

@@ -132,3 +132,84 @@ def test_hyperball_register_state_is_bounded(spark):
         .agg(F.max("mj").alias("mj"))
     per_node = merged.groupBy("v").count().agg(F.max("count")).collect()[0][0]
     assert per_node <= (1 << p)
+
+
+# ---------------------------------------------------------------------------
+# redirect-chain resolution (pointer doubling)
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _resolved(df):
+    return {
+        r["doc_id"]: (r["final_id"], r["hops"], r["resolved"])
+        for r in df.collect()
+    }
+
+
+def test_resolve_redirects_chain(spark):
+    # 0 -> 1 -> 2 (terminal); 3 is standalone
+    out = _resolved(
+        G.resolve_redirects(_nodes(spark, 4), _edges(spark, [(0, 1), (1, 2)]))
+    )
+    assert out[0] == (2, 2, True)
+    assert out[1] == (2, 1, True)
+    assert out[2] == (2, 0, True)
+    assert out[3] == (3, 0, True)
+
+
+def test_resolve_redirects_flags_cycle(spark):
+    # 0 -> 1 -> 0 is a redirect loop; 2 -> 1 enters it
+    out = _resolved(
+        G.resolve_redirects(
+            _nodes(spark, 3), _edges(spark, [(0, 1), (1, 0), (2, 1)])
+        )
+    )
+    assert out[0][2] is False and out[1][2] is False and out[2][2] is False
+    # the standalone terminal semantics stay exact alongside the cycle
+    out4 = _resolved(
+        G.resolve_redirects(
+            _nodes(spark, 4), _edges(spark, [(0, 1), (1, 0), (3, 2)])
+        )
+    )
+    assert out4[3] == (2, 1, True) and out4[2] == (2, 0, True)
+
+
+def test_resolve_redirects_edge_outside_node_table(spark):
+    # a redirect target missing from the node table is terminal by
+    # definition (coalesce keeps it, resolved stays true)
+    out = _resolved(
+        G.resolve_redirects(_nodes(spark, 2), _edges(spark, [(1, 99)]))
+    )
+    assert out[1] == (99, 1, True)
+
+
+def test_resolve_redirects_doubling_horizon(spark):
+    # a 12-hop chain (the synthetic bound) resolves at rounds=4 (2^4=16)
+    # but NOT at rounds=3 (2^3=8) — the horizon is real, not padding
+    chain = [(i, i + 1) for i in range(12)]
+    nodes = _nodes(spark, 13)
+    ok = _resolved(G.resolve_redirects(nodes, _edges(spark, chain), rounds=4))
+    assert ok[0] == (12, 12, True)
+    short = _resolved(
+        G.resolve_redirects(nodes, _edges(spark, chain), rounds=3)
+    )
+    assert short[0][2] is False
+
+
+def test_synthetic_redirects_acyclic_and_bounded(spark):
+    nodes = _nodes(spark, 200)
+    edges = G.synthetic_redirect_edges(nodes).collect()
+    n = len(edges)
+    assert n > 10  # the md5 condition actually fires
+    for e in edges:
+        assert e["dst"] > e["src"]          # strictly forward => acyclic
+        assert e["dst"] <= e["src"] + 5
+        assert e["src"] % 16 < 12           # block-window construction
+    out = G.resolve_redirects(nodes, G.synthetic_redirect_edges(nodes))
+    rows = out.collect()
+    assert all(r["resolved"] for r in rows)
+    assert max(r["hops"] for r in rows) <= 12

@@ -136,3 +136,67 @@ def test_trap_filter_broadcasts_host_set(spark):
     df = spark.createDataFrame([("https://fine.org/post/x",)], ["url"])
     plan = UF.trap_filter(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+# ---------------------------------------------------------------------------
+# mirror-host detection
+# ---------------------------------------------------------------------------
+
+
+def _pf(spark, rows):
+    return spark.createDataFrame(rows, "host string, fp string")
+
+
+def test_mirror_hosts_detects_pair(spark):
+    from firmwarescraper_spark.operators.urlfilter import mirror_hosts
+
+    rows = [("a", f"f{i}") for i in range(10)]
+    rows += [("b", f"f{i}") for i in range(5)]       # b mirrors half of a
+    rows += [("c", f"g{i}") for i in range(10)]      # disjoint host
+    out = {
+        (r["host1"], r["host2"]): (r["shared"], r["n1"], r["n2"], r["jaccard"])
+        for r in mirror_hosts(
+            _pf(spark, rows), min_shared=3, min_jaccard=0.2
+        ).collect()
+    }
+    assert out == {("a", "b"): (5, 10, 5, 0.5)}
+
+
+def test_mirror_hosts_thresholds(spark):
+    from firmwarescraper_spark.operators.urlfilter import mirror_hosts
+
+    rows = [("a", f"f{i}") for i in range(10)]
+    rows += [("b", "f0"), ("b", "f1")]               # shared=2 < min_shared
+    rows += [("c", f"f{i}") for i in range(3)]       # shared=3 passes count
+    rows += [("c", f"x{i}") for i in range(40)]      # ...but jaccard 3/50
+    out = mirror_hosts(_pf(spark, rows), min_shared=3, min_jaccard=0.2)
+    assert out.count() == 0
+
+
+def test_mirror_hosts_caps_boilerplate_fp(spark):
+    from firmwarescraper_spark.operators.urlfilter import mirror_hosts
+
+    # one fingerprint on 20 hosts (> cap 16): boilerplate, contributes to
+    # no pair; without the cap every one of C(20,2)=190 pairs would appear
+    rows = [(f"h{i}", "BOILER") for i in range(20)]
+    rows += [("h0", "f1"), ("h0", "f2"), ("h0", "f3"),
+             ("h1", "f1"), ("h1", "f2"), ("h1", "f3")]
+    out = {
+        (r["host1"], r["host2"]): r["shared"]
+        for r in mirror_hosts(
+            _pf(spark, rows), min_shared=3, min_jaccard=0.2
+        ).collect()
+    }
+    # the real mirror pair survives with shared=3 (BOILER excluded)
+    assert out == {("h0", "h1"): 3}
+
+
+def test_mirror_hosts_duplicate_observations_collapse(spark):
+    from firmwarescraper_spark.operators.urlfilter import mirror_hosts
+
+    # repeated (host, fp) observations (many URLs, same content) count once
+    rows = [("a", "f1")] * 5 + [("b", "f1")] * 3
+    rows += [("a", "f2"), ("b", "f2"), ("a", "f3"), ("b", "f3")]
+    out = mirror_hosts(_pf(spark, rows), min_shared=3, min_jaccard=0.2)
+    r = out.collect()[0]
+    assert (r["shared"], r["n1"], r["n2"], r["jaccard"]) == (3, 3, 3, 1.0)
