@@ -537,6 +537,32 @@ def main():
             # robots-policy extraction: zero-shuffle projection over the
             # same synthetic pages as the other extraction rows
             "robots_directives": lambda: EXT.robots_directives(pages),
+            # snapshot diff: one full-outer join of two per-key index
+            # snapshots (~N rows each) + the per-host rollup
+            "crawl_diff": lambda: __import__(
+                "firmwarescraper_spark.sources.cdx", fromlist=["x"]
+            ).crawl_diff_summary(__import__(
+                "firmwarescraper_spark.sources.cdx", fromlist=["x"]
+            ).crawl_diff(
+                docs.select(
+                    F.concat(F.lit("com,h"),
+                             F.pmod(F.xxhash64("doc_id", F.lit(17)),
+                                    F.lit(max(12, n // 400))),
+                             F.lit(")/d/"), "doc_id").alias("surt"),
+                    F.md5("text").alias("last_digest")),
+                docs.filter(
+                    F.pmod(F.xxhash64("doc_id", F.lit(19)), F.lit(7)) != 0
+                ).select(
+                    F.concat(F.lit("com,h"),
+                             F.pmod(F.xxhash64("doc_id", F.lit(17)),
+                                    F.lit(max(12, n // 400))),
+                             F.lit(")/d/"), "doc_id").alias("surt"),
+                    F.when(
+                        F.pmod(F.xxhash64("doc_id", F.lit(23)), F.lit(5))
+                        == 0,
+                        F.md5(F.concat(F.col("text"), F.lit("!"))),
+                    ).otherwise(F.md5("text")).alias("last_digest")),
+            )),
         }
 
     import math

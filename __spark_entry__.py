@@ -1547,6 +1547,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pages = docs.select("doc_id", html.alias("html"))
         return EX.robots_directives(pages).orderBy("doc_id")
 
+    def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Crawl-over-crawl snapshot diff (cdx.crawl_diff): one
+        full-outer join of two per-SURT index snapshots -> change in
+        {added, removed, changed, unchanged}, presence tracked by
+        explicit markers (never digest nullness). The synthetic pair
+        removes md5('rm|id')%7==0 docs, rewrites digests for
+        %5==0 survivors, and adds fresh '/new/' SURTs for %6==0 —
+        all four statuses are populated at every sf. The oracle
+        replays the construction and the null-safe status CASE."""
+        from firmwarescraper_spark.operators.dedup import _md5_hash64
+        from firmwarescraper_spark.sources import cdx as CX
+
+        docs = _t(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull())
+        sid = F.col("doc_id").cast("string")
+        b = _md5_hash64(F.concat(F.lit("hostof|"), sid)) % 12
+        hrm = _md5_hash64(F.concat(F.lit("rm|"), sid)) % 7
+        hch = _md5_hash64(F.concat(F.lit("ch|"), sid)) % 5
+        hadd = _md5_hash64(F.concat(F.lit("add|"), sid)) % 6
+        surt = F.concat(F.lit("com,h"), b, F.lit(")/d/"), sid)
+        old = docs.select(
+            surt.alias("surt"), F.md5("text").alias("last_digest"))
+        kept = docs.filter(hrm != 0).select(
+            surt.alias("surt"),
+            F.when(hch == 0, F.md5(F.concat(F.col("text"), F.lit("!"))))
+            .otherwise(F.md5("text")).alias("last_digest"),
+        )
+        added = docs.filter(hadd == 0).select(
+            F.concat(F.lit("com,h"), b, F.lit(")/new/"), sid).alias("surt"),
+            F.md5(F.concat(F.lit("fresh"), sid)).alias("last_digest"),
+        )
+        return CX.crawl_diff(old, kept.unionByName(added)).orderBy("surt")
+
     return {
         "anti_join_seen": q_anti_join_seen,
         "bloom_anti_join": q_bloom_anti_join,
@@ -1636,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "ppl_buckets": q_ppl_buckets,
         "redirect_resolve": q_redirect_resolve,
+        "crawl_diff": q_crawl_diff,
         "mirror_hosts": q_mirror_hosts,
         "robots_directives": q_robots_directives,
         "revenue_by_segment": q_revenue_by_segment,
@@ -3291,6 +3325,48 @@ def oracle_sql() -> dict[str, str]:
         # cumulative rank over the compact per-score distribution and
         # integer 3r<n / 3r<2n cutoffs — replayed on the lm_score CTEs
         "ppl_buckets": _PPL_BUCKETS_SQL,
+        "crawl_diff": """
+            WITH d AS (
+                SELECT doc_id, text,
+                       ('0x' || substr(md5('hostof|' || doc_id), 1, 15))::BIGINT
+                           % 12 AS b,
+                       ('0x' || substr(md5('rm|' || doc_id), 1, 15))::BIGINT
+                           % 7 AS hrm,
+                       ('0x' || substr(md5('ch|' || doc_id), 1, 15))::BIGINT
+                           % 5 AS hch,
+                       ('0x' || substr(md5('add|' || doc_id), 1, 15))::BIGINT
+                           % 6 AS hadd
+                FROM documents WHERE text IS NOT NULL
+            ),
+            old AS (
+                SELECT 'com,h' || b || ')/d/' || doc_id AS surt,
+                       md5(text) AS od
+                FROM d
+            ),
+            new AS (
+                SELECT 'com,h' || b || ')/d/' || doc_id AS surt,
+                       CASE WHEN hch = 0 THEN md5(text || '!')
+                            ELSE md5(text) END AS nd
+                FROM d WHERE hrm <> 0
+                UNION ALL
+                SELECT 'com,h' || b || ')/new/' || doc_id AS surt,
+                       md5('fresh' || doc_id) AS nd
+                FROM d WHERE hadd = 0
+            ),
+            j AS (
+                SELECT coalesce(old.surt, new.surt) AS surt, od, nd,
+                       old.surt IS NOT NULL AS in_old,
+                       new.surt IS NOT NULL AS in_new
+                FROM old FULL OUTER JOIN new ON old.surt = new.surt
+            )
+            SELECT surt, string_split(surt, ')')[1] AS host,
+                   CASE WHEN NOT in_old THEN 'added'
+                        WHEN NOT in_new THEN 'removed'
+                        WHEN od IS DISTINCT FROM nd THEN 'changed'
+                        ELSE 'unchanged' END AS change,
+                   od AS old_digest, nd AS new_digest
+            FROM j ORDER BY surt
+        """,
         "redirect_resolve": """
             WITH RECURSIVE nodes AS (
                 SELECT doc_id AS v FROM documents WHERE doc_id < 500),

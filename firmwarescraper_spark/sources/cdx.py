@@ -262,3 +262,82 @@ def recrawl_priority(parsed: DataFrame) -> DataFrame:
         "surt", "n_captures", "n_versions", "last_ts",
         F.round(rate, 6).alias("change_rate"),
     )
+
+
+def surt_host(surt: Column) -> Column:
+    """Host key of a SURT: everything before ``)`` (labels stay reversed
+    — this is a grouping key, not a display name; same split in DuckDB:
+    ``string_split(surt, ')')[1]``)."""
+    return F.split(surt, r"\)").getItem(0)
+
+
+def crawl_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "surt",
+    digest_col: str = "last_digest",
+) -> DataFrame:
+    """Crawl-over-crawl delta: which URLs appeared, vanished, or changed
+    between two crawl snapshots (each one row per SURT — cdx_index
+    output). The operational complement to recrawl_priority: the
+    priority estimator needs the capture HISTORY, the diff needs only
+    two index snapshots — which is what a deployment actually has per
+    crawl cycle (Common Crawl publishes exactly these per-crawl CDX
+    snapshots).
+
+    ONE full-outer join on the SURT key; with both snapshots stored
+    bucketed by ``surt`` (operators/frontier.write_bucketed — the
+    anti_join_cdx layout) the join plans exchange-free on both sides,
+    so a 10^10-URL diff costs a co-located merge, not a shuffle.
+    Presence is tracked with explicit markers, never inferred from
+    digest nullness (a capture with a NULL digest is still present).
+
+    Output: (surt, host, change, old_digest, new_digest) with
+    ``change`` in {added, removed, changed, unchanged}.
+    """
+    o = old.select(
+        F.col(key_col).alias("surt"),
+        F.col(digest_col).alias("old_digest"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        F.col(key_col).alias("surt"),
+        F.col(digest_col).alias("new_digest"),
+        F.lit(True).alias("_in_new"),
+    )
+    j = o.join(n, "surt", "full_outer")
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("old_digest").eqNullSafe(F.col("new_digest")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        "surt",
+        surt_host(F.col("surt")).alias("host"),
+        change.alias("change"),
+        "old_digest",
+        "new_digest",
+    )
+
+
+def crawl_diff_summary(diff: DataFrame) -> DataFrame:
+    """Per-host rollup of a crawl_diff: one map-side-combinable
+    aggregation of conditional counts (never a pivot over exploded
+    rows). Output: (host, n_added, n_removed, n_changed, n_unchanged,
+    n_total) — the per-host churn table that drives crawl-budget
+    allocation (hosts with high churn earn more refetch tokens,
+    the recrawl_priority signal at host granularity)."""
+
+    def cnt(status: str) -> Column:
+        return F.sum(
+            (F.col("change") == status).cast("bigint")
+        ).alias(f"n_{status}")
+
+    return diff.groupBy("host").agg(
+        cnt("added"), cnt("removed"), cnt("changed"), cnt("unchanged"),
+        F.count(F.lit(1)).alias("n_total"),
+    )

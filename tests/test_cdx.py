@@ -291,3 +291,64 @@ def test_recrawl_priority_single_aggregate_exchange(spark):
     # plan: exchanges keyed by surt only (expand for the distinct), and
     # none carrying the payload
     assert 0 < plan.count("Exchange") <= 2
+
+
+# ---------------------------------------------------------------------------
+# crawl-over-crawl snapshot diff
+# ---------------------------------------------------------------------------
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "surt string, last_digest string")
+
+
+def test_crawl_diff_statuses(spark):
+    from firmwarescraper_spark.sources.cdx import crawl_diff
+
+    old = _snap(spark, [
+        ("com,a)/1", "d1"), ("com,a)/2", "d2"), ("com,b)/3", "d3"),
+    ])
+    new = _snap(spark, [
+        ("com,a)/1", "d1"),            # unchanged
+        ("com,a)/2", "d2x"),           # changed
+        ("com,b)/4", "d4"),            # added; /3 removed
+    ])
+    out = {r["surt"]: (r["host"], r["change"])
+           for r in crawl_diff(old, new).collect()}
+    assert out == {
+        "com,a)/1": ("com,a", "unchanged"),
+        "com,a)/2": ("com,a", "changed"),
+        "com,b)/3": ("com,b", "removed"),
+        "com,b)/4": ("com,b", "added"),
+    }
+
+
+def test_crawl_diff_null_digest_presence(spark):
+    from firmwarescraper_spark.sources.cdx import crawl_diff
+
+    # presence comes from explicit markers: a NULL digest on both sides
+    # is 'unchanged', NULL vs value is 'changed' — never 'added'/'removed'
+    old = _snap(spark, [("com,a)/1", None), ("com,a)/2", None)])
+    new = _snap(spark, [("com,a)/1", None), ("com,a)/2", "d")])
+    out = {r["surt"]: r["change"] for r in crawl_diff(old, new).collect()}
+    assert out == {"com,a)/1": "unchanged", "com,a)/2": "changed"}
+
+
+def test_crawl_diff_summary(spark):
+    from firmwarescraper_spark.sources.cdx import (
+        crawl_diff, crawl_diff_summary)
+
+    old = _snap(spark, [
+        ("com,a)/1", "d1"), ("com,a)/2", "d2"), ("com,a)/3", "d3"),
+        ("com,b)/1", "e1"),
+    ])
+    new = _snap(spark, [
+        ("com,a)/1", "d1"), ("com,a)/2", "D2"), ("com,a)/4", "d4"),
+        ("com,b)/1", "e1"),
+    ])
+    out = {
+        r["host"]: (r["n_added"], r["n_removed"], r["n_changed"],
+                    r["n_unchanged"], r["n_total"])
+        for r in crawl_diff_summary(crawl_diff(old, new)).collect()
+    }
+    assert out == {"com,a": (1, 1, 1, 1, 4), "com,b": (0, 0, 0, 1, 1)}
