@@ -537,6 +537,10 @@ def main():
             # robots-policy extraction: zero-shuffle projection over the
             # same synthetic pages as the other extraction rows
             "robots_directives": lambda: EXT.robots_directives(pages),
+            # inverted-index build: vocab scales with N (synth_docs'
+            # web-growth model) so per-term posting lists stay ~constant
+            # and the two-phase top-k windows see flat group sizes
+            "build_postings": lambda: TX.build_postings(docs, top_k=20),
             # snapshot diff: one full-outer join of two per-key index
             # snapshots (~N rows each) + the per-host rollup
             "crawl_diff": lambda: __import__(

@@ -1580,6 +1580,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return CX.crawl_diff(old, kept.unionByName(added)).orderBy("surt")
 
+    def q_build_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Inverted-index build (textops.build_postings): per term the
+        exact df/cf plus the top-5 posting entries by (tf DESC, doc
+        ASC) serialized 'doc:tf|...' — top-k via the two-phase salted
+        row_number pattern (partial rank per (term, salt), exact
+        re-rank per term), never an unbounded per-term collect. The
+        oracle replays tokenization, the single-window rank (salting
+        is semantics-invariant — ties break on doc id), and the
+        ordered string_agg."""
+        docs = _t(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull())
+        return TX.build_postings(docs, top_k=5).orderBy("term")
+
     return {
         "anti_join_seen": q_anti_join_seen,
         "bloom_anti_join": q_bloom_anti_join,
@@ -1670,6 +1683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": q_ppl_buckets,
         "redirect_resolve": q_redirect_resolve,
         "crawl_diff": q_crawl_diff,
+        "build_postings": q_build_postings,
         "mirror_hosts": q_mirror_hosts,
         "robots_directives": q_robots_directives,
         "revenue_by_segment": q_revenue_by_segment,
@@ -3325,6 +3339,40 @@ def oracle_sql() -> dict[str, str]:
         # cumulative rank over the compact per-score distribution and
         # integer 3r<n / 3r<2n cutoffs — replayed on the lm_score CTEs
         "ppl_buckets": _PPL_BUCKETS_SQL,
+        "build_postings": """
+            WITH dl AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text),
+                                                      '[^a-z0-9]+'),
+                                   t -> t <> '') AS toks
+                FROM documents WHERE text IS NOT NULL
+            ),
+            tf AS (
+                SELECT term, doc_id, count(*)::BIGINT AS tf
+                FROM (SELECT doc_id, unnest(toks) AS term FROM dl)
+                GROUP BY term, doc_id
+            ),
+            stats AS (
+                SELECT term, count(*)::BIGINT AS df,
+                       sum(tf)::BIGINT AS cf
+                FROM tf GROUP BY term
+            ),
+            rn AS (
+                SELECT term, doc_id, tf,
+                       row_number() OVER (PARTITION BY term
+                                          ORDER BY tf DESC, doc_id) AS rn
+                FROM tf
+            ),
+            top AS (
+                SELECT term,
+                       string_agg(doc_id || ':' || tf, '|' ORDER BY rn)
+                           AS postings
+                FROM rn WHERE rn <= 5 GROUP BY term
+            )
+            SELECT term, df, cf, postings
+            FROM stats JOIN top USING (term)
+            ORDER BY term
+        """,
         "crawl_diff": """
             WITH d AS (
                 SELECT doc_id, text,

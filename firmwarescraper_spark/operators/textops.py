@@ -823,3 +823,77 @@ def pr_curve(
         F.round(rec, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     )
+
+
+def build_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 20,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Inverted-index build — the classic web-scale batch workload (the
+    original MapReduce paper's motivating example) and the artifact
+    behind bm25_topk: per term, the exact document frequency ``df`` and
+    collection frequency ``cf`` plus the top-``top_k`` posting entries
+    by (tf DESC, doc ASC), serialized ``"doc:tf|doc:tf|..."`` — a
+    BOUNDED fixed-width column by construction, safe to shuffle and
+    store (impact-ordered posting pruning, the Anh/Moffat shape; a full
+    index keeps every entry by raising ``top_k``).
+
+    Scale shape (the politeness-dequeue two-phase pattern,
+    operators/frontier.py W5): term frequencies reduce map-side
+    ((term, doc) keyed); per-term top-k runs as TWO chained
+    row_number windows — partial rank partitioned by (term,
+    salt(doc)) keeps each salt bucket's local top-k (sort-based,
+    spillable, never an in-memory per-group collect), the exact rank
+    re-ranks the <= salt_buckets * top_k survivors per term. Stopword
+    terms (df ~ |corpus|) therefore never converge on one task. The
+    salt derives from the doc id, so buckets partition the postings and
+    the exact df/cf aggregate (map-side combinable, separate branch)
+    joins back on the term partitioning the window already installed.
+
+    Returns ``(term, df, cf, postings)``.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(_bm25_tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("term", "doc")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+    salt = F.pmod(F.xxhash64("doc"), F.lit(salt_buckets))
+    w1 = Window.partitionBy("term", "_salt").orderBy(
+        F.desc("tf"), F.asc("doc"))
+    cand = (
+        tf.withColumn("_salt", salt)
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= top_k)
+        .drop("_salt", "_rn")
+    )
+    w2 = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc"))
+    top = (
+        cand.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= top_k)
+    )
+    entries = F.sort_array(
+        F.collect_list(F.struct(F.col("_rn"), F.col("doc"), F.col("tf")))
+    )
+    postings = F.array_join(
+        F.transform(
+            entries,
+            lambda s: F.concat(
+                s["doc"].cast("string"), F.lit(":"),
+                s["tf"].cast("string"),
+            ),
+        ),
+        "|",
+    )
+    agg = top.groupBy("term").agg(postings.alias("postings"))
+    return stats.join(agg, "term").select("term", "df", "cf", "postings")

@@ -336,3 +336,73 @@ def test_classifier_train_weight_table_covers_all_buckets(spark):
     assert {r["bucket"] for r in rows} == set(range(16))
     assert any(r["weight"] == 0.0 for r in rows)
     assert any(r["weight"] != 0.0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# inverted-index build (posting lists)
+# ---------------------------------------------------------------------------
+
+
+def _postings(spark, rows, **kw):
+    from firmwarescraper_spark.operators.textops import build_postings
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        r["term"]: (r["df"], r["cf"], r["postings"])
+        for r in build_postings(df, **kw).collect()
+    }
+
+
+def test_build_postings_exact(spark):
+    out = _postings(spark, [
+        (1, "spark spark hash"),
+        (2, "spark window"),
+        (3, "hash hash hash window"),
+    ])
+    assert out["spark"] == (2, 3, "1:2|2:1")     # tf desc
+    assert out["hash"] == (2, 4, "3:3|1:1")
+    assert out["window"] == (2, 2, "2:1|3:1")    # tie -> doc asc
+
+
+def test_build_postings_topk_cap_keeps_exact_df_cf(spark):
+    rows = [(i, "common") for i in range(10)] + [(50, "common common rare")]
+    out = _postings(spark, rows, top_k=3)
+    df, cf, post = out["common"]
+    assert (df, cf) == (11, 12)                  # exact beyond the cap
+    assert post == "50:2|0:1|1:1"                # top-3 by (tf desc, doc)
+    assert out["rare"] == (1, 1, "50:1")
+
+
+def test_build_postings_salt_invariance(spark):
+    rows = [(i, f"w{i % 7} shared") for i in range(40)]
+    a = _postings(spark, rows, top_k=4, salt_buckets=2)
+    b = _postings(spark, rows, top_k=4, salt_buckets=16)
+    assert a == b
+
+
+def test_build_postings_tokenization(spark):
+    # same regex family as bm25: non-alnum splits, case folds, empties drop
+    out = _postings(spark, [(7, "Re-Hash! hash,HASH  9lives")])
+    assert out["hash"] == (1, 3, "7:3")
+    assert out["re"] == (1, 1, "7:1")
+    assert out["9lives"] == (1, 1, "7:1")
+
+
+def test_build_postings_plan_two_phase_windows(spark):
+    """Plan pin: the per-term top-k is TWO chained sort-based Window
+    ranks (partial per (term, salt), exact per term) — the spillable
+    shape — and the only collect_list sits above the rank filter, where
+    group size is already bounded at top_k per term."""
+    from firmwarescraper_spark.operators.textops import build_postings
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 5} shared") for i in range(30)],
+        "doc_id long, text string")
+    plan = build_postings(df)._jdf.queryExecution().executedPlan().toString()
+    # two rank phases, each with the rank-limit PUSHED DOWN by Catalyst
+    # (WindowGroupLimit Partial+Final per phase): tasks stream the top-k
+    # per group instead of fully sorting it — the bound is enforced
+    # before the window even runs
+    assert plan.count("WindowGroupLimit") == 4
+    # exact-rank window partitions by term alone; partial by (term, salt)
+    assert "_salt" in plan
