@@ -624,8 +624,9 @@ def main():
                            f"hi,lo x{ARM_REPS} reps, scored on the "
                            "min-wall-time rep per configuration "
                            "(contention is additive; timeit rationale), "
-                           "probe-gated (clean = every bracketing probe "
-                           f"shows {GATE_LO}-{GATE_HI} effective cores at "
+                           "probe-gated (v2.2: clean = MEDIAN of the "
+                           "window's bracketing probes inside "
+                           f"{GATE_LO}-{GATE_HI} effective cores at "
                            "4 workers), MEDIAN clean-window efficiency "
                            "reported; all-dirty fallback = minarm ratio "
                            "(fastest arm per configuration), labeled",
