@@ -372,6 +372,26 @@ def main():
             # chunks ∝ N): hash-only df mark + doc-keyed regroup of
             # surviving text — boilerplate never rides the shuffle
             "chunk_dedup_apply": lambda: CU.chunk_dedup_apply(docs_dup),
+            # per-SITE template excision: hosts ∝ N (~50 docs each), one
+            # injected 10-word template chunk per host; the df reduce is
+            # (host, hash)-keyed fixed-width rows with map-side combine,
+            # the host-doc-count side is |hosts| rows, and only SURVIVING
+            # text rides the final doc-keyed regroup
+            "site_boilerplate": lambda: CU.site_boilerplate(
+                docs.select(
+                    "doc_id",
+                    F.concat(F.lit("h"),
+                             F.pmod(F.col("doc_id"), F.lit(max(2, n // 50)))
+                             ).alias("source"),
+                    F.concat_ws(
+                        " ", F.lit("tmpl"),
+                        F.concat(F.lit("h"),
+                                 F.pmod(F.col("doc_id"),
+                                        F.lit(max(2, n // 50)))),
+                        F.lit("nav home about contact privacy terms "
+                              "search login"),
+                        F.col("text")).alias("text"),
+                )),
             # token-budget mixture: per-(source, hash-bucket) windows —
             # budgets ∝ N so the kept fraction is scale-constant
             "budget_mix": lambda: CU.budget_mix(

@@ -1274,6 +1274,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents")
         return CU.chunk_dedup_apply(docs).orderBy("doc_id")
 
+    def q_site_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-site template excision (curation.site_boilerplate — the
+        host-keyed counterpart of global chunk dedup; CCNet/trafilatura
+        strip per-site nav/footer chunks this way). The synthetic corpus
+        has no real site templates, so the query prepends two
+        deterministic 10-word template chunks per source (a nav bar and
+        a cookie banner — chunk-aligned, like real page headers) and the
+        operator must flag exactly those on every host with >= 3 docs
+        while leaving the word-soup body chunks (per-host df 1) alone.
+        The oracle replays the same injection in SQL."""
+        from firmwarescraper_spark.operators import curation as CU
+
+        docs = _t(spark, sf_dir, "documents")
+        templated = docs.filter(F.col("text").isNotNull()).select(
+            "doc_id", "source",
+            F.concat_ws(
+                " ",
+                F.concat_ws(" ", F.lit("nav"), F.col("source"),
+                            F.lit("home about contact privacy terms "
+                                  "search login menu")),
+                F.concat_ws(" ", F.lit("banner"), F.col("source"),
+                            F.lit("cookie consent accept decline settings "
+                                  "help faq support")),
+                F.col("text"),
+            ).alias("text"),
+        )
+        return CU.site_boilerplate(templated).orderBy("doc_id")
+
     def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Benchmark decontamination (curation.decontaminate — the GPT-3
         appendix-C n-gram overlap rule): docs with doc_id % 97 == 0 stand
@@ -1670,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "chunk_dedup": q_chunk_dedup,
         "chunk_dedup_apply": q_chunk_dedup_apply,
+        "site_boilerplate": q_site_boilerplate,
         "decontaminate": q_decontaminate,
         "domain_mix": q_domain_mix,
         "c4_clean": q_c4_clean,
@@ -2897,6 +2926,33 @@ _CHUNK_DEDUP_APPLY_SQL = (
     "FROM m GROUP BY doc_id ORDER BY doc_id"
 )
 
+_SITE_BOILERPLATE_SQL = (
+    "WITH base AS (SELECT doc_id, source,\n"
+    "  'nav ' || source || ' home about contact privacy terms search login menu '\n"
+    "  || 'banner ' || source || ' cookie consent accept decline settings help faq support '\n"
+    "  || text AS text FROM documents WHERE text IS NOT NULL),\n"
+    "d AS (SELECT doc_id, source, "
+    "string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')),' ') AS w "
+    "FROM base),\n"
+    "ch AS (SELECT doc_id, source,\n"
+    "         unnest([{'p': i, 'c': array_to_string(w[(i-1)*10+1:i*10],' ')}\n"
+    "                 FOR i IN generate_series(1, greatest(ceil(len(w)/10.0)::INT, 1))]) AS pc\n"
+    "       FROM d),\n"
+    "h AS (SELECT doc_id, source, pc.p AS p, pc.c AS c, " + _H60.format(x="pc.c")
+    + " AS chash FROM ch),\n"
+    "hd AS (SELECT source, count(DISTINCT doc_id) AS nhd FROM base GROUP BY source),\n"
+    "f AS (SELECT source, chash, count(DISTINCT doc_id) AS df FROM h GROUP BY source, chash),\n"
+    "b AS (SELECT f.source, f.chash FROM f JOIN hd USING (source)\n"
+    "      WHERE nhd >= 3 AND df >= nhd * 0.5),\n"
+    "m AS (SELECT h.doc_id, h.source, h.p, h.c, (b.chash IS NOT NULL) AS boiler\n"
+    "      FROM h LEFT JOIN b ON h.source = b.source AND h.chash = b.chash)\n"
+    "SELECT doc_id, source, count(*)::BIGINT AS n_chunks,\n"
+    "       sum(CASE WHEN boiler THEN 1 ELSE 0 END)::BIGINT AS n_boiler,\n"
+    "       coalesce(array_to_string(list(c ORDER BY p) FILTER (WHERE NOT boiler), ' '), '')\n"
+    "           AS text_clean\n"
+    "FROM m GROUP BY doc_id, source ORDER BY doc_id"
+)
+
 _DECONTAMINATE_SQL = (
     "WITH d AS (SELECT doc_id, "
     "string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')),' ') AS w "
@@ -3267,6 +3323,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_scrub_sql(),
         "chunk_dedup": _CHUNK_DEDUP_SQL,
         "chunk_dedup_apply": _CHUNK_DEDUP_APPLY_SQL,
+        "site_boilerplate": _SITE_BOILERPLATE_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "domain_mix": _DOMAIN_MIX_SQL,
         "c4_clean": _C4_CLEAN_SQL,

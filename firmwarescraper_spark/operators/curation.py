@@ -426,6 +426,85 @@ def chunk_dedup_apply(
     )
 
 
+def site_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    host_col: str = "source",
+    chunk_words: int = 10,
+    min_host_docs: int = 3,
+    boiler_frac: float = 0.5,
+) -> DataFrame:
+    """Per-SITE template detection and excision: a word-chunk is SITE
+    BOILERPLATE when it appears in at least ``boiler_frac`` of its host's
+    documents (hosts with fewer than ``min_host_docs`` docs are exempt —
+    a 2-page site sharing a chunk is not evidence of a template). This is
+    the host-keyed counterpart of ``chunk_dedup_apply``'s corpus-global
+    document-frequency rule: nav bars, cookie banners, and footers repeat
+    on ONE site at near-100% page frequency while staying globally rare
+    enough to survive a global df cap — CCNet and trafilatura strip them
+    per-site for exactly this reason.
+
+    Output: (id, host, n_chunks, n_boiler, text_clean) — text_clean is
+    the doc reassembled from its non-boilerplate chunks in position
+    order ('' when every chunk was template).
+
+    Scale shape: chunks hash to 60-bit ints in-scan, so the exploded
+    relation shuffles fixed-width (host, hash) keys with map-side
+    partial aggregation; the per-host doc-count table is |hosts| rows
+    (AQE broadcasts it when it fits — it is NOT force-broadcast, since
+    at 10^8 hosts it can exceed the driver); the boilerplate mark joins
+    back on (host, hash), which inherently spreads even a giant host
+    across its chunk space (no single-key skew); the only text-carrying
+    wide op is the final doc-keyed regroup of SURVIVING chunks —
+    boilerplate text never rides a shuffle."""
+    base = df.filter(F.col(text_col).isNotNull())
+    chunks = base.select(
+        F.col(id_col), F.col(host_col),
+        F.posexplode(word_chunks(F.col(text_col), chunk_words)).alias("_p", "_c"),
+    ).withColumn("_ch", _md5_hash64(F.col("_c")))
+    host_docs = base.groupBy(host_col).agg(
+        F.countDistinct(id_col).alias("_hd"))
+    freq = (
+        chunks.select(host_col, id_col, "_ch").distinct()
+        .groupBy(host_col, "_ch").agg(F.count("*").alias("_df"))
+    )
+    boiler = (
+        freq.join(host_docs, host_col)
+        .filter((F.col("_hd") >= min_host_docs)
+                & (F.col("_df") >= F.col("_hd") * boiler_frac))
+        .select(host_col, "_ch", F.lit(True).alias("_boiler"))
+    )
+    marked = chunks.join(boiler, [host_col, "_ch"], "left").withColumn(
+        "_boiler", F.coalesce(F.col("_boiler"), F.lit(False)))
+    kept = marked.filter(~F.col("_boiler"))
+    per_doc = (
+        marked.groupBy(id_col, host_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("_boiler"), 1).otherwise(0))
+            .cast("bigint").alias("n_boiler"),
+        )
+        .join(
+            kept.groupBy(id_col).agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("_p", "_c"))),
+                        lambda s: s["_c"],
+                    ),
+                    " ",
+                ).alias("text_clean"),
+            ),
+            id_col,
+            "left",
+        )
+    )
+    return per_doc.select(
+        id_col, host_col, "n_chunks", "n_boiler",
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination (GPT-3 appendix-C style n-gram overlap)
 # ---------------------------------------------------------------------------

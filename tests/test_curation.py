@@ -181,6 +181,74 @@ def test_chunk_dedup_apply_preserves_chunk_order(spark):
 
 
 # ---------------------------------------------------------------------------
+# per-site boilerplate excision
+# ---------------------------------------------------------------------------
+
+def _tmpl(tag):
+    return " ".join(f"{tag}{i}" for i in range(10))      # one full chunk
+
+
+def test_site_boilerplate_strips_host_template(spark):
+    nav = _tmpl("nav")
+    rows = [(i, "hostA", f"{nav} " + " ".join(f"a{i}x{j}" for j in range(10)))
+            for i in range(3)]
+    out = {r["doc_id"]: r
+           for r in CU.site_boilerplate(_docs(spark, rows)).collect()}
+    for i in range(3):
+        assert (out[i]["n_chunks"], out[i]["n_boiler"]) == (2, 1)
+        assert out[i]["text_clean"] == " ".join(f"a{i}x{j}" for j in range(10))
+
+
+def test_site_boilerplate_small_host_exempt(spark):
+    """A 2-page host sharing a chunk is below min_host_docs — no excision
+    (two pages agreeing is not evidence of a site template)."""
+    nav = _tmpl("nav")
+    rows = [(0, "h", f"{nav} {_tmpl('a')}"), (1, "h", f"{nav} {_tmpl('b')}")]
+    out = CU.site_boilerplate(_docs(spark, rows)).collect()
+    assert all(r["n_boiler"] == 0 for r in out)
+    assert {r["text_clean"] for r in out} == {
+        f"{nav} {_tmpl('a')}", f"{nav} {_tmpl('b')}"}
+
+
+def test_site_boilerplate_is_per_host_not_global(spark):
+    """The SAME chunk is template on the host where it saturates and
+    content on a host where it appears once — the per-(host, chunk) key
+    is what distinguishes this from global chunk_dedup_apply."""
+    nav = _tmpl("nav")
+    rows = ([(i, "big", f"{nav} {_tmpl(f'u{i}')}") for i in range(3)]
+            + [(10 + i, "other", f"{_tmpl(f'v{i}')} {_tmpl(f'w{i}')}")
+               for i in range(2)]
+            + [(20, "other", f"{nav} {_tmpl('z')}"),
+               (21, "other", f"{_tmpl('q')} {_tmpl('r')}")])
+    out = {r["doc_id"]: r
+           for r in CU.site_boilerplate(_docs(spark, rows)).collect()}
+    for i in range(3):                       # big: nav in 3/3 docs -> boiler
+        assert out[i]["n_boiler"] == 1
+    # other: 4 docs, nav df=1 < 2 -> kept verbatim
+    assert out[20]["n_boiler"] == 0
+    assert out[20]["text_clean"] == f"{nav} {_tmpl('z')}"
+
+
+def test_site_boilerplate_below_frac_kept(spark):
+    """A chunk in 1 of 3 host docs (df < hd * 0.5) is content, not
+    template; an all-template doc excises to ''."""
+    nav = _tmpl("nav")
+    rows = [(0, "h", f"{nav} {_tmpl('a')}"),
+            (1, "h", f"{nav} {_tmpl('b')}"),
+            (2, "h", nav),                       # all-template doc
+            (3, "h", f"{_tmpl('c')} {_tmpl('d')}")]
+    out = {r["doc_id"]: r
+           for r in CU.site_boilerplate(_docs(spark, rows)).collect()}
+    # nav df=3 of hd=4 -> >= 2.0 -> boiler everywhere it appears
+    assert out[2]["text_clean"] == ""
+    assert (out[2]["n_chunks"], out[2]["n_boiler"]) == (1, 1)
+    assert out[0]["text_clean"] == _tmpl("a")
+    # doc 3's chunks each have df=1 < 2 -> untouched
+    assert out[3]["n_boiler"] == 0
+    assert out[3]["text_clean"] == f"{_tmpl('c')} {_tmpl('d')}"
+
+
+# ---------------------------------------------------------------------------
 # decontamination
 # ---------------------------------------------------------------------------
 
