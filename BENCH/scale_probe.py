@@ -557,6 +557,30 @@ def main():
             # robots-policy extraction: zero-shuffle projection over the
             # same synthetic pages as the other extraction rows
             "robots_directives": lambda: EXT.robots_directives(pages),
+            # charset sniff+transcode: zero-shuffle projection — per-row
+            # cost bounded by the 1 KiB meta scan + one validate + one
+            # decode; payloads rotate through all five detection rules
+            "detect_charset": lambda: EXT.detect_charset(
+                docs.select(
+                    "doc_id",
+                    F.when(F.pmod("doc_id", F.lit(5)) == 0,
+                           F.encode(F.concat(F.lit("café "), "text"),
+                                    "UTF-8"))
+                    .when(F.pmod("doc_id", F.lit(5)) == 1,
+                          F.concat(F.lit(b"\xef\xbb\xbf"),
+                                   F.encode(F.concat(F.lit("café "), "text"),
+                                            "UTF-8")))
+                    .when(F.pmod("doc_id", F.lit(5)) == 2,
+                          F.concat(F.lit(b"\xff\xfe"),
+                                   F.encode(F.concat(F.lit("café "), "text"),
+                                            "UTF-16LE")))
+                    .when(F.pmod("doc_id", F.lit(5)) == 3,
+                          F.encode(F.concat(
+                              F.lit('<meta charset="ISO-8859-1">café '),
+                              "text"), "ISO-8859-1"))
+                    .otherwise(F.encode(F.concat(F.lit("café "), "text"),
+                                        "ISO-8859-1")).alias("payload"),
+                )),
             # inverted-index build: vocab scales with N (synth_docs'
             # web-growth model) so per-term posting lists stay ~constant
             # and the two-phase top-k windows see flat group sizes

@@ -1575,6 +1575,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pages = docs.select("doc_id", html.alias("html"))
         return EX.robots_directives(pages).orderBy("doc_id")
 
+    def q_detect_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Charset detection + transcoding (extract.detect_charset — the
+        WARC->WET sniffing chain: BOM > meta > utf-8 validation >
+        latin-1 fallback, every decode branch guarded so malformed
+        bytes downgrade instead of raising). Payloads rotate by
+        doc_id%5 through the five rules — plain utf-8 with multibyte
+        accents, utf-8 with BOM, utf-16le with BOM, latin-1 with a meta
+        declaration, and bare latin-1 whose 0xE9 bytes are invalid
+        utf-8 — so each detection branch fires at every sf, and the
+        value hash proves the encode->detect->decode round trip is
+        byte-exact. The oracle reconstructs the decoded text from the
+        same injection rule without touching bytes."""
+        from firmwarescraper_spark.operators import extract as EX
+
+        docs = _t(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull())
+        bucket = F.pmod(F.col("doc_id"), F.lit(5))
+        body = F.concat(F.lit("café naïve résumé "), F.col("text"))
+        payload = (
+            F.when(bucket == 0, F.encode(body, "UTF-8"))
+            .when(bucket == 1, F.concat(F.lit(b"\xef\xbb\xbf"),
+                                        F.encode(body, "UTF-8")))
+            .when(bucket == 2, F.concat(F.lit(b"\xff\xfe"),
+                                        F.encode(body, "UTF-16LE")))
+            .when(bucket == 3, F.encode(
+                F.concat(F.lit('<meta charset="ISO-8859-1">'), body),
+                "ISO-8859-1"))
+            .otherwise(F.encode(body, "ISO-8859-1"))
+        )
+        pages = docs.select("doc_id", payload.alias("payload"))
+        return EX.detect_charset(pages).orderBy("doc_id")
+
     def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Crawl-over-crawl snapshot diff (cdx.crawl_diff): one
         full-outer join of two per-SURT index snapshots -> change in
@@ -1715,6 +1747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "build_postings": q_build_postings,
         "mirror_hosts": q_mirror_hosts,
         "robots_directives": q_robots_directives,
+        "detect_charset": q_detect_charset,
         "revenue_by_segment": q_revenue_by_segment,
         "length_quantiles": q_length_quantiles,
     }
@@ -3532,6 +3565,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT host1, host2, shared, n1, n2, jaccard
             FROM j WHERE shared >= 3 AND jaccard >= 0.2
             ORDER BY host1, host2
+        """,
+        "detect_charset": """
+            SELECT doc_id,
+                   CASE doc_id % 5 WHEN 2 THEN 'utf-16le'
+                        WHEN 3 THEN 'iso-8859-1' WHEN 4 THEN 'iso-8859-1'
+                        ELSE 'utf-8' END AS charset,
+                   CASE doc_id % 5 WHEN 0 THEN 'valid-utf8'
+                        WHEN 1 THEN 'bom' WHEN 2 THEN 'bom'
+                        WHEN 3 THEN 'meta' ELSE 'fallback' END AS via,
+                   CASE WHEN doc_id % 5 = 3
+                        THEN '<meta charset="ISO-8859-1">' ELSE '' END
+                   || 'café naïve résumé ' || text AS text
+            FROM documents WHERE text IS NOT NULL ORDER BY doc_id
         """,
         "robots_directives": r"""
             WITH d AS (

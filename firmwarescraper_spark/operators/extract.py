@@ -211,3 +211,101 @@ def robots_directives(
         F.size(linked).cast("bigint").alias("n_links"),
         n_follow.cast("bigint").alias("n_followable"),
     )
+
+
+# <meta charset="..."> / <meta http-equiv content="...charset=..."> label,
+# read from a LATIN-1 view of the payload prefix (byte-lossless: every
+# byte maps to one char, so the regex sees the raw bytes).
+META_CHARSET_RE = r"""(?i)<meta[^>]*charset\s*=\s*["']?\s*([A-Za-z0-9_.:-]+)"""
+
+
+def detect_charset(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    meta_scan_bytes: int = 1024,
+) -> DataFrame:
+    """Charset detection + transcoding over raw fetched bytes — the
+    WARC->WET step between the fetch/WARC layer (sources/warc.py) and
+    every text operator, which all assume a decoded ``string`` column
+    (Common Crawl's WET extraction runs exactly this sniffing chain).
+    Reference parity note: the reference's scrapy stack delegates this
+    to w3lib's encoding detection inside Response.text; this is that
+    stage made explicit, Spark-first.
+
+    Detection precedence (the WHATWG/html5 order):
+
+    1. BOM — ``EF BB BF`` -> utf-8, ``FF FE`` -> utf-16le, ``FE FF`` ->
+       utf-16be (BOM stripped before decode).
+    2. ``<meta charset=...>`` in the first ``meta_scan_bytes`` bytes,
+       read through a latin-1 view (byte-lossless). Labels normalize to
+       the Java-charset set Spark's ``decode`` supports: utf-8/ascii
+       aliases, and iso-8859-1 aliases incl. windows-1252 (decoded as
+       latin-1 — the 0x80-0x9F block diverges; browsers map the OTHER
+       way, documented divergence). A meta claiming UTF-16 is IGNORED
+       per the HTML5 spec (a decodable meta tag proves the page is not
+       UTF-16).
+    3. UTF-8 validation (``is_valid_utf8``) — valid multibyte wins.
+    4. latin-1 fallback (total: every byte decodes).
+
+    Every branch carries its own decode guard (Spark's ``decode``
+    RAISES on malformed input under ANSI): UTF-8 decodes only behind
+    ``is_valid_utf8``, UTF-16 only behind a BOM + even byte length,
+    latin-1 never fails — so a hostile payload can downgrade its own
+    label but can never fail the job. A lying ``meta charset=utf-8`` on
+    invalid bytes falls through to the latin-1 fallback; a BOM on an
+    invalid UTF-8 body likewise.
+
+    Output: ``(<id_col>, charset, via, text)`` — ``via`` in
+    {bom, meta, valid-utf8, fallback, null} records WHICH rule fired
+    (the per-charset mix is the corpus-health dashboard number).
+
+    Scale shape: one zero-shuffle projection fused into the payload
+    scan — per-row cost is bounded by ``meta_scan_bytes`` plus one
+    validation pass and one decode of the payload; nothing wide.
+    """
+    p = F.col(payload_col)
+    h3 = F.lower(F.hex(p.substr(F.lit(1), F.lit(3))))
+    h2 = F.lower(F.hex(p.substr(F.lit(1), F.lit(2))))
+    body8 = p.substr(F.lit(4), F.length(p))       # after the 3-byte BOM
+    body16 = p.substr(F.lit(3), F.length(p))      # after a 2-byte BOM
+    prefix_l1 = F.decode(
+        p.substr(F.lit(1), F.lit(meta_scan_bytes)), "ISO-8859-1")
+    meta_raw = F.upper(F.regexp_extract(prefix_l1, META_CHARSET_RE, 1))
+    meta = (
+        F.when(meta_raw.isin("UTF-8", "UTF8"), F.lit("utf-8"))
+        .when(meta_raw.isin("US-ASCII", "ASCII"), F.lit("us-ascii"))
+        .when(meta_raw.isin("ISO-8859-1", "ISO8859-1", "LATIN-1", "LATIN1",
+                            "WINDOWS-1252", "CP1252"), F.lit("iso-8859-1"))
+        .otherwise(F.lit(""))     # unknown / UTF-16 meta: ignored (html5)
+    )
+    valid8 = F.is_valid_utf8(p)
+    even16 = F.pmod(F.length(body16), F.lit(2)) == 0
+
+    def _r(charset, via, text):
+        return F.struct(charset.alias("charset"), F.lit(via).alias("via"),
+                        text.alias("text"))
+
+    res = (
+        F.when(p.isNull(),
+               _r(F.lit(None).cast("string"), "null",
+                  F.lit(None).cast("string")))
+        .when((h3 == "efbbbf") & F.is_valid_utf8(body8),
+              _r(F.lit("utf-8"), "bom", F.decode(body8, "UTF-8")))
+        .when((h2 == "fffe") & even16,
+              _r(F.lit("utf-16le"), "bom", F.decode(body16, "UTF-16LE")))
+        .when((h2 == "feff") & even16,
+              _r(F.lit("utf-16be"), "bom", F.decode(body16, "UTF-16BE")))
+        .when(meta == "iso-8859-1",
+              _r(F.lit("iso-8859-1"), "meta", F.decode(p, "ISO-8859-1")))
+        .when(meta.isin("utf-8", "us-ascii") & valid8,
+              _r(meta, "meta", F.decode(p, "UTF-8")))
+        .when(valid8,
+              _r(F.lit("utf-8"), "valid-utf8", F.decode(p, "UTF-8")))
+        .otherwise(
+            _r(F.lit("iso-8859-1"), "fallback", F.decode(p, "ISO-8859-1")))
+    )
+    return df.select(
+        F.col(id_col), res["charset"].alias("charset"),
+        res["via"].alias("via"), res["text"].alias("text"),
+    )

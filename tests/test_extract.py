@@ -174,3 +174,95 @@ def test_robots_case_insensitive(spark):
         '<META NAME="robots" CONTENT="NOINDEX">'
         '<A REL="NOFOLLOW" HREF="/x">x</A>',
     ) == (True, False, 1, 0)
+
+
+# ---------------------------------------------------------------------------
+# charset detection + transcoding
+# ---------------------------------------------------------------------------
+
+def _cs(spark, payloads):
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "doc_id long, payload binary")
+    return {r["doc_id"]: r
+            for r in EX.detect_charset(df).collect()}
+
+
+def test_detect_charset_bom_precedence(spark):
+    text = "café naïve résumé body"
+    out = _cs(spark, [
+        b"\xef\xbb\xbf" + text.encode("utf-8"),
+        b"\xff\xfe" + text.encode("utf-16le"),
+        b"\xfe\xff" + text.encode("utf-16be"),
+        # BOM beats a contradicting meta tag
+        b"\xef\xbb\xbf" + ('<meta charset="iso-8859-1">' + text).encode("utf-8"),
+    ])
+    assert (out[0]["charset"], out[0]["via"], out[0]["text"]) == (
+        "utf-8", "bom", text)
+    assert (out[1]["charset"], out[1]["via"], out[1]["text"]) == (
+        "utf-16le", "bom", text)
+    assert (out[2]["charset"], out[2]["via"], out[2]["text"]) == (
+        "utf-16be", "bom", text)
+    assert out[3]["via"] == "bom" and out[3]["charset"] == "utf-8"
+
+
+def test_detect_charset_meta_labels(spark):
+    l1 = '<meta charset="ISO-8859-1"><p>café</p>'
+    w1252 = "<meta charset='windows-1252'>café"
+    u8 = '<html><head><meta http-equiv="Content-Type" ' \
+         'content="text/html; charset=utf-8"></head>café</html>'
+    out = _cs(spark, [l1.encode("latin-1"), w1252.encode("latin-1"),
+                      u8.encode("utf-8")])
+    assert (out[0]["charset"], out[0]["via"], out[0]["text"]) == (
+        "iso-8859-1", "meta", l1)
+    # windows-1252 normalizes to the latin-1 decoder (documented)
+    assert (out[1]["charset"], out[1]["text"]) == ("iso-8859-1", w1252)
+    assert (out[2]["charset"], out[2]["via"], out[2]["text"]) == (
+        "utf-8", "meta", u8)
+
+
+def test_detect_charset_validation_and_fallback(spark):
+    out = _cs(spark, [
+        "plain café utf-8 no declaration".encode("utf-8"),
+        "bare latin-1 café".encode("latin-1"),    # 0xE9: invalid utf-8
+        b"pure ascii only",
+    ])
+    assert (out[0]["charset"], out[0]["via"]) == ("utf-8", "valid-utf8")
+    assert out[0]["text"] == "plain café utf-8 no declaration"
+    assert (out[1]["charset"], out[1]["via"]) == ("iso-8859-1", "fallback")
+    assert out[1]["text"] == "bare latin-1 café"
+    # ascii is valid utf-8 — no fallback label
+    assert (out[2]["charset"], out[2]["via"]) == ("utf-8", "valid-utf8")
+
+
+def test_detect_charset_hostile_never_raises(spark):
+    """Lying/malformed declarations downgrade, never raise: meta utf-8
+    over invalid bytes, a BOM over a truncated UTF-16 body (odd length),
+    a BOM over an invalid UTF-8 body, a meta claiming UTF-16 (ignored
+    per html5), and a null payload."""
+    lying_meta = b'<meta charset="utf-8">caf\xe9'        # latin-1 byte
+    odd_utf16 = b"\xff\xfeA"                              # 1-byte body
+    bad_bom8 = b"\xef\xbb\xbf\xe9\xe9"
+    meta16 = '<meta charset="utf-16">plain ascii'.encode("ascii")
+    out = _cs(spark, [lying_meta, odd_utf16, bad_bom8, meta16, None])
+    assert (out[0]["charset"], out[0]["via"]) == ("iso-8859-1", "fallback")
+    assert out[0]["text"].endswith("café")
+    assert (out[1]["charset"], out[1]["via"]) == ("iso-8859-1", "fallback")
+    assert (out[2]["charset"], out[2]["via"]) == ("iso-8859-1", "fallback")
+    # utf-16 meta ignored -> ascii body validates as utf-8
+    assert (out[3]["charset"], out[3]["via"]) == ("utf-8", "valid-utf8")
+    assert out[4]["charset"] is None and out[4]["via"] == "null"
+
+
+def test_detect_charset_meta_scan_window(spark):
+    """A meta tag past meta_scan_bytes is not seen (the prefix bound is
+    what keeps per-row cost flat at 100 TB)."""
+    far = b" " * 2000 + '<meta charset="iso-8859-1">caf\xe9'.encode("latin-1")
+    out = _cs(spark, [far])
+    assert (out[0]["charset"], out[0]["via"]) == ("iso-8859-1", "fallback")
+
+
+def test_detect_charset_shuffle_free(spark):
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+    plan = EX.detect_charset(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
