@@ -557,6 +557,19 @@ def main():
             # robots-policy extraction: zero-shuffle projection over the
             # same synthetic pages as the other extraction rows
             "robots_directives": lambda: EXT.robots_directives(pages),
+            # entity decoding: zero-shuffle projection — split +
+            # extract_all + per-element CASE + zip_with reassembly,
+            # ~6 entities/row incl. one astral-plane codepoint
+            "decode_entities": lambda: EXT.decode_entities(
+                docs.select(
+                    "doc_id",
+                    F.concat(
+                        F.lit("caf&eacute; &amp; &#x1F600; n&#233;e "),
+                        F.col("text"), F.lit(" &#"),
+                        (F.pmod("doc_id", F.lit(255)) + 1).cast("string"),
+                        F.lit(";"),
+                    ).alias("text"),
+                )),
             # charset sniff+transcode: zero-shuffle projection — per-row
             # cost bounded by the 1 KiB meta scan + one validate + one
             # decode; payloads rotate through all five detection rules

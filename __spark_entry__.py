@@ -1607,6 +1607,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pages = docs.select("doc_id", payload.alias("payload"))
         return EX.detect_charset(pages).orderBy("doc_id")
 
+    def q_decode_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """HTML entity decoding (extract.decode_entities — single-pass
+        tokenization so &amp;#233; never double-decodes; named map +
+        full-range numeric incl. computed surrogate pairs). Each doc
+        gets a fixed prefix exercising named/amp-guard/astral/decimal
+        entities plus a per-doc numeric entity &#(doc_id%256); — chr()
+        agreement across the whole latin-1 range rides the value hash,
+        with %256==0 docs pinning the invalid-codepoint literal
+        passthrough. The oracle reconstructs the decoded text from the
+        injection rule."""
+        from firmwarescraper_spark.operators import extract as EX
+
+        docs = _t(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull())
+        injected = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("caf&eacute; &amp;#233; &#x1F600; n&#233;e "),
+                F.col("text"), F.lit(" &#"),
+                F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+                F.lit(";"),
+            ).alias("text"),
+        )
+        return EX.decode_entities(injected).orderBy("doc_id")
+
     def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Crawl-over-crawl snapshot diff (cdx.crawl_diff): one
         full-outer join of two per-SURT index snapshots -> change in
@@ -1748,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": q_mirror_hosts,
         "robots_directives": q_robots_directives,
         "detect_charset": q_detect_charset,
+        "decode_entities": q_decode_entities,
         "revenue_by_segment": q_revenue_by_segment,
         "length_quantiles": q_length_quantiles,
     }
@@ -3565,6 +3591,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT host1, host2, shared, n1, n2, jaccard
             FROM j WHERE shared >= 3 AND jaccard >= 0.2
             ORDER BY host1, host2
+        """,
+        "decode_entities": """
+            SELECT doc_id,
+                   'café &#233; \U0001F600 née ' || text || ' '
+                   || CASE WHEN doc_id % 256 = 0 THEN '&#0;'
+                           ELSE chr((doc_id % 256)::INT) END
+                       AS text_decoded,
+                   5::BIGINT AS n_entities
+            FROM documents WHERE text IS NOT NULL ORDER BY doc_id
         """,
         "detect_charset": """
             SELECT doc_id,

@@ -27,7 +27,8 @@ inline (?is) flags agree).
   ``max_text_len``).
 
 Simplifications (documented contract, same on both engines): character
-entities are not decoded; nested/ill-formed anchors resolve by lazy
+entities are not decoded in-place (chain ``decode_entities`` after
+extraction for that); nested/ill-formed anchors resolve by lazy
 matching; block structure is tag-based, not CSS/visual. Reference parity
 note: the reference's spiders never produce corpus text (they navigate
 and download binaries); this stage is part of the training-data surface
@@ -308,4 +309,114 @@ def detect_charset(
     return df.select(
         F.col(id_col), res["charset"].alias("charset"),
         res["via"].alias("via"), res["text"].alias("text"),
+    )
+
+
+# One strict-; entity token: named, decimal numeric, or hex numeric.
+# A single tokenization pass gives correct single-decode semantics:
+# '&amp;#233;' decodes to the literal '&#233;', never to 'é'.
+ENTITY_RE = r"&(?:[a-zA-Z][a-zA-Z0-9]*|#[0-9]+|#[xX][0-9a-fA-F]+);"
+
+# The HTML named entities worth decoding without a full parser: the
+# HTML4 core set + latin-1 accents + typography (the long tail keeps
+# its literal form, documented contract).
+NAMED_ENTITIES = {
+    "amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'",
+    "nbsp": " ", "copy": "©", "reg": "®",
+    "trade": "™", "deg": "°", "middot": "·",
+    "laquo": "«", "raquo": "»", "ldquo": "“",
+    "rdquo": "”", "lsquo": "‘", "rsquo": "’",
+    "ndash": "–", "mdash": "—", "hellip": "…",
+    "pound": "£", "euro": "€", "cent": "¢",
+    "sect": "§", "para": "¶", "times": "×",
+    "divide": "÷", "plusmn": "±", "frac12": "½",
+    "frac14": "¼", "sup2": "²", "sup3": "³",
+    "micro": "µ", "szlig": "ß", "agrave": "à",
+    "aacute": "á", "acirc": "â", "atilde": "ã",
+    "auml": "ä", "aring": "å", "aelig": "æ",
+    "ccedil": "ç", "egrave": "è", "eacute": "é",
+    "ecirc": "ê", "euml": "ë", "igrave": "ì",
+    "iacute": "í", "icirc": "î", "iuml": "ï",
+    "ntilde": "ñ", "ograve": "ò", "oacute": "ó",
+    "ocirc": "ô", "otilde": "õ", "ouml": "ö",
+    "oslash": "ø", "ugrave": "ù", "uacute": "ú",
+    "ucirc": "û", "uuml": "ü", "yacute": "ý",
+    "yuml": "ÿ",
+}
+
+
+def _chr_col(code: Column) -> Column:
+    """Unicode codepoint -> one-char string, PURE column algebra: the
+    UTF-16BE byte image of the codepoint (one code unit for the BMP, a
+    computed surrogate pair above it) built with hex/unhex and decoded
+    JVM-side. Spark has no full-range chr() (``F.char`` wraps at 256);
+    this is the general construction. The CALLER guards validity —
+    decode raises on lone surrogates, so feed only 1..0x10FFFF minus
+    the surrogate block."""
+    bmp = F.unhex(F.lpad(F.hex(code), 4, "0"))
+    cp = code - 0x10000
+    hi = F.lit(0xD800) + F.shiftright(cp, 10)
+    lo = F.lit(0xDC00) + (cp % 1024)
+    supp = F.unhex(F.concat(F.lpad(F.hex(hi), 4, "0"),
+                            F.lpad(F.hex(lo), 4, "0")))
+    return F.decode(F.when(code <= 0xFFFF, bmp).otherwise(supp), "UTF-16BE")
+
+
+def decode_entities(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """HTML character-entity decoding — the post-extraction normalize
+    step main_content deliberately skips (its documented simplification;
+    real WET text is full of ``&amp;`` / ``&#233;`` / ``&#x1F600;``).
+    Single-pass tokenization: the text splits at entity tokens and each
+    token decodes independently, so ``&amp;#233;`` yields the literal
+    ``&#233;`` (never double-decodes to é). Named entities resolve via
+    a ~60-entry map literal (HTML4 core + latin-1 + typography; unknown
+    names keep their literal form); numeric entities (decimal and hex)
+    decode through the hex/unhex UTF-16BE construction in ``_chr_col``
+    — full astral-plane range via computed surrogate pairs — guarded so
+    codepoint 0, the surrogate block, > 0x10FFFF, and overflow-length
+    digit runs all keep their literal form instead of raising.
+
+    Output: (id, text_decoded, n_entities). Scale shape: one
+    zero-shuffle projection (split + extract_all + per-element CASE +
+    zip_with reassembly), all JVM-side — the detect_charset /
+    main_content scan-fused shape."""
+    t = F.col(text_col)
+    parts = F.split(t, ENTITY_RE, -1)
+    ents = F.regexp_extract_all(t, F.lit("(" + ENTITY_RE + ")"), 1)
+    named = F.create_map(
+        *[F.lit(x) for kv in sorted(NAMED_ENTITIES.items()) for x in kv])
+
+    def dec_one(e: Column) -> Column:
+        body = F.substring(e, 2, F.length(e) - 2)       # strip & ;
+        is_hex = body.rlike(r"^#[xX]")
+        digits = F.when(is_hex, F.substring(body, 3, 10_000)) \
+            .otherwise(F.substring(body, 2, 10_000))
+        # overflow guard BEFORE conv/cast: 0x10FFFF is 7 decimal /
+        # 6 hex digits; longer runs keep their literal form
+        in_len = F.when(is_hex, F.length(digits) <= 6) \
+            .otherwise(F.length(digits) <= 7)
+        code = F.when(
+            is_hex, F.conv(digits, 16, 10).cast("bigint")
+        ).otherwise(digits.try_cast("bigint"))
+        valid = (in_len & code.isNotNull() & (code >= 1)
+                 & (code <= 0x10FFFF)
+                 & ~((code >= 0xD800) & (code <= 0xDFFF)))
+        return (
+            F.when(e == "", F.lit(""))                  # zip tail pad
+            .when(body.startswith("#"),
+                  F.when(valid, _chr_col(code)).otherwise(e))
+            .otherwise(                                 # unknown: literal
+                F.coalesce(F.try_element_at(named, body), e))
+        )
+
+    ents_padded = F.concat(ents, F.array(F.lit("")))
+    decoded = F.array_join(
+        F.zip_with(parts, ents_padded,
+                   lambda s, e: F.concat(s, dec_one(e))), "")
+    return df.select(
+        F.col(id_col),
+        F.when(t.isNull(), None).otherwise(decoded).alias("text_decoded"),
+        F.size(ents).cast("bigint").alias("n_entities"),
     )

@@ -266,3 +266,62 @@ def test_detect_charset_shuffle_free(spark):
     plan = EX.detect_charset(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# HTML entity decoding
+# ---------------------------------------------------------------------------
+
+def _ent(spark, rows):
+    df = spark.createDataFrame(
+        list(enumerate(rows)), "doc_id long, text string")
+    return {r["doc_id"]: r for r in EX.decode_entities(df).collect()}
+
+
+def test_decode_entities_named_and_numeric(spark):
+    out = _ent(spark, [
+        "a &amp; b &lt;tag&gt; &eacute;",
+        "caf&#233; caf&#xE9; caf&#xe9;",     # decimal + both hex cases
+        "&eacute;",                            # entity IS the string
+        "tail &amp;",
+    ])
+    assert (out[0]["text_decoded"], out[0]["n_entities"]) == (
+        "a & b <tag> é", 4)
+    assert out[1]["text_decoded"] == "café café café"
+    assert out[2]["text_decoded"] == "é"
+    assert out[3]["text_decoded"] == "tail &"
+
+
+def test_decode_entities_single_pass_no_double_decode(spark):
+    """'&amp;#233;' is the AMP entity followed by literal '#233;' —
+    decoding must not re-scan its own output into 'é'."""
+    out = _ent(spark, ["&amp;#233; stays literal"])
+    assert out[0]["text_decoded"] == "&#233; stays literal"
+    assert out[0]["n_entities"] == 1
+
+
+def test_decode_entities_astral_plane(spark):
+    """Supplementary-plane codepoints go through the computed
+    surrogate-pair construction (Spark has no full-range chr)."""
+    out = _ent(spark, ["emoji &#128512; and hex &#x1F680;"])
+    assert out[0]["text_decoded"] == "emoji \U0001F600 and hex \U0001F680"
+
+
+def test_decode_entities_hostile_kept_literal(spark):
+    """Surrogate-block, zero, out-of-range, overflow-length, and
+    unknown-name entities all keep their literal form — never raise."""
+    s = ("bad &#xD800; &#0; &#1114112; &#99999999999999999999; "
+         "&unknown; &noSemi end")
+    out = _ent(spark, [s, None, "no entities here"])
+    assert out[0]["text_decoded"] == s
+    assert out[0]["n_entities"] == 5      # noSemi is not an entity token
+    assert out[1]["text_decoded"] is None
+    assert (out[2]["text_decoded"], out[2]["n_entities"]) == (
+        "no entities here", 0)
+
+
+def test_decode_entities_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = EX.decode_entities(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
