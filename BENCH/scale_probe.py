@@ -429,6 +429,24 @@ def main():
                     F.pmod(F.xxhash64("doc_id"), F.lit(86400)).alias("warc_epoch"),
                     F.col("text").cast("binary").alias("html"),
                 ))),
+            # revisit classification + wire roundtrip: one url-keyed join
+            # vs the prior index (prior ∝ N/2), sha256 + codec per row in
+            # the scan — half the corpus writes body-less revisit records
+            "warc_revisit": lambda: WA.warc_records(WA.pages_to_warc(
+                WA.classify_revisits(
+                    docs.select(
+                        F.concat(F.lit("http://h/"), "doc_id").alias("url"),
+                        F.col("text").cast("binary").alias("html"),
+                        F.lit(1704067200).cast("long").alias("warc_epoch"),
+                    ),
+                    docs.filter(F.pmod("doc_id", F.lit(2)) == 0).select(
+                        F.concat(F.lit("http://h/"), "doc_id").alias("url"),
+                        F.sha2(F.col("text").cast("binary"), 256)
+                        .alias("digest"),
+                        F.lit(1600000000).cast("long").alias("warc_epoch"),
+                    )),
+                rec_type_col="rec_type", refers_epoch_col="refers_to_epoch",
+                digest_col="digest")),
             # image dHash near-dup: per-row BMP decode + 64-bit hash in
             # one scan, then the Manku banding equi-join — dup pair
             # volume ∝ N (3-sharing groups), cross-group collisions

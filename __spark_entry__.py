@@ -935,6 +935,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.md5(F.col("html")).alias("payload_md5"),
         ).orderBy("url")
 
+    def q_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Cross-crawl revisit records (warc.classify_revisits +
+        pages_to_warc + warc_records): CC's recrawl dedup — a refetch
+        whose sha256 payload digest matches the prior crawl's capture of
+        the same url is written as a body-less ``revisit`` record
+        pointing at the original capture. doc_id%3 rotates unchanged /
+        changed / fresh pages so both record types populate at every sf,
+        and the result is read back OFF THE WIRE (encode -> gzip-member
+        -> parse), so the hash match proves classification AND the
+        revisit framing (profile, refers-to date, payload digest)
+        round-trip. The oracle recomputes the expected records
+        directly."""
+        from firmwarescraper_spark.sources import warc as W
+
+        docs = _t(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull())
+        url = F.concat(F.lit("http://corpus.example/"), F.col("source"),
+                       F.lit("/"), F.col("doc_id"))
+        pages = docs.select(
+            url.alias("url"),
+            F.col("text").cast("binary").alias("html"),
+            F.lit(1704067200).cast("long").alias("warc_epoch"),
+        )
+        prior = docs.filter(F.col("doc_id") % 3 < 2).select(
+            url.alias("url"),
+            F.sha2(
+                F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+                .otherwise(F.concat(F.col("text"), F.lit("-old")))
+                .cast("binary"), 256).alias("digest"),
+            (F.lit(1600000000) + F.col("doc_id") % 86400)
+            .cast("long").alias("warc_epoch"),
+        )
+        cls = W.classify_revisits(pages, prior)
+        recs = W.warc_records(W.pages_to_warc(
+            cls, rec_type_col="rec_type",
+            refers_epoch_col="refers_to_epoch", digest_col="digest"))
+        return recs.select(
+            "url", "rec_type", "refers_to_epoch", "payload_digest"
+        ).orderBy("url")
+
     def _synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Deterministic messy-URL corpus for the CDX/SURT rows: mixed
         case, a www prefix, default and non-default ports, unsorted
@@ -1734,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_mix": q_budget_mix,
         "global_shuffle": q_global_shuffle,
         "warc_roundtrip": q_warc_roundtrip,
+        "warc_revisit": q_warc_revisit,
         "classifier_score": q_classifier_score,
         "classifier_train": q_classifier_train,
         "quality_train_filter": q_quality_train_filter,
@@ -3353,6 +3394,17 @@ def oracle_sql() -> dict[str, str]:
         # warc_roundtrip: the oracle recomputes the page rows directly —
         # equality with the Spark side (which goes through real WARC/HTTP/
         # gzip framing and back) proves the wire round trip byte-identical
+        "warc_revisit": """
+            SELECT 'http://corpus.example/' || source || '/' || doc_id AS url,
+                   CASE WHEN doc_id % 3 = 0 THEN 'revisit'
+                        ELSE 'response' END AS rec_type,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 1600000000 + doc_id % 86400 END::BIGINT
+                       AS refers_to_epoch,
+                   CASE WHEN doc_id % 3 = 0 THEN sha256(text) END
+                       AS payload_digest
+            FROM documents WHERE text IS NOT NULL ORDER BY url
+        """,
         "warc_roundtrip": """
             WITH p AS (
               SELECT 'http://corpus.example/' || source || '/'

@@ -60,20 +60,41 @@ def _record_id(uri: str, epoch_sec: int) -> str:
     return f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
 
 
+_REVISIT_PROFILE = \
+    "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+
+
 def encode_record(uri: str, epoch_sec: int, payload: bytes,
                   rec_type: str = "response", http_status: int = 200,
-                  gzip_member: bool = True) -> bytes:
+                  gzip_member: bool = True, refers_to_epoch: int = None,
+                  payload_digest: str = None) -> bytes:
     """One WARC/1.0 record; for ``rec_type='response'`` the block is a raw
     HTTP/1.1 message wrapping ``payload`` (Common Crawl's response
-    layout). Returns the record as its own gzip member when
-    ``gzip_member`` (CC's .warc.gz layout) else plain bytes."""
+    layout). ``rec_type='revisit'`` emits CC's cross-crawl dedup record
+    (identical-payload-digest profile): an EMPTY block (deterministic;
+    the spec allows the fetched HTTP headers, which this engine does not
+    retain) with WARC-Profile, WARC-Refers-To-Target-URI (same URI —
+    the identical-URL revisit CC emits), WARC-Refers-To-Date pointing at
+    the prior capture, and WARC-Payload-Digest carrying ``payload_digest``.
+    Returns the record as its own gzip member when ``gzip_member``
+    (CC's .warc.gz layout) else plain bytes."""
     epoch_sec = int(epoch_sec)   # numpy ints format identically after this
+    extra = ""
     if rec_type == "response":
         http_head = (f"HTTP/1.1 {http_status} OK\r\n"
                      f"Content-Type: text/html; charset=utf-8\r\n"
                      f"Content-Length: {len(payload)}\r\n\r\n").encode()
         block = http_head + payload
         content_type = "application/http; msgtype=response"
+    elif rec_type == "revisit":
+        block = b""
+        content_type = "application/http; msgtype=response"
+        extra = (f"WARC-Profile: {_REVISIT_PROFILE}\r\n"
+                 f"WARC-Refers-To-Target-URI: {uri}\r\n"
+                 f"WARC-Refers-To-Date: "
+                 f"{_warc_date(int(refers_to_epoch or 0))}\r\n")
+        if payload_digest:
+            extra += f"WARC-Payload-Digest: {payload_digest}\r\n"
     else:
         block = payload
         content_type = "application/octet-stream"
@@ -82,6 +103,7 @@ def encode_record(uri: str, epoch_sec: int, payload: bytes,
             f"WARC-Target-URI: {uri}\r\n"
             f"WARC-Date: {_warc_date(epoch_sec)}\r\n"
             f"WARC-Record-ID: {_record_id(uri, epoch_sec)}\r\n"
+            + extra +
             f"Content-Type: {content_type}\r\n"
             f"Content-Length: {len(block)}\r\n\r\n").encode()
     rec = head + block + _CRLF + _CRLF
@@ -170,8 +192,17 @@ def _parse_one(buf: bytes, pos: int):
             except (IndexError, ValueError):
                 status = 0
             payload = block[he + 4:]
+    rdate = headers.get(b"warc-refers-to-date", b"").decode("ascii", "replace")
+    try:
+        refers_epoch = int(datetime.strptime(rdate, "%Y-%m-%dT%H:%M:%SZ")
+                           .replace(tzinfo=timezone.utc).timestamp())
+    except ValueError:
+        refers_epoch = None
     return ({"rec_type": rec_type, "uri": uri, "epoch_sec": epoch,
-             "http_status": status, "payload": payload},
+             "http_status": status, "payload": payload,
+             "refers_to_epoch": refers_epoch,
+             "payload_digest": headers.get(b"warc-payload-digest", b"")
+             .decode("ascii", "replace") or None},
             block_start + length + 4)
 
 
@@ -191,25 +222,43 @@ _PAGE_SCHEMA = StructType([
 
 def pages_to_warc(pages: DataFrame, url_col: str = "url",
                   epoch_col: str = "warc_epoch", payload_col: str = "html",
-                  status_col: str = None,
+                  status_col: str = None, rec_type_col: str = None,
+                  refers_epoch_col: str = None, digest_col: str = None,
                   gzip_members: bool = True) -> DataFrame:
     """Encode page rows into WARC blobs — one multi-record blob per Arrow
     batch, each record its own gzip member (so blobs concatenate into a
     valid .warc.gz). Scan-fused mapInPandas: no shuffle; at 100 TB this
     is the shape of the fetch-sink stage (one ~1 GB file per task).
     ``status_col`` carries the HTTP status into the record's HTTP head
-    (default: 200 for every row)."""
-    cols = [url_col, epoch_col, payload_col] + ([status_col] if status_col else [])
+    (default: 200 for every row). ``rec_type_col`` (usually the
+    ``classify_revisits`` output) switches rows between full response
+    records and CC revisit records; revisit rows read their prior
+    capture's date from ``refers_epoch_col`` and carry ``digest_col``
+    as WARC-Payload-Digest — their payload bytes are NOT written (the
+    entire point of the revisit record: a 10^10-page recrawl whose
+    corpus barely changed writes digests, not bodies)."""
+    cols = ([url_col, epoch_col, payload_col]
+            + [c for c in (status_col, rec_type_col, refers_epoch_col,
+                           digest_col) if c])
 
     def enc(batches):
         import pandas as pd
         for pdf in batches:
-            statuses = pdf[status_col] if status_col else [200] * len(pdf)
+            n = len(pdf)
+            statuses = pdf[status_col] if status_col else [200] * n
+            rtypes = pdf[rec_type_col] if rec_type_col else ["response"] * n
+            refers = pdf[refers_epoch_col] if refers_epoch_col else [0] * n
+            digests = pdf[digest_col] if digest_col else [None] * n
             parts = [
-                encode_record(u, e, bytes(p), http_status=int(s),
-                              gzip_member=gzip_members)
-                for u, e, p, s in zip(pdf[url_col], pdf[epoch_col],
-                                      pdf[payload_col], statuses)
+                encode_record(
+                    u, e, b"" if t == "revisit" else bytes(p),
+                    rec_type=str(t), http_status=int(s),
+                    gzip_member=gzip_members,
+                    refers_to_epoch=int(r) if r == r and r is not None else 0,
+                    payload_digest=d if isinstance(d, str) else None)
+                for u, e, p, s, t, r, d in zip(
+                    pdf[url_col], pdf[epoch_col], pdf[payload_col],
+                    statuses, rtypes, refers, digests)
             ]
             if parts:
                 yield pd.DataFrame({"warc": [b"".join(parts)]})
@@ -238,6 +287,82 @@ def warc_to_pages(blobs: DataFrame, blob_col: str = "warc") -> DataFrame:
 
     out = blobs.select(blob_col).mapInPandas(dec, _PAGE_SCHEMA)
     return out
+
+
+_RECORD_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("rec_type", StringType()),
+    StructField("warc_epoch", LongType()),
+    StructField("http_status", IntegerType()),
+    StructField("refers_to_epoch", LongType()),
+    StructField("payload_digest", StringType()),
+])
+
+
+def warc_records(blobs: DataFrame, blob_col: str = "warc") -> DataFrame:
+    """Record-level metadata view of WARC blobs — EVERY record type
+    (response, revisit, warcinfo, ...), payload bytes dropped. This is
+    the crawl-accounting read path: revisit fraction per segment, digest
+    coverage, capture timeline — the stats CC publishes per crawl.
+    Same scan-fused mapInPandas shape as warc_to_pages."""
+
+    def dec(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = [
+                (r["uri"], r["rec_type"], r["epoch_sec"], r["http_status"],
+                 r["refers_to_epoch"], r["payload_digest"])
+                for blob in pdf[blob_col] if blob is not None
+                for r in parse_warc_bytes(bytes(blob))
+            ]
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "url", "rec_type", "warc_epoch", "http_status",
+                    "refers_to_epoch", "payload_digest"])
+
+    return blobs.select(blob_col).mapInPandas(dec, _RECORD_SCHEMA)
+
+
+def classify_revisits(pages: DataFrame, prior: DataFrame,
+                      url_col: str = "url", payload_col: str = "html",
+                      digest_col: str = "digest",
+                      prior_epoch_col: str = "warc_epoch") -> DataFrame:
+    """Cross-crawl dedup classification — CC's revisit-record semantics:
+    a refetched page whose payload digest equals the prior crawl's
+    capture of the SAME url becomes a ``revisit`` (written without its
+    body, pointing at the original capture); changed or fresh urls stay
+    ``response``. ``prior`` is (url, digest, prior-epoch) — exactly the
+    per-SURT cdx_index projection a deployment already has per cycle.
+
+    Digest is sha256 hex of the payload (CC ships sha1-base32;
+    digest-agnostic by design — both sides of the comparison use the
+    same function, documented divergence). Output: the page rows plus
+    (digest, rec_type, refers_to_epoch) — feed straight into
+    ``pages_to_warc(rec_type_col=..., refers_epoch_col=...,
+    digest_col=...)``.
+
+    Scale shape: one url-keyed equi-join against the prior index —
+    exchange-free on the index side when it is stored bucketed by url
+    (the anti_join_cdx layout); the only new column work is one sha256
+    per page, fused into the scan."""
+    d = pages.withColumn(digest_col, F.sha2(F.col(payload_col), 256))
+    pr = prior.select(
+        F.col(url_col),
+        F.col(digest_col).alias("_prior_digest"),
+        F.col(prior_epoch_col).alias("_prior_epoch"),
+    )
+    joined = d.join(pr, url_col, "left")
+    is_rev = (F.col("_prior_digest").isNotNull()
+              & (F.col("_prior_digest") == F.col(digest_col)))
+    return (
+        joined.withColumn(
+            "rec_type",
+            F.when(is_rev, F.lit("revisit")).otherwise(F.lit("response")))
+        .withColumn(
+            "refers_to_epoch",
+            F.when(is_rev, F.col("_prior_epoch")).cast("long"))
+        .drop("_prior_digest", "_prior_epoch")
+    )
 
 
 # ---------------------------------------------------------------------------

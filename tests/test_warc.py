@@ -137,3 +137,73 @@ def test_file_sink_source_roundtrip(spark, pages, tmp_path):
     # each file is a valid standalone multi-member .warc.gz
     with open(manifest[0][0], "rb") as f:
         assert next(iter(W.parse_warc_bytes(f.read())))["rec_type"] == "response"
+
+
+# ---------------------------------------------------------------------------
+# revisit records (CC cross-crawl dedup)
+# ---------------------------------------------------------------------------
+
+def test_revisit_record_codec():
+    rec = _mk(rec_type="revisit", refers_to_epoch=1600000000,
+              payload_digest="sha256:ab12", gzip_member=False)
+    # empty block, profile + refers headers present on the wire
+    assert b"WARC-Type: revisit" in rec
+    assert b"WARC-Profile: " + W._REVISIT_PROFILE.encode() in rec
+    assert b"WARC-Refers-To-Target-URI: http://a.example/x?b=2&a=1" in rec
+    assert b"WARC-Refers-To-Date: 2020-09-13" in rec
+    assert b"Content-Length: 0\r\n" in rec
+    (r,) = list(W.parse_warc_bytes(rec))
+    assert (r["rec_type"], r["payload"]) == ("revisit", b"")
+    assert r["refers_to_epoch"] == 1600000000
+    assert r["payload_digest"] == "sha256:ab12"
+    # response records parse with the new fields absent
+    (r2,) = list(W.parse_warc_bytes(_mk(gzip_member=False)))
+    assert r2["refers_to_epoch"] is None and r2["payload_digest"] is None
+
+
+def test_classify_revisits_semantics(spark):
+    import hashlib
+    pages = spark.createDataFrame(
+        [("u/same", 200, b"same-body"), ("u/changed", 201, b"new-body"),
+         ("u/fresh", 202, b"fresh-body")],
+        "url string, warc_epoch long, html binary")
+    prior = spark.createDataFrame(
+        [("u/same", hashlib.sha256(b"same-body").hexdigest(), 100),
+         ("u/changed", hashlib.sha256(b"old-body").hexdigest(), 101)],
+        "url string, digest string, warc_epoch long")
+    out = {r["url"]: r
+           for r in W.classify_revisits(pages, prior).collect()}
+    assert (out["u/same"]["rec_type"],
+            out["u/same"]["refers_to_epoch"]) == ("revisit", 100)
+    # digest mismatch and fresh url both stay full responses
+    assert out["u/changed"]["rec_type"] == "response"
+    assert out["u/changed"]["refers_to_epoch"] is None
+    assert out["u/fresh"]["rec_type"] == "response"
+
+
+def test_revisit_wire_roundtrip_drops_bodies(spark):
+    import hashlib
+    pages = spark.createDataFrame(
+        [("u/same", 200, b"same-body"), ("u/fresh", 202, b"fresh-body")],
+        "url string, warc_epoch long, html binary")
+    prior = spark.createDataFrame(
+        [("u/same", hashlib.sha256(b"same-body").hexdigest(), 100)],
+        "url string, digest string, warc_epoch long")
+    cls = W.classify_revisits(pages, prior)
+    blobs = W.pages_to_warc(cls, rec_type_col="rec_type",
+                            refers_epoch_col="refers_to_epoch",
+                            digest_col="digest")
+    # the revisit body never reaches the wire (gzip.decompress handles
+    # the concatenated-member layout)
+    blob = b"".join(bytes(r["warc"]) for r in blobs.collect())
+    wire = gzip.decompress(blob)
+    assert b"same-body" not in wire and b"fresh-body" in wire
+    recs = {r["url"]: r for r in W.warc_records(blobs).collect()}
+    assert recs["u/same"]["rec_type"] == "revisit"
+    assert recs["u/same"]["refers_to_epoch"] == 100
+    assert recs["u/same"]["payload_digest"] == \
+        hashlib.sha256(b"same-body").hexdigest()
+    # corpus view excludes revisits, keeps the fresh response
+    corpus = W.warc_to_pages(blobs).collect()
+    assert [r["url"] for r in corpus] == ["u/fresh"]
+    assert bytes(corpus[0]["html"]) == b"fresh-body"
