@@ -392,6 +392,23 @@ def main():
                               "search login"),
                         F.col("text")).alias("text"),
                 )),
+            # host-level curation profile: two map-side-combinable
+            # host-keyed aggs + one 1-row global-mean broadcast; hosts
+            # ∝ N (~50 docs each) so group sizes stay constant
+            "host_profile": lambda: CU.host_profile(
+                docs.select(
+                    "doc_id",
+                    F.concat(F.lit("h"),
+                             F.pmod("doc_id", F.lit(max(2, n // 50)))
+                             ).alias("source"),
+                    ((F.pmod(F.xxhash64("doc_id"), F.lit(1024)))
+                     / F.lit(1024.0)).alias("q"),
+                    F.element_at(
+                        F.array(F.lit("en"), F.lit("en"), F.lit("en"),
+                                F.lit("de"), F.lit("fr")),
+                        (F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(5))
+                         + 1).cast("int")).alias("lang"),
+                )),
             # token-budget mixture: per-(source, hash-bucket) windows —
             # budgets ∝ N so the kept fraction is scale-constant
             "budget_mix": lambda: CU.budget_mix(

@@ -1342,6 +1342,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return CU.site_boilerplate(templated).orderBy("doc_id")
 
+    def q_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Host-level curation profile (curation.host_profile):
+        empirical-Bayes shrunk quality prior + majority language +
+        agreement per host. q is md5-derived as k/1024 — a dyadic
+        rational, so cross-engine double sums are EXACT in any
+        aggregation order (the float-determinism trick for this row);
+        lang rotates en/de/fr/ja at 60/20/10/10 so real majorities
+        exist. The oracle replays the aggregation with a row_number
+        majority pick under the same (count, lang) total order."""
+        from firmwarescraper_spark.operators import curation as CU
+        from firmwarescraper_spark.operators.dedup import _md5_hash64
+
+        docs = _t(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull())
+        sid = F.col("doc_id").cast("string")
+        hq = _md5_hash64(F.concat(F.lit("hq|"), sid))
+        hl = _md5_hash64(F.concat(F.lit("hl|"), sid)) % 10
+        d = docs.select(
+            "doc_id", "source",
+            ((hq % 1024) / F.lit(1024.0)).alias("q"),
+            F.when(hl < 6, F.lit("en")).when(hl < 8, F.lit("de"))
+            .when(hl < 9, F.lit("fr")).otherwise(F.lit("ja")).alias("lang"),
+        )
+        return CU.host_profile(d).orderBy("source")
+
     def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Benchmark decontamination (curation.decontaminate — the GPT-3
         appendix-C n-gram overlap rule): docs with doc_id % 97 == 0 stand
@@ -1797,6 +1822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "chunk_dedup_apply": q_chunk_dedup_apply,
         "site_boilerplate": q_site_boilerplate,
+        "host_profile": q_host_profile,
         "decontaminate": q_decontaminate,
         "domain_mix": q_domain_mix,
         "c4_clean": q_c4_clean,
@@ -3435,6 +3461,35 @@ def oracle_sql() -> dict[str, str]:
         "chunk_dedup": _CHUNK_DEDUP_SQL,
         "chunk_dedup_apply": _CHUNK_DEDUP_APPLY_SQL,
         "site_boilerplate": _SITE_BOILERPLATE_SQL,
+        "host_profile": """
+            WITH d AS (
+                SELECT doc_id, source,
+                       (('0x' || substr(md5('hq|' || doc_id), 1, 15))::BIGINT
+                        % 1024) / 1024.0 AS q,
+                       CASE WHEN ('0x' || substr(md5('hl|' || doc_id), 1, 15))
+                                 ::BIGINT % 10 < 6 THEN 'en'
+                            WHEN ('0x' || substr(md5('hl|' || doc_id), 1, 15))
+                                 ::BIGINT % 10 < 8 THEN 'de'
+                            WHEN ('0x' || substr(md5('hl|' || doc_id), 1, 15))
+                                 ::BIGINT % 10 < 9 THEN 'fr'
+                            ELSE 'ja' END AS lang
+                FROM documents WHERE text IS NOT NULL),
+            pl AS (SELECT source, lang, count(*) AS c
+                   FROM d GROUP BY source, lang),
+            mj AS (SELECT source, lang, c,
+                          row_number() OVER (PARTITION BY source
+                              ORDER BY c DESC, lang DESC) AS rn,
+                          sum(c) OVER (PARTITION BY source) AS n_docs
+                   FROM pl),
+            qs AS (SELECT source, sum(q) AS sq FROM d GROUP BY source),
+            mu AS (SELECT round(avg(q), 6) AS mu FROM d)
+            SELECT m.source, m.n_docs::BIGINT AS n_docs,
+                   round((qs.sq + 20 * mu.mu) / (m.n_docs + 20), 6) AS q_prior,
+                   m.lang AS major_lang,
+                   round(m.c / m.n_docs::DOUBLE, 6) AS lang_agreement
+            FROM mj m JOIN qs USING (source) CROSS JOIN mu
+            WHERE m.rn = 1 ORDER BY m.source
+        """,
         "decontaminate": _DECONTAMINATE_SQL,
         "domain_mix": _DOMAIN_MIX_SQL,
         "c4_clean": _C4_CLEAN_SQL,

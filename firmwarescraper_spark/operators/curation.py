@@ -590,6 +590,60 @@ def domain_mix(
     )
 
 
+def host_profile(
+    df: DataFrame,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    q_col: str = "q",
+    lang_col: str = "lang",
+    shrink_k: float = 20.0,
+) -> DataFrame:
+    """Per-HOST curation profile — the host-level pruning signal real
+    pipelines apply before any per-document filter (spam hosts, SEO
+    farms, and mis-languaged mirrors are cheaper to drop wholesale than
+    doc-by-doc; CCNet routes per-domain, RefinedWeb prunes whole
+    domains). Three signals per host:
+
+    * ``q_prior`` — empirical-Bayes shrunk mean quality:
+      (sum_q + k*mu) / (n + k) with mu the corpus-global mean — a
+      2-doc host cannot earn an extreme prior from two lucky pages,
+      while a 10^4-doc host's prior converges to its own mean.
+    * ``major_lang`` / ``lang_agreement`` — majority language and the
+      fraction of the host's docs agreeing with it (ties break toward
+      the lexicographically GREATER language tag — a total order both
+      engines share).
+
+    Scale shape: one (host, lang)-keyed count + one host-keyed
+    struct-max fold (both map-side combinable; language cardinality is
+    tiny so the intermediate is ~|hosts|x|langs|), one host-keyed sum
+    for quality, and ONE global scalar broadcast back — never a
+    corpus-wide sort or window. Determinism: priors and agreement
+    round to 6; the global mean is rounded to 6 BEFORE the shrinkage
+    arithmetic so both engines fold identical inputs."""
+    per_lang = df.groupBy(host_col, lang_col).agg(
+        F.count("*").alias("_c"))
+    major = per_lang.groupBy(host_col).agg(
+        F.max(F.struct(F.col("_c"), F.col(lang_col))).alias("_m"),
+        F.sum("_c").alias("n_docs"),
+    )
+    qsum = df.groupBy(host_col).agg(F.sum(q_col).alias("_qs"))
+    mu = df.agg(F.round(F.avg(q_col), 6).alias("_mu"))
+    return (
+        major.join(qsum, host_col)
+        .crossJoin(F.broadcast(mu))
+        .select(
+            host_col,
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.round(
+                (F.col("_qs") + F.lit(shrink_k) * F.col("_mu"))
+                / (F.col("n_docs") + F.lit(shrink_k)), 6).alias("q_prior"),
+            F.col("_m")[lang_col].alias("major_lang"),
+            F.round(F.col("_m")["_c"] / F.col("n_docs"), 6)
+            .alias("lang_agreement"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # C4-style line-level cleaning (Raffel et al. 2020, §2.2 heuristics)
 # ---------------------------------------------------------------------------

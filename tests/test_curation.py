@@ -1023,3 +1023,54 @@ def test_upsample_epochs_no_shuffle(spark):
         _docs(spark, rows), {"src0": 15_000}
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# host-level curation profile
+# ---------------------------------------------------------------------------
+
+def _hp(spark, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, q double, lang string")
+    return {r["source"]: r for r in CU.host_profile(df).collect()}
+
+
+def test_host_profile_hand_values(spark):
+    out = _hp(spark, [
+        (0, "a", 0.9, "en"), (1, "a", 0.9, "en"), (2, "a", 0.9, "de"),
+        (3, "b", 0.1, "fr"),
+    ])
+    # mu = 0.7; a: (2.7 + 14) / 23, b: (0.1 + 14) / 21
+    assert out["a"]["n_docs"] == 3
+    assert out["a"]["q_prior"] == round((2.7 + 20 * 0.7) / 23, 6)
+    assert (out["a"]["major_lang"], out["a"]["lang_agreement"]) == (
+        "en", round(2 / 3, 6))
+    assert out["b"]["q_prior"] == round((0.1 + 20 * 0.7) / 21, 6)
+    assert (out["b"]["major_lang"], out["b"]["lang_agreement"]) == ("fr", 1.0)
+
+
+def test_host_profile_shrinkage_pulls_small_hosts_to_global(spark):
+    """A small host's prior sits nearer the corpus mean than its own
+    mean; a large host's prior converges to its own mean."""
+    rows = ([(i, "big", 0.9, "en") for i in range(200)]
+            + [(500, "tiny", 0.1, "en")])
+    out = _hp(spark, rows)
+    mu = round((200 * 0.9 + 0.1) / 201, 6)
+    assert abs(out["tiny"]["q_prior"] - mu) < abs(0.1 - mu) / 10
+    assert abs(out["big"]["q_prior"] - 0.9) < 0.01
+
+
+def test_host_profile_lang_tie_breaks_to_greater_tag(spark):
+    out = _hp(spark, [(0, "h", 0.5, "de"), (1, "h", 0.5, "en")])
+    assert out["h"]["major_lang"] == "en"       # 'en' > 'de' at count tie
+    assert out["h"]["lang_agreement"] == 0.5
+
+
+def test_host_profile_no_window_and_global_mean_broadcast(spark):
+    """The majority pick is a struct-max AGGREGATION, never a per-host
+    Window, and the global mean joins back via broadcast."""
+    df = spark.createDataFrame(
+        [(0, "a", 0.5, "en")], "doc_id long, source string, q double, lang string")
+    plan = CU.host_profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan    # the 1-row mu cross join
