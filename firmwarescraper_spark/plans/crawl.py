@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -479,6 +480,17 @@ class CrawlEngine:
         return self._robots_rules, self._host_budget
 
     def run_round(self, rnd: int) -> dict:
+        # per-phase wall times land in self.last_round_phases — the
+        # N→4N efficiency diagnostic (phases that do not shrink with
+        # cores are the serial floor the scaling headline pays for)
+        _ph, _t = {}, time.monotonic()
+
+        def _mark(name):
+            nonlocal _t
+            now = time.monotonic()
+            _ph[name] = round(now - _t, 3)
+            _t = now
+
         frontier = self._read_frontier(rnd)
         seen = self.seen()
 
@@ -501,6 +513,7 @@ class CrawlEngine:
         )
         # dequeued feeds three consumers (fetch join, seen append, metrics)
         dequeued = dequeued.persist()
+        _mark("dequeue")          # incl. politeness phase-2 count gate
 
         # the fetch stage — pluggable (S1, r3 verdict #3). The default
         # CorpusFetcher equi-joins the pages corpus (build side per
@@ -569,6 +582,7 @@ class CrawlEngine:
         present_rules = set(
             ok.agg(F.collect_set("rule")).first()[0]
         )
+        _mark("materialize")      # anti-join + fetch + parse working set
         # T3 retry split: scrapy retries RETRY_HTTP_CODES (5xx/408/429 —
         # simulated 5xx, oversize, network error) RETRY_TIMES=2 times; a
         # 404 is terminal (not in RETRY_HTTP_CODES).
@@ -682,16 +696,49 @@ class CrawlEngine:
             for it in all_items[1:]:
                 items_df = items_df.unionByName(it)
 
-        # normalize children into frontier rows
-        new_frontiers = []
+        # normalize children into frontier rows. The per-rule raw children
+        # (uniform 7-col schema from rulepacks._children) UNION FIRST, tagged
+        # with their producing rule's offsite pattern as a literal, then
+        # repartition and run ONE normalization projection. The two pandas
+        # UDFs (canonicalize, host) each cost a fixed python-worker/Arrow
+        # round trip PER PARTITION PER EVALUATION — normalizing per rule
+        # branch paid that ~10x per round over the union's many thin
+        # partitions (profiled: the children chain alone was ~2.5 s of the
+        # steady round's write phase at local[4], core-count-insensitive —
+        # pure serial floor against the N->4N headline). The repartition
+        # exchange carries raw pre-canonicalization rows (url + small maps)
+        # and caps UDF evaluations at the core count; at cluster scale it
+        # doubles as the balance step for skewed per-rule child volumes.
+        fresh_raw = None
+        offsite_pats = []
         for children, allowed_pattern in all_children:
-            nf = (
-                children.withColumn("canon_url", U.canonicalize_url_udf()(F.col("url")))
+            offsite_pats.append(allowed_pattern)
+            tagged = children.withColumn("_pat", F.lit(allowed_pattern))
+            fresh_raw = tagged if fresh_raw is None \
+                else fresh_raw.unionByName(tagged)
+
+        # frontier(r+1) = deferred ∪ retried misses ∪ fresh children
+        next_frontier = deferred.select([f.name for f in FRONTIER_SCHEMA.fields])
+        if retryable is not None:
+            next_frontier = next_frontier.unionByName(
+                retryable.select([f.name for f in FRONTIER_SCHEMA.fields])
+            )
+        if fresh_raw is not None:
+            # F8 offsite filter: each row checks the pattern its producing
+            # rule declared (literal rlike per distinct pattern — JVM CASE)
+            offsite = F.coalesce(
+                *[F.when(F.col("_pat") == p, F.col("host").rlike(p))
+                  for p in sorted(set(offsite_pats))],
+                F.lit(False),
+            )
+            fresh = (
+                fresh_raw.repartition(self.spark.sparkContext.defaultParallelism)
+                .withColumn("canon_url", U.canonicalize_url_udf()(F.col("url")))
                 .withColumn("fetch_key",
                             U.fetch_key_col(F.col("canon_url"), F.col("form_data")))
                 .withColumn("url_hash", F.xxhash64("fetch_key"))
                 .withColumn("host", U.url_host_udf()(F.col("url")))
-                .filter(F.col("host").rlike(allowed_pattern))  # F8 offsite filter
+                .filter(offsite)
                 .withColumn("priority", FR.priority_score(F.col("url")))
                 # seq is a lexicographically-ordered DFS path key: the pad
                 # width bounds links-per-page (and seeds); %09d holds to
@@ -705,18 +752,6 @@ class CrawlEngine:
                 .withColumn("retry_count", F.lit(0))
                 .select([f.name for f in FRONTIER_SCHEMA.fields])
             )
-            new_frontiers.append(nf)
-
-        # frontier(r+1) = deferred ∪ retried misses ∪ fresh children
-        next_frontier = deferred.select([f.name for f in FRONTIER_SCHEMA.fields])
-        if retryable is not None:
-            next_frontier = next_frontier.unionByName(
-                retryable.select([f.name for f in FRONTIER_SCHEMA.fields])
-            )
-        if new_frontiers:
-            fresh = new_frontiers[0]
-            for nf in new_frontiers[1:]:
-                fresh = fresh.unionByName(nf)
             fresh = FR.dedup_new_children(fresh, seen_add.unionByName(
                 seen.select("url_hash", "fetch_key")))
             # ADVICE r1: a URL that is deferred (or retried) this round and
@@ -748,10 +783,14 @@ class CrawlEngine:
             for q in all_quar[1:]:
                 quar = quar.unionByName(q)
             writes.append(lambda: self._append(quar, "quarantine", rnd))
+        _mark("plan_build")       # driver-only: rule loop + frontier exprs
         with ThreadPoolExecutor(max_workers=len(writes)) as ex:
             for fut in [ex.submit(w) for w in writes]:
                 fut.result()
+        _mark("writes")
         self._commit_round(rnd)
+        _mark("commit")
+        self.last_round_phases = _ph
 
         dequeued.unpersist()
         ok.unpersist()
