@@ -662,6 +662,30 @@ class CrawlEngine:
                 _grp(blocked, zero, zero, F.count("*"), zero)
             )
 
+        # new seen rows: every fetch resolved this round — successes,
+        # terminal failures, and robots-blocked rows (scrapy drops those
+        # permanently too). Retryable misses are NOT seen yet: they must
+        # pass the next round's anti-join to be re-attempted.
+        seen_add = ok.select("url_hash", "fetch_key").unionByName(
+            terminal.select("url_hash", "fetch_key")
+        )
+        if blocked is not None:
+            seen_add = seen_add.unionByName(blocked.select("url_hash", "fetch_key"))
+
+        # the metrics and seen appends depend only on the already-cached
+        # working set — submit them BEFORE the driver builds the rule and
+        # frontier plans, so the ~2-3 s of pure driver-side expression
+        # construction below (core-count-insensitive, a direct serial-floor
+        # hit on the N→4N headline) overlaps their execution instead of
+        # preceding it. The commit marker still waits for EVERY write.
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=5)
+        pending = [
+            pool.submit(self._append, metrics, "fetch_log", rnd),
+            pool.submit(self._append, seen_add, "seen", rnd),
+        ]
+
         # apply only the rule packs present this round. A rule may return an
         # optional third element: quarantine rows (J3 class-map misses —
         # the reference raises UnknownDeviceClassException; the engine
@@ -679,16 +703,6 @@ class CrawlEngine:
                 all_items.append(items)
             if len(res) > 2 and res[2] is not None:
                 all_quar.append(res[2])
-
-        # new seen rows: every fetch resolved this round — successes,
-        # terminal failures, and robots-blocked rows (scrapy drops those
-        # permanently too). Retryable misses are NOT seen yet: they must
-        # pass the next round's anti-join to be re-attempted.
-        seen_add = ok.select("url_hash", "fetch_key").unionByName(
-            terminal.select("url_hash", "fetch_key")
-        )
-        if blocked is not None:
-            seen_add = seen_add.unionByName(blocked.select("url_hash", "fetch_key"))
 
         items_df = None
         if all_items:
@@ -763,30 +777,26 @@ class CrawlEngine:
             )
             next_frontier = next_frontier.unionByName(fresh)
 
-        # the state writes are independent given the cached working set
-        # (ok / dequeued / candidates are materialized) — run them as
-        # concurrent Spark jobs so the round's wall time is parse + the
-        # slowest write, not their sum. None of them is the commit point:
-        # the round-commit marker below is written only after every write
-        # has finished, and resume rolls back anything newer than it.
-        from concurrent.futures import ThreadPoolExecutor
-
-        writes = [
-            lambda: self._append(metrics, "fetch_log", rnd),
-            lambda: self._append(seen_add, "seen", rnd),
-            lambda: self._write_frontier(next_frontier, rnd + 1),
-        ]
+        # the remaining state writes join the two early-submitted ones —
+        # all independent given the cached working set (ok / dequeued /
+        # candidates are materialized), so the round's wall time is parse +
+        # the slowest write, not their sum. None of them is the commit
+        # point: the round-commit marker below is written only after every
+        # write has finished, and resume rolls back anything newer than it.
+        _mark("plan_build")       # driver-only: rule loop + frontier exprs
+        pending.append(pool.submit(self._write_frontier, next_frontier, rnd + 1))
         if items_df is not None:
-            writes.append(lambda: self._append(items_df, "items", rnd))
+            pending.append(pool.submit(self._append, items_df, "items", rnd))
         if all_quar:
             quar = all_quar[0]
             for q in all_quar[1:]:
                 quar = quar.unionByName(q)
-            writes.append(lambda: self._append(quar, "quarantine", rnd))
-        _mark("plan_build")       # driver-only: rule loop + frontier exprs
-        with ThreadPoolExecutor(max_workers=len(writes)) as ex:
-            for fut in [ex.submit(w) for w in writes]:
+            pending.append(pool.submit(self._append, quar, "quarantine", rnd))
+        try:
+            for fut in pending:
                 fut.result()
+        finally:
+            pool.shutdown(wait=False)
         _mark("writes")
         self._commit_round(rnd)
         _mark("commit")
