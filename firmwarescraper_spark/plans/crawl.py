@@ -766,14 +766,20 @@ class CrawlEngine:
                 .withColumn("retry_count", F.lit(0))
                 .select([f.name for f in FRONTIER_SCHEMA.fields])
             )
-            fresh = FR.dedup_new_children(fresh, seen_add.unionByName(
-                seen.select("url_hash", "fetch_key")))
-            # ADVICE r1: a URL that is deferred (or retried) this round and
-            # re-discovered as a child must not enter the frontier twice —
-            # scrapy's RFPDupeFilter dedups at enqueue time against ALL
-            # scheduled requests, and the earlier-scheduled row wins
-            fresh = fresh.join(
-                next_frontier.select("url_hash"), "url_hash", "left_anti"
+            # ONE anti-join covers both dedup obligations: the seen set,
+            # AND (ADVICE r1) the rows already scheduled for next round —
+            # a URL deferred (or retried) this round and re-discovered as
+            # a child must not enter the frontier twice; scrapy's
+            # RFPDupeFilter dedups at enqueue time against ALL scheduled
+            # requests and the earlier-scheduled row wins. Unioning the
+            # key sets before the join (keys are fixed-width url_hash
+            # rows, the union is narrow) replaces what used to be TWO
+            # back-to-back shuffled anti-joins on the same key with one —
+            # the write-floor profile priced each at ~2 exchanges + sort.
+            fresh = FR.dedup_new_children(
+                fresh,
+                seen_add.unionByName(seen.select("url_hash", "fetch_key"))
+                .unionByName(next_frontier.select("url_hash", "fetch_key")),
             )
             next_frontier = next_frontier.unionByName(fresh)
 
