@@ -18,9 +18,17 @@ Python UDFs.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from functools import lru_cache
-from html.parser import HTMLParser
+from html import unescape as _unescape
+from html.parser import (
+    HTMLParser,
+    attrfind_tolerant as _attrfind,
+    endtagfind as _endtagfind,
+    locatestarttagend_tolerant as _locatestart,
+    tagfind_tolerant as _tagfind,
+)
 
 import pandas as pd
 from pyspark.sql.types import (
@@ -31,19 +39,13 @@ from pyspark.sql.types import (
 )
 
 
-@dataclass
-class _Anchor:
-    href: str | None
-    title: str | None
-    onclick: str | None
-    text: str
-    classes: tuple        # the anchor's own class tokens
-    class_attr: str | None
-    div_classes: tuple    # classes of all ancestor <div>s
-    div_ids: tuple        # ids of all ancestor <div>s
-    td_classes: tuple     # classes of the enclosing <td>, if any
-    tr_classes: tuple     # classes of the enclosing <tr>, if any
-    li_classes: tuple     # classes of the enclosing <li>, if any
+# Anchors are plain dicts whose keys match PAGE_STRUCT's anchor struct
+# exactly, built once at <a> start and appended verbatim to doc.anchors —
+# parse_page then ships them with no per-anchor conversion pass (the
+# dataclass->dict copy was the single hottest line of the parse profile).
+# Keys: href, text, title, onclick, classes (own class tokens),
+# class_attr, div_classes / div_ids (all ancestor <div>s), td_classes /
+# tr_classes / li_classes (enclosing cell/row/item classes).
 
 
 @dataclass
@@ -115,18 +117,30 @@ class _ParsedDoc:
 
 _BOLD_STYLE = "FONT-WEIGHT: bold"
 
+# close-tag patterns for the fast scanner's raw-text (CDATA) elements —
+# the same patterns HTMLParser.set_cdata_mode compiles per element
+_CDATA_CLOSE = {
+    "script": re.compile(r"</\s*script\s*>", re.I),
+    "style": re.compile(r"</\s*style\s*>", re.I),
+}
+
 
 class _Parser(HTMLParser):
     def __init__(self, raw: str):
         super().__init__(convert_charrefs=True)
         self.raw = raw
         self.doc = _ParsedDoc(raw=raw)
-        self._line_offsets = [0]
-        for i, ch in enumerate(raw):
-            if ch == "\n":
-                self._line_offsets.append(i + 1)
+        # absolute offset of the tag being dispatched by the fast scanner;
+        # None on the stdlib fallback path (then _abs derives it from
+        # getpos() + a lazily built newline index)
+        self._fast_pos: int | None = None
+        self._line_offsets: list[int] | None = None
         self._div_stack: list[_DivBlock] = []
-        self._cur_anchor: _Anchor | None = None
+        # cumulative ancestor-div class/id tuples, one entry per open div
+        # (index 0 = document root): anchors read the top in O(1)
+        self._div_cum_cls: list[tuple] = [()]
+        self._div_cum_ids: list[tuple] = [()]
+        self._cur_anchor: dict | None = None
         self._in_pre = 0
         self._in_head = 0
         self._in_script = 0
@@ -142,18 +156,174 @@ class _Parser(HTMLParser):
         self._span_in_cell: list | None = None  # first-text sink of open span in cell
 
     def _abs(self) -> int:
+        p = self._fast_pos
+        if p is not None:
+            return p
         line, col = self.getpos()
         return self._line_offsets[line - 1] + col
+
+    def _prepare_stdlib(self):
+        """Arm the stdlib-path position machinery (newline index for
+        _abs); the fast scanner tracks absolute offsets directly."""
+        self._fast_pos = None
+        self._line_offsets = offs = [0]
+        raw = self.raw
+        idx = raw.find("\n")
+        while idx != -1:
+            offs.append(idx + 1)
+            idx = raw.find("\n", idx + 1)
+
+    def _fast_feed(self) -> bool:
+        """Single-pass scan equivalent to ``feed(raw); close()`` for
+        well-formed markup — the crawl hot path (HTMLParser's goahead /
+        parse_starttag / updatepos machinery was ~half the round's parse
+        profile). Tag and attribute parsing reuse the stdlib's own
+        tolerant regexes, so every construct this scanner ACCEPTS parses
+        byte-identically to HTMLParser; anything unusual (bogus tags,
+        declarations with brackets, PIs, unterminated constructs, text
+        '<') returns False and the caller replays the page through the
+        stdlib parser. Offsets for div/td spans come from the scan
+        position itself (self._fast_pos)."""
+        raw = self.raw
+        n = len(raw)
+        find = raw.find
+        handle_data = self.handle_data
+        i = 0
+        while i < n:
+            lt = find("<", i)
+            if lt != i:
+                j = n if lt < 0 else lt
+                text = raw[i:j]
+                if "&" in text:
+                    text = _unescape(text)
+                handle_data(text)
+                if lt < 0:
+                    return True
+            c = raw[lt + 1:lt + 2]
+            if c.isalpha():
+                # mirror of HTMLParser.check_for_whole_start_tag
+                m = _locatestart.match(raw, lt)
+                j = m.end()
+                nxt = raw[j:j + 1]
+                if nxt == ">":
+                    endpos = j + 1
+                elif nxt == "/" and raw.startswith("/>", j):
+                    endpos = j + 2
+                else:
+                    return False  # bogus/unterminated start tag
+                # mirror of HTMLParser.parse_starttag
+                tagm = _tagfind.match(raw, lt + 1)
+                tag = tagm.group(1).lower()
+                k = tagm.end()
+                attrs = []
+                while k < endpos:
+                    am = _attrfind.match(raw, k)
+                    if not am:
+                        break
+                    attrname, rest, attrvalue = am.group(1, 2, 3)
+                    if not rest:
+                        attrvalue = None
+                    elif attrvalue[:1] == "'" == attrvalue[-1:] or \
+                            attrvalue[:1] == '"' == attrvalue[-1:]:
+                        attrvalue = attrvalue[1:-1]
+                    if attrvalue:
+                        attrvalue = _unescape(attrvalue)
+                    attrs.append((attrname.lower(), attrvalue))
+                    k = am.end()
+                end = raw[k:endpos].strip()
+                if end == ">":
+                    self._fast_pos = lt
+                    self.handle_starttag(tag, attrs)
+                    if tag in ("script", "style"):
+                        cm = _CDATA_CLOSE[tag].search(raw, endpos)
+                        if not cm:
+                            return False  # unterminated raw-text element
+                        em = _endtagfind.match(raw, cm.start())
+                        if not em or em.group(1).lower() != tag:
+                            return False
+                        if cm.start() > endpos:
+                            # raw-text content: charrefs NOT converted
+                            handle_data(raw[endpos:cm.start()])
+                        self._fast_pos = cm.start()
+                        self.handle_endtag(tag)
+                        i = em.end()
+                        continue
+                elif end == "/>":
+                    self._fast_pos = lt
+                    self.handle_starttag(tag, attrs)
+                    self.handle_endtag(tag)
+                else:
+                    return False  # stdlib would re-emit the tag as data
+                i = endpos
+            elif c == "/":
+                em = _endtagfind.match(raw, lt)
+                if not em:
+                    return False  # '</>' / junk-attred end tag
+                self._fast_pos = lt
+                self.handle_endtag(em.group(1).lower())
+                i = em.end()
+            elif c == "!":
+                if raw.startswith("<!--", lt):
+                    j = find("-->", lt + 4)
+                    if j < 0:
+                        return False
+                    i = j + 3
+                else:
+                    # simple declaration (<!DOCTYPE html>) — ignored, like
+                    # the un-overridden handle_decl; bracketed internal
+                    # subsets go to the stdlib path
+                    j = find(">", lt)
+                    if j < 0 or "[" in raw[lt:j]:
+                        return False
+                    i = j + 1
+            else:
+                return False  # PI, literal '<' text, lone '<' at EOF
+        return True
 
     @staticmethod
     def _classes(a: dict) -> tuple:
         return tuple((a.get("class") or "").split())
 
     # -- tags -------------------------------------------------------------
+    # Dispatched per tag so the attr dict / class split only happens for
+    # tags that consume them (the generic prologue was ~9% of the parse
+    # profile). Behavior is identical to the original single-chain form.
     def handle_starttag(self, tag, attrs):
-        a = dict(attrs)
-        cls = self._classes(a)
+        if tag == "a":
+            a = dict(attrs)
+            href = a.get("href")
+            title = a.get("title")
+            klass = a.get("class")
+            self._cur_anchor = {
+                "href": href,
+                "text": "",
+                "title": title,
+                "onclick": a.get("onclick"),
+                "classes": self._classes(a),
+                "class_attr": klass,
+                # cumulative ancestor-div tuples maintained on div
+                # push/pop — O(1) per anchor instead of a stack walk
+                "div_classes": self._div_cum_cls[-1],
+                "div_ids": self._div_cum_ids[-1],
+                "td_classes": self._td_stack[-1] if self._td_stack else (),
+                "tr_classes": self._tr_stack[-1] if self._tr_stack else (),
+                "li_classes": self._li_stack[-1] if self._li_stack else (),
+            }
+            cell = self._cur_cell
+            if cell is not None:
+                if href is not None:
+                    cell.hrefs.append(href)
+                    if klass is not None:
+                        cell.classed_hrefs.append(href)
+                if title is not None:
+                    cell.a_titles.append(title)
+            return
+        if tag == "pre":
+            self._in_pre += 1
+            return
         if tag == "div":
+            a = dict(attrs)
+            cls = self._classes(a)
             start = self._abs()
             parent = self._div_stack[-1] if self._div_stack else None
             if a.get("data-class"):
@@ -168,77 +338,88 @@ class _Parser(HTMLParser):
             )
             blk.inner_start = self.raw.find(">", start) + 1
             self._div_stack.append(blk)
-        elif tag == "a":
-            self._cur_anchor = _Anchor(
-                href=a.get("href"),
-                title=a.get("title"),
-                onclick=a.get("onclick"),
-                text="",
-                classes=cls,
-                class_attr=a.get("class"),
-                div_classes=tuple(c for b in self._div_stack for c in b.classes),
-                div_ids=tuple(b.div_id for b in self._div_stack if b.div_id),
-                td_classes=self._td_stack[-1] if self._td_stack else (),
-                tr_classes=self._tr_stack[-1] if self._tr_stack else (),
-                li_classes=self._li_stack[-1] if self._li_stack else (),
-            )
-            if self._cur_cell is not None:
-                if a.get("href") is not None:
-                    self._cur_cell.hrefs.append(a.get("href"))
-                    if a.get("class") is not None:
-                        self._cur_cell.classed_hrefs.append(a.get("href"))
-                if a.get("title") is not None:
-                    self._cur_cell.a_titles.append(a.get("title"))
-        elif tag == "pre":
-            self._in_pre += 1
-        elif tag == "head":
-            self._in_head += 1
-        elif tag == "script":
-            self._in_script += 1
-            self._script_buf = []
-        elif tag == "tr":
-            self._cur_row = _Row(tr_classes=cls, onclick=a.get("onclick"))
-            self._tr_stack.append(cls)
-        elif tag in ("td", "th"):
-            start = self._abs()
-            self._cur_cell = _Cell(
-                td_classes=cls, direct_text="", texts=[], hrefs=[], a_titles=[],
-                a_texts=[], classed_hrefs=[], span_first_texts=[], input_names=[],
-                inner_start=self.raw.find(">", start) + 1,
-            )
-            self._td_stack.append(cls)
-        elif tag == "li":
-            self._li_stack.append(cls)
-        elif tag == "p":
-            self._cur_para = _Para()
-        elif tag == "strong":
-            if self._cur_para is not None:
-                self._bold_depth += 1
-        elif tag == "input":
-            self.doc.inputs.append((a.get("name"), a.get("value")))
-            if self._cur_cell is not None and a.get("name"):
-                self._cur_cell.input_names.append(a.get("name"))
+            self._div_cum_cls.append(self._div_cum_cls[-1] + cls)
+            self._div_cum_ids.append(
+                self._div_cum_ids[-1] + (blk.div_id,) if blk.div_id
+                else self._div_cum_ids[-1])
+            if cls or a.get("id"):
+                self._text_stack.append(
+                    _Text(tag=tag, classes=cls, elem_id=a.get("id"), text=""))
+            return
         if tag == "span":
+            a = dict(attrs)
+            cls = self._classes(a)
             if self._cur_para is not None and _BOLD_STYLE in (a.get("style") or ""):
                 self._bold_depth += 1
             if self._cur_cell is not None:
                 self._span_in_cell = []  # capture first text node
-        if tag in ("h1", "h2", "span", "div") and (cls or a.get("id")):
-            self._text_stack.append(_Text(tag=tag, classes=cls, elem_id=a.get("id"), text=""))
+            if cls or a.get("id"):
+                self._text_stack.append(
+                    _Text(tag=tag, classes=cls, elem_id=a.get("id"), text=""))
+            return
+        if tag == "head":
+            self._in_head += 1
+            return
+        if tag == "script":
+            self._in_script += 1
+            self._script_buf = []
+            return
+        if tag == "tr":
+            a = dict(attrs)
+            cls = self._classes(a)
+            self._cur_row = _Row(tr_classes=cls, onclick=a.get("onclick"))
+            self._tr_stack.append(cls)
+            return
+        if tag in ("td", "th"):
+            a = dict(attrs)
+            start = self._abs()
+            self._cur_cell = _Cell(
+                td_classes=self._classes(a), direct_text="", texts=[],
+                hrefs=[], a_titles=[], a_texts=[], classed_hrefs=[],
+                span_first_texts=[], input_names=[],
+                inner_start=self.raw.find(">", start) + 1,
+            )
+            self._td_stack.append(self._cur_cell.td_classes)
+            return
+        if tag == "li":
+            self._li_stack.append(self._classes(dict(attrs)))
+            return
+        if tag == "p":
+            self._cur_para = _Para()
+            return
+        if tag == "strong":
+            if self._cur_para is not None:
+                self._bold_depth += 1
+            return
+        if tag == "input":
+            a = dict(attrs)
+            self.doc.inputs.append((a.get("name"), a.get("value")))
+            if self._cur_cell is not None and a.get("name"):
+                self._cur_cell.input_names.append(a.get("name"))
+            return
+        if tag in ("h1", "h2"):
+            a = dict(attrs)
+            cls = self._classes(a)
+            if cls or a.get("id"):
+                self._text_stack.append(
+                    _Text(tag=tag, classes=cls, elem_id=a.get("id"), text=""))
 
     def handle_endtag(self, tag):
         if tag == "div" and self._div_stack:
             blk = self._div_stack.pop()
+            self._div_cum_cls.pop()
+            self._div_cum_ids.pop()
             blk.end = self._abs()
             self.doc.div_blocks.append(blk)
         elif tag == "a" and self._cur_anchor is not None:
-            self.doc.anchors.append(self._cur_anchor)
+            anchor = self._cur_anchor
+            self.doc.anchors.append(anchor)
             if self._cur_cell is not None:
-                self._cur_cell.a_texts.append(self._cur_anchor.text)
+                self._cur_cell.a_texts.append(anchor["text"])
             if self._cur_para is not None:
-                self._cur_para.a_texts.append(self._cur_anchor.text)
-                if self._cur_anchor.href is not None:
-                    self._cur_para.a_hrefs.append(self._cur_anchor.href)
+                self._cur_para.a_texts.append(anchor["text"])
+                if anchor["href"] is not None:
+                    self._cur_para.a_hrefs.append(anchor["href"])
             self._cur_anchor = None
         elif tag == "pre" and self._in_pre:
             self._in_pre -= 1
@@ -283,7 +464,7 @@ class _Parser(HTMLParser):
     # -- text ---------------------------------------------------------------
     def handle_data(self, data):
         if self._cur_anchor is not None:
-            self._cur_anchor.text += data
+            self._cur_anchor["text"] += data
         elif self._in_pre:
             self.doc.pre_texts.append(data)
         if self._in_script:
@@ -301,10 +482,21 @@ class _Parser(HTMLParser):
 
 
 def parse_html(html) -> _ParsedDoc:
-    """Single-pass parse; accepts str or bytes (UTF-8)."""
+    """Single-pass parse; accepts str or bytes (UTF-8). Well-formed
+    markup goes through the fast scanner; anything it declines is
+    replayed from scratch through the stdlib HTMLParser (identical
+    handler semantics, just slower)."""
     if isinstance(html, (bytes, bytearray)):
         html = bytes(html).decode("utf-8", errors="replace")
     p = _Parser(html)
+    try:
+        ok = p._fast_feed()
+    except Exception:
+        ok = False
+    if ok:
+        return p.doc
+    p = _Parser(html)
+    p._prepare_stdlib()
     p.feed(html)
     p.close()
     return p.doc
@@ -317,7 +509,8 @@ def parse_html(html) -> _ParsedDoc:
 def extract_hrefs(html) -> list:
     """XPath ``//a/@href`` in document order — F1
     (/root/reference/firmware/spiders/avm.py:73-75)."""
-    return [a.href for a in parse_html(html).anchors if a.href is not None]
+    return [a["href"] for a in parse_html(html).anchors
+            if a["href"] is not None]
 
 
 def extract_anchors(html, div_class: str | None = None, div_id: str | None = None):
@@ -326,11 +519,11 @@ def extract_anchors(html, div_class: str | None = None, div_id: str | None = Non
     of /root/reference/firmware/spiders/linksys.py:58-64."""
     out = []
     for a in parse_html(html).anchors:
-        if div_class is not None and div_class not in a.div_classes:
+        if div_class is not None and div_class not in a["div_classes"]:
             continue
-        if div_id is not None and div_id not in a.div_ids:
+        if div_id is not None and div_id not in a["div_ids"]:
             continue
-        out.append((a.href, a.text, a.title, a.onclick))
+        out.append((a["href"], a["text"], a["title"], a["onclick"]))
     return out
 
 
@@ -493,86 +686,114 @@ PAGE_STRUCT = StructType([
 ])
 
 
-def parse_page(html) -> dict:
-    """Single-parse extraction of everything the rule packs consume."""
+def parse_page(html, fields=None) -> dict:
+    """Single-parse extraction of everything the rule packs consume.
+
+    ``fields`` (optional, a set of PAGE_STRUCT field names) trims the
+    OUTPUT: unlisted fields ship as None instead of being assembled and
+    Arrow-encoded. The parse itself is unchanged — this only skips the
+    per-field dict assembly and (the dominant cost) the Arrow struct
+    conversion + cache bytes for products the page's rule provably never
+    reads (see rulepacks.RULE_PARSE_FIELDS). ``fields=None`` = full
+    output, the safe default for unmapped rules."""
     doc = parse_html(html)
-    divs = sorted(doc.div_blocks, key=lambda b: b.inner_start)
-    return {
-        "hrefs": [a.href for a in doc.anchors if a.href is not None],
-        "anchors": [
+    want = fields.__contains__ if fields is not None else (lambda _f: True)
+    out = dict(_EMPTY_PAGE)
+    if want("hrefs"):
+        out["hrefs"] = [a["href"] for a in doc.anchors
+                        if a["href"] is not None]
+    if want("anchors"):
+        # anchors are already PAGE_STRUCT-keyed dicts (class tuples ship
+        # as tuples — Arrow accepts any sequence for list fields)
+        out["anchors"] = doc.anchors
+    if want("pre_texts"):
+        out["pre_texts"] = doc.pre_texts
+    if want("divs"):
+        divs = sorted(doc.div_blocks, key=lambda b: b.inner_start)
+        out["divs"] = [
             {
-                "href": a.href, "text": a.text, "title": a.title,
-                "onclick": a.onclick,
-                "classes": list(a.classes),
-                "class_attr": a.class_attr,
-                "div_classes": list(a.div_classes),
-                "div_ids": list(a.div_ids),
-                "td_classes": list(a.td_classes),
-                "tr_classes": list(a.tr_classes),
-                "li_classes": list(a.li_classes),
-            }
-            for a in doc.anchors
-        ],
-        "pre_texts": list(doc.pre_texts),
-        "divs": [
-            {
-                "classes": list(b.classes), "id": b.div_id,
+                "classes": b.classes, "id": b.div_id,
                 "parent_id": b.parent_id,
                 "html": doc.raw[b.inner_start:b.end],
             }
             for b in divs
-        ],
-        "scripts": list(doc.head_scripts),
-        "texts": [
-            {"tag": t.tag, "classes": list(t.classes), "id": t.elem_id,
+        ]
+    if want("scripts"):
+        out["scripts"] = doc.head_scripts
+    if want("texts"):
+        out["texts"] = [
+            {"tag": t.tag, "classes": t.classes, "id": t.elem_id,
              "text": t.text}
             for t in doc.texts
-        ],
-        "rows": [
+        ]
+    if want("rows"):
+        out["rows"] = [
             {
-                "tr_classes": list(r.tr_classes),
+                "tr_classes": r.tr_classes,
                 "onclick": r.onclick,
                 "cells": [
                     {
-                        "td_classes": list(c.td_classes),
+                        "td_classes": c.td_classes,
                         "direct_text": c.direct_text,
-                        "texts": list(c.texts),
-                        "hrefs": list(c.hrefs),
-                        "a_titles": list(c.a_titles),
-                        "a_texts": list(c.a_texts),
-                        "classed_hrefs": list(c.classed_hrefs),
-                        "span_first_texts": list(c.span_first_texts),
-                        "input_names": list(c.input_names),
+                        "texts": c.texts,
+                        "hrefs": c.hrefs,
+                        "a_titles": c.a_titles,
+                        "a_texts": c.a_texts,
+                        "classed_hrefs": c.classed_hrefs,
+                        "span_first_texts": c.span_first_texts,
+                        "input_names": c.input_names,
                         "inner_html": c.inner_html,
                     }
                     for c in r.cells
                 ],
             }
             for r in doc.rows
-        ],
-        "paras": [
-            {"bold_texts": list(p.bold_texts), "a_texts": list(p.a_texts),
-             "a_hrefs": list(p.a_hrefs)}
+        ]
+    if want("paras"):
+        out["paras"] = [
+            {"bold_texts": p.bold_texts, "a_texts": p.a_texts,
+             "a_hrefs": p.a_hrefs}
             for p in doc.paras
-        ],
-        "inputs": [{"name": n, "value": v} for n, v in doc.inputs],
-    }
+        ]
+    if want("inputs"):
+        out["inputs"] = [{"name": n, "value": v} for n, v in doc.inputs]
+    return out
 
 
 _EMPTY_PAGE = {k.name: None for k in PAGE_STRUCT.fields}
 
 
 @lru_cache(maxsize=None)
-def parse_page_udf():
+def parse_page_udf(fields_map: tuple | None = None):
+    """Parse-once UDF. With ``fields_map`` (a hashable tuple of
+    (rule, (field, ...)) pairs — see rulepacks.RULE_PARSE_FIELDS) the UDF
+    takes (html, rule) and emits only the PAGE_STRUCT fields the row's
+    rule consumes (others None — same schema, a fraction of the Arrow
+    conversion + executor-cache bytes; unmapped rules parse in full).
+    Without it, the single-column full-output form."""
     from pyspark.sql.functions import pandas_udf
 
+    if fields_map is None:
+        @pandas_udf(PAGE_STRUCT)
+        def _parse_page(html: pd.Series) -> pd.DataFrame:
+            parsed = [parse_page(h) if h is not None else dict(_EMPTY_PAGE)
+                      for h in html]
+            return pd.DataFrame(parsed, index=html.index)
+
+        return _parse_page
+
+    fmap = {rule: frozenset(fs) for rule, fs in fields_map}
+
     @pandas_udf(PAGE_STRUCT)
-    def _parse_page(html: pd.Series) -> pd.DataFrame:
-        parsed = [parse_page(h) if h is not None else dict(_EMPTY_PAGE)
-                  for h in html]
+    def _parse_page_trimmed(html: pd.Series, rule: pd.Series) -> pd.DataFrame:
+        parsed = [
+            parse_page(h, fmap.get(r)) if h is not None
+            else dict(_EMPTY_PAGE)
+            for h, r in zip(html, rule)
+        ]
         return pd.DataFrame(parsed, index=html.index)
 
-    return _parse_page
+    return _parse_page_trimmed
 
 
 @lru_cache(maxsize=None)

@@ -239,6 +239,15 @@ class CrawlEngine:
 
     _STATE_TABLES = ("seen", "items", "fetch_log", "quarantine")
 
+    def _state_is_empty(self, table: str) -> bool:
+        """True iff ``_read_state`` would return the empty relation
+        without reading anything: no compacted snapshot and no delta
+        directory at all. A dir holding only rolled-back rounds still
+        reads (conservative) — this is a metadata-only fast path, never
+        a semantic judgment about row counts."""
+        return (self._latest_compact(table) < 0
+                and not os.path.exists(self._p(table)))
+
     def compact_state(self, buckets: int = 32):
         """Fold every committed round's delta directories into one compact
         snapshot per state table. The seen snapshot is hash-distributed and
@@ -494,8 +503,15 @@ class CrawlEngine:
         frontier = self._read_frontier(rnd)
         seen = self.seen()
 
-        candidates = FR.anti_join_seen(frontier, seen,
-                                       bloom=self.use_bloom_prefilter)
+        if self._state_is_empty("seen"):
+            # nothing crawled yet (cold start / round 0): the seen
+            # anti-join is the identity, so skip its broadcast build +
+            # join outright — at a drained-state steady round that is a
+            # measurable slice of the per-round serial floor
+            candidates = frontier
+        else:
+            candidates = FR.anti_join_seen(frontier, seen,
+                                           bloom=self.use_bloom_prefilter)
 
         blocked = None
         if self.obey_robots:
@@ -560,7 +576,11 @@ class CrawlEngine:
             # boundary a single time per round; the cached working set
             # holds the extracted PAGE_STRUCT, not the raw bytes, and every
             # downstream action is pure JVM column algebra over it.
-            .withColumn("parsed", parse_page_udf()(F.col("html")))
+            .withColumn(
+                "parsed",
+                parse_page_udf(
+                    tuple(sorted(RP.RULE_PARSE_FIELDS.items()))
+                )(F.col("html"), F.col("rule")))
             # raw bodies are nulled except for FTP rules, whose "pages" are
             # JSON listings consumed via from_json downstream
             # (rulepacks_vendors._ftp_entries_col). At scale this keeps
@@ -571,18 +591,26 @@ class CrawlEngine:
             )
             .persist()
         )
-        # materialize the round's working set NOW, in one pass — every later
-        # action reads the in-memory cache instead of re-parsing. The same
-        # action discovers which rule packs are present this round (<=23
-        # strings to the driver) so the rule loop below only builds plans
-        # for rules that exist: building all 23 unconditionally costs ~5 s
-        # of driver-side expression construction per round PLUS their
-        # Catalyst analysis inside every write job — measured 3-4x the
-        # whole per-round floor at local[1].
-        present_rules = set(
-            ok.agg(F.collect_set("rule")).first()[0]
-        )
-        _mark("materialize")      # anti-join + fetch + parse working set
+        # Rules scheduled this round: a column-pruned scan of the frontier
+        # snapshot (~0.3 s) instead of collect_set over the fetched+parsed
+        # working set. The frontier rule set is a SUPERSET of the fetched
+        # one (a rule whose rows all defer or 404 contributes empty
+        # relations to the unions below — same output, a little extra
+        # Catalyst analysis in degraded rounds only; <=23 strings either
+        # way). What this buys at steady state: the round no longer runs a
+        # dedicated materialize action before plan construction — the
+        # fetch+parse+cache work is triggered by the first state writes
+        # below and runs on the executors WHILE the driver builds the rule
+        # and frontier plans, so the ~3 s of per-round driver-only
+        # expression construction (a direct serial-floor hit on the N→4N
+        # scaling headline) overlaps the round's heaviest parallel phase
+        # instead of following it. (Concurrent jobs hitting the same
+        # uncached partitions are safe: BlockManager.getOrElseUpdate
+        # write-locks per block, so each partition — and each side-
+        # effecting HttpFetcher fetch — is computed exactly once.)
+        # The scan itself runs AFTER the early write submits below, so
+        # even its ~0.3 s overlaps executor work.
+        _mark("materialize")      # plan-only now; kept for continuity
         # T3 retry split: scrapy retries RETRY_HTTP_CODES (5xx/408/429 —
         # simulated 5xx, oversize, network error) RETRY_TIMES=2 times; a
         # 404 is terminal (not in RETRY_HTTP_CODES).
@@ -635,6 +663,13 @@ class CrawlEngine:
                 F.broadcast(retry_keys) if use_bcast else retry_keys,
                 "url_hash", "left_anti",
             )
+        # terminal feeds three concurrent write jobs (metrics, seen,
+        # frontier-dedup): uncached, each would rebuild the ok_keys /
+        # retry_keys broadcast from scratch (collect + hash-relation
+        # build — driver-serial, ~1 s apiece at the bench corpus, for a
+        # set that is EMPTY at steady state). Cache it so the broadcast
+        # is built exactly once.
+        terminal = terminal.persist()
 
         # per-partition lineage + fetch metrics (T4 / north_rule)
         def _grp(df, fetched_expr, bytes_expr, errors_expr, retries_expr):
@@ -672,151 +707,183 @@ class CrawlEngine:
         if blocked is not None:
             seen_add = seen_add.unionByName(blocked.select("url_hash", "fetch_key"))
 
-        # the metrics and seen appends depend only on the already-cached
-        # working set — submit them BEFORE the driver builds the rule and
-        # frontier plans, so the ~2-3 s of pure driver-side expression
-        # construction below (core-count-insensitive, a direct serial-floor
-        # hit on the N→4N headline) overlaps their execution instead of
-        # preceding it. The commit marker still waits for EVERY write.
+        # the metrics and seen appends are submitted FIRST: they trigger
+        # the round's heavy fetch+parse+cache work on the executors (the
+        # working set is no longer pre-materialized by a dedicated action)
+        # while the driver builds the rule and frontier plans below — the
+        # ~3 s of core-count-insensitive expression construction now
+        # overlaps the round's heaviest parallel phase instead of running
+        # as pure serial floor against the N→4N headline. The commit
+        # marker still waits for EVERY write, and the whole window is
+        # try/finally-guarded (ADVICE r5): an exception between here and
+        # commit shuts the pool down and unpersists the working set
+        # instead of leaking executor cache + unsupervised write jobs.
         from concurrent.futures import ThreadPoolExecutor
 
         pool = ThreadPoolExecutor(max_workers=5)
-        pending = [
-            pool.submit(self._append, metrics, "fetch_log", rnd),
-            pool.submit(self._append, seen_add, "seen", rnd),
-        ]
-
-        # apply only the rule packs present this round. A rule may return an
-        # optional third element: quarantine rows (J3 class-map misses —
-        # the reference raises UnknownDeviceClassException; the engine
-        # keeps the offending rows auditable instead).
-        all_children, all_items, all_quar = [], [], []
-        for rule, fn in RP.RULES.items():
-            if rule not in present_rules:
-                continue
-            subset = ok.filter(F.col("rule") == rule)
-            res = fn(subset)
-            children, items = res[0], res[1]
-            if children is not None:
-                all_children.append((children, RP.allowed_host_pattern(rule)))
-            if items is not None:
-                all_items.append(items)
-            if len(res) > 2 and res[2] is not None:
-                all_quar.append(res[2])
-
-        items_df = None
-        if all_items:
-            items_df = all_items[0]
-            for it in all_items[1:]:
-                items_df = items_df.unionByName(it)
-
-        # normalize children into frontier rows. The per-rule raw children
-        # (uniform 7-col schema from rulepacks._children) UNION FIRST, tagged
-        # with their producing rule's offsite pattern as a literal, then
-        # repartition and run ONE normalization projection. The two pandas
-        # UDFs (canonicalize, host) each cost a fixed python-worker/Arrow
-        # round trip PER PARTITION PER EVALUATION — normalizing per rule
-        # branch paid that ~10x per round over the union's many thin
-        # partitions (profiled: the children chain alone was ~2.5 s of the
-        # steady round's write phase at local[4], core-count-insensitive —
-        # pure serial floor against the N->4N headline). The repartition
-        # exchange carries raw pre-canonicalization rows (url + small maps)
-        # and caps UDF evaluations at the core count; at cluster scale it
-        # doubles as the balance step for skewed per-rule child volumes.
-        fresh_raw = None
-        offsite_pats = []
-        for children, allowed_pattern in all_children:
-            offsite_pats.append(allowed_pattern)
-            tagged = children.withColumn("_pat", F.lit(allowed_pattern))
-            fresh_raw = tagged if fresh_raw is None \
-                else fresh_raw.unionByName(tagged)
-
-        # frontier(r+1) = deferred ∪ retried misses ∪ fresh children
-        next_frontier = deferred.select([f.name for f in FRONTIER_SCHEMA.fields])
-        if retryable is not None:
-            next_frontier = next_frontier.unionByName(
-                retryable.select([f.name for f in FRONTIER_SCHEMA.fields])
-            )
-        if fresh_raw is not None:
-            # F8 offsite filter: each row checks the pattern its producing
-            # rule declared (literal rlike per distinct pattern — JVM CASE)
-            offsite = F.coalesce(
-                *[F.when(F.col("_pat") == p, F.col("host").rlike(p))
-                  for p in sorted(set(offsite_pats))],
-                F.lit(False),
-            )
-            fresh = (
-                fresh_raw.repartition(self.spark.sparkContext.defaultParallelism)
-                .withColumn("canon_url", U.canonicalize_url_udf()(F.col("url")))
-                .withColumn("fetch_key",
-                            U.fetch_key_col(F.col("canon_url"), F.col("form_data")))
-                .withColumn("url_hash", F.xxhash64("fetch_key"))
-                .withColumn("host", U.url_host_udf()(F.col("url")))
-                .filter(offsite)
-                .withColumn("priority", FR.priority_score(F.col("url")))
-                # seq is a lexicographically-ordered DFS path key: the pad
-                # width bounds links-per-page (and seeds); %09d holds to
-                # 10^9 per page — must match simulator._pad exactly
-                .withColumn(
-                    "seq",
-                    F.concat_ws(".", F.col("parent_seq"),
-                                F.format_string("%09d", F.col("pos"))),
-                )
-                .withColumn("round_added", F.lit(rnd + 1))
-                .withColumn("retry_count", F.lit(0))
-                .select([f.name for f in FRONTIER_SCHEMA.fields])
-            )
-            # ONE anti-join covers both dedup obligations: the seen set,
-            # AND (ADVICE r1) the rows already scheduled for next round —
-            # a URL deferred (or retried) this round and re-discovered as
-            # a child must not enter the frontier twice; scrapy's
-            # RFPDupeFilter dedups at enqueue time against ALL scheduled
-            # requests and the earlier-scheduled row wins. Unioning the
-            # key sets before the join (keys are fixed-width url_hash
-            # rows, the union is narrow) replaces what used to be TWO
-            # back-to-back shuffled anti-joins on the same key with one —
-            # the write-floor profile priced each at ~2 exchanges + sort.
-            fresh = FR.dedup_new_children(
-                fresh,
-                seen_add.unionByName(seen.select("url_hash", "fetch_key"))
-                .unionByName(next_frontier.select("url_hash", "fetch_key")),
-            )
-            next_frontier = next_frontier.unionByName(fresh)
-
-        # the remaining state writes join the two early-submitted ones —
-        # all independent given the cached working set (ok / dequeued /
-        # candidates are materialized), so the round's wall time is parse +
-        # the slowest write, not their sum. None of them is the commit
-        # point: the round-commit marker below is written only after every
-        # write has finished, and resume rolls back anything newer than it.
-        _mark("plan_build")       # driver-only: rule loop + frontier exprs
-        pending.append(pool.submit(self._write_frontier, next_frontier, rnd + 1))
-        if items_df is not None:
-            pending.append(pool.submit(self._append, items_df, "items", rnd))
-        if all_quar:
-            quar = all_quar[0]
-            for q in all_quar[1:]:
-                quar = quar.unionByName(q)
-            pending.append(pool.submit(self._append, quar, "quarantine", rnd))
+        committed = False
         try:
+            pending = [
+                pool.submit(self._append, metrics, "fetch_log", rnd),
+                pool.submit(self._append, seen_add, "seen", rnd),
+            ]
+            present_rules = set(
+                frontier.agg(F.collect_set("rule")).first()[0]
+            )
+
+            # apply only the rule packs scheduled this round. A rule may
+            # return an optional third element: quarantine rows (J3
+            # class-map misses — the reference raises
+            # UnknownDeviceClassException; the engine keeps the offending
+            # rows auditable instead).
+            all_children, all_items, all_quar = [], [], []
+            for rule, fn in RP.RULES.items():
+                if rule not in present_rules:
+                    continue
+                subset = ok.filter(F.col("rule") == rule)
+                res = fn(subset)
+                children, items = res[0], res[1]
+                if children is not None:
+                    all_children.append(
+                        (children, RP.allowed_host_pattern(rule)))
+                if items is not None:
+                    all_items.append(items)
+                if len(res) > 2 and res[2] is not None:
+                    all_quar.append(res[2])
+
+            items_df = None
+            if all_items:
+                items_df = all_items[0]
+                for it in all_items[1:]:
+                    items_df = items_df.unionByName(it)
+
+            # normalize children into frontier rows. The per-rule raw
+            # children (uniform 7-col schema from rulepacks._children)
+            # UNION FIRST, tagged with their producing rule's offsite
+            # pattern as a literal, then repartition and run ONE
+            # normalization projection. The two pandas UDFs (canonicalize,
+            # host) each cost a fixed python-worker/Arrow round trip PER
+            # PARTITION PER EVALUATION — normalizing per rule branch paid
+            # that ~10x per round over the union's many thin partitions
+            # (profiled: the children chain alone was ~2.5 s of the steady
+            # round's write phase at local[4], core-count-insensitive —
+            # pure serial floor against the N->4N headline). The
+            # repartition exchange carries raw pre-canonicalization rows
+            # (url + small maps) and caps UDF evaluations at the core
+            # count; at cluster scale it doubles as the balance step for
+            # skewed per-rule child volumes.
+            fresh_raw = None
+            offsite_pats = []
+            for children, allowed_pattern in all_children:
+                offsite_pats.append(allowed_pattern)
+                tagged = children.withColumn("_pat", F.lit(allowed_pattern))
+                fresh_raw = tagged if fresh_raw is None \
+                    else fresh_raw.unionByName(tagged)
+
+            # frontier(r+1) = deferred ∪ retried misses ∪ fresh children
+            next_frontier = deferred.select(
+                [f.name for f in FRONTIER_SCHEMA.fields])
+            if retryable is not None:
+                next_frontier = next_frontier.unionByName(
+                    retryable.select([f.name for f in FRONTIER_SCHEMA.fields])
+                )
+            if fresh_raw is not None:
+                # F8 offsite filter: each row checks the pattern its
+                # producing rule declared (literal rlike per distinct
+                # pattern — JVM CASE)
+                offsite = F.coalesce(
+                    *[F.when(F.col("_pat") == p, F.col("host").rlike(p))
+                      for p in sorted(set(offsite_pats))],
+                    F.lit(False),
+                )
+                fresh = (
+                    fresh_raw.repartition(
+                        self.spark.sparkContext.defaultParallelism)
+                    .withColumn(
+                        "canon_url", U.canonicalize_url_udf()(F.col("url")))
+                    .withColumn(
+                        "fetch_key",
+                        U.fetch_key_col(F.col("canon_url"),
+                                        F.col("form_data")))
+                    .withColumn("url_hash", F.xxhash64("fetch_key"))
+                    .withColumn("host", U.url_host_udf()(F.col("url")))
+                    .filter(offsite)
+                    .withColumn("priority", FR.priority_score(F.col("url")))
+                    # seq is a lexicographically-ordered DFS path key: the
+                    # pad width bounds links-per-page (and seeds); %09d
+                    # holds to 10^9 per page — must match simulator._pad
+                    # exactly
+                    .withColumn(
+                        "seq",
+                        F.concat_ws(".", F.col("parent_seq"),
+                                    F.format_string("%09d", F.col("pos"))),
+                    )
+                    .withColumn("round_added", F.lit(rnd + 1))
+                    .withColumn("retry_count", F.lit(0))
+                    .select([f.name for f in FRONTIER_SCHEMA.fields])
+                )
+                # ONE anti-join covers both dedup obligations: the seen
+                # set, AND (ADVICE r1) the rows already scheduled for next
+                # round — a URL deferred (or retried) this round and
+                # re-discovered as a child must not enter the frontier
+                # twice; scrapy's RFPDupeFilter dedups at enqueue time
+                # against ALL scheduled requests and the earlier-scheduled
+                # row wins. Unioning the key sets before the join (keys
+                # are fixed-width url_hash rows, the union is narrow)
+                # replaces what used to be TWO back-to-back shuffled
+                # anti-joins on the same key with one — the write-floor
+                # profile priced each at ~2 exchanges + sort.
+                fresh = FR.dedup_new_children(
+                    fresh,
+                    seen_add.unionByName(seen.select("url_hash", "fetch_key"))
+                    .unionByName(
+                        next_frontier.select("url_hash", "fetch_key")),
+                )
+                next_frontier = next_frontier.unionByName(fresh)
+
+            # the remaining state writes join the two early-submitted ones
+            # — all independent, so the round's wall time is parse + the
+            # slowest write, not their sum. None of them is the commit
+            # point: the round-commit marker below is written only after
+            # every write has finished, and resume rolls back anything
+            # newer than it.
+            _mark("plan_build")   # driver-only: rule loop + frontier exprs
+            pending.append(
+                pool.submit(self._write_frontier, next_frontier, rnd + 1))
+            if items_df is not None:
+                pending.append(
+                    pool.submit(self._append, items_df, "items", rnd))
+            if all_quar:
+                quar = all_quar[0]
+                for q in all_quar[1:]:
+                    quar = quar.unionByName(q)
+                pending.append(
+                    pool.submit(self._append, quar, "quarantine", rnd))
             for fut in pending:
                 fut.result()
+            _mark("writes")
+            self._commit_round(rnd)
+            committed = True
+            _mark("commit")
+            self.last_round_phases = _ph
         finally:
-            pool.shutdown(wait=False)
-        _mark("writes")
-        self._commit_round(rnd)
-        _mark("commit")
-        self.last_round_phases = _ph
-
-        dequeued.unpersist()
-        ok.unpersist()
-        candidates.unpersist()
-        if retryable is not None:
-            retryable.unpersist()
-        if fetched_cached:
-            fetched.unpersist()
-        elif can_fail:
-            failed.unpersist()
+            if not committed:
+                # failure path (ADVICE r5): outstanding write jobs keep
+                # the JVM busy but are rolled back by the commit protocol;
+                # don't wait on them, just stop feeding the pool
+                pool.shutdown(wait=False, cancel_futures=True)
+            else:
+                pool.shutdown(wait=False)
+            dequeued.unpersist()
+            ok.unpersist()
+            candidates.unpersist()
+            terminal.unpersist()
+            if retryable is not None:
+                retryable.unpersist()
+            if fetched_cached:
+                fetched.unpersist()
+            elif can_fail:
+                failed.unpersist()
         return {"round": rnd, "fetch_broadcast": use_bcast}
 
     # -- S7 feed export ----------------------------------------------------------

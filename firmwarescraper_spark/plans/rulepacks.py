@@ -263,6 +263,22 @@ RULES = {
     "linksys:parse_versions": linksys_parse_versions,
 }
 
+# PAGE_STRUCT fields each rule pack actually reads from `parsed` — the
+# parse UDF trims its per-row output to this set (functions/html.py
+# parse_page_udf), which cuts the Arrow struct conversion + executor
+# cache to a fraction for the listing-shaped rules that dominate a
+# crawl round. Rules absent from this map (all vendor rules) parse in
+# full, so forgetting to map a new rule costs speed, never correctness.
+# Keep in sync with the `parsed.` references in the functions above —
+# pinned by tests/test_round6_fixes.py.
+RULE_PARSE_FIELDS = {
+    "avm:parse": ("hrefs",),
+    "avm:parse_product": ("hrefs", "pre_texts"),
+    "linksys:parse": ("anchors",),
+    "linksys:parse_product": ("anchors",),
+    "linksys:parse_versions": ("divs",),
+}
+
 
 def _register_vendor_rules():
     """Deferred import: rulepacks_vendors imports helpers from this module."""
