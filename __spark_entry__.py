@@ -1743,7 +1743,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("text").isNotNull())
         return TX.build_postings(docs, top_k=5).orderBy("term")
 
+    # Registry order matters operationally: the driver's correctness gate
+    # checks the FIRST 50 entries. Rounds 1-5 listed the oldest operators
+    # first, so the 49 round-5 ops (everything from upsample_epochs to
+    # length_quantiles below) had no driver CORRECTNESS row — they lead
+    # now (r5 verdict task #1); the r1-r4 ops that moved past position 50
+    # carry five rounds of green driver history plus the local DuckDB
+    # emulation (tests/test_entry_oracle.py) as their ongoing check.
+    # Oracle SQL text and per-query results are unchanged — this is a
+    # pure dict reordering.
     return {
+        "upsample_epochs": q_upsample_epochs,
+        "dup_spans": q_dup_spans,
+        "budget_mix": q_budget_mix,
+        "global_shuffle": q_global_shuffle,
+        "warc_roundtrip": q_warc_roundtrip,
+        "warc_revisit": q_warc_revisit,
+        "classifier_score": q_classifier_score,
+        "classifier_train": q_classifier_train,
+        "quality_train_filter": q_quality_train_filter,
+        "html_main_content": q_html_main_content,
+        "anchor_texts": q_anchor_texts,
+        "surt_canon": q_surt_canon,
+        "cdx_roundtrip": q_cdx_roundtrip,
+        "cdx_index": q_cdx_index,
+        "sitemap_urls": q_sitemap_urls,
+        "url_filter": q_url_filter,
+        "trap_signals": q_trap_signals,
+        "ccnet_normalize": q_ccnet_normalize,
+        "pr_curve": q_pr_curve,
+        "recrawl_priority": q_recrawl_priority,
+        "bpe_encode": q_bpe_encode,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "weighted_sample": q_weighted_sample,
+        "pii_scrub": q_pii_scrub,
+        "chunk_dedup": q_chunk_dedup,
+        "chunk_dedup_apply": q_chunk_dedup_apply,
+        "site_boilerplate": q_site_boilerplate,
+        "host_profile": q_host_profile,
+        "decontaminate": q_decontaminate,
+        "domain_mix": q_domain_mix,
+        "c4_clean": q_c4_clean,
+        "dsir": q_dsir,
+        "semdedup": q_semdedup,
+        "diversity_sample": q_diversity_sample,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "sessionize": q_sessionize,
+        "bm25_topk": q_bm25_topk,
+        "lm_score": q_lm_score,
+        "ppl_buckets": q_ppl_buckets,
+        "redirect_resolve": q_redirect_resolve,
+        "crawl_diff": q_crawl_diff,
+        "build_postings": q_build_postings,
+        "mirror_hosts": q_mirror_hosts,
+        "robots_directives": q_robots_directives,
+        "detect_charset": q_detect_charset,
+        "decode_entities": q_decode_entities,
+        "revenue_by_segment": q_revenue_by_segment,
+        "length_quantiles": q_length_quantiles,
         "anti_join_seen": q_anti_join_seen,
         "bloom_anti_join": q_bloom_anti_join,
         "politeness_dequeue": q_politeness_dequeue,
@@ -1794,55 +1852,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mjpeg_frames": q_mjpeg_frames,
         "dhash_neardup": q_dhash_neardup,
         "pipeline_filter": q_pipeline_filter,
-        "upsample_epochs": q_upsample_epochs,
-        "dup_spans": q_dup_spans,
-        "budget_mix": q_budget_mix,
-        "global_shuffle": q_global_shuffle,
-        "warc_roundtrip": q_warc_roundtrip,
-        "warc_revisit": q_warc_revisit,
-        "classifier_score": q_classifier_score,
-        "classifier_train": q_classifier_train,
-        "quality_train_filter": q_quality_train_filter,
-        "html_main_content": q_html_main_content,
-        "anchor_texts": q_anchor_texts,
-        "surt_canon": q_surt_canon,
-        "cdx_roundtrip": q_cdx_roundtrip,
-        "cdx_index": q_cdx_index,
-        "sitemap_urls": q_sitemap_urls,
-        "url_filter": q_url_filter,
-        "trap_signals": q_trap_signals,
-        "ccnet_normalize": q_ccnet_normalize,
-        "pr_curve": q_pr_curve,
-        "recrawl_priority": q_recrawl_priority,
-        "bpe_encode": q_bpe_encode,
-        "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
-        "weighted_sample": q_weighted_sample,
-        "pii_scrub": q_pii_scrub,
-        "chunk_dedup": q_chunk_dedup,
-        "chunk_dedup_apply": q_chunk_dedup_apply,
-        "site_boilerplate": q_site_boilerplate,
-        "host_profile": q_host_profile,
-        "decontaminate": q_decontaminate,
-        "domain_mix": q_domain_mix,
-        "c4_clean": q_c4_clean,
-        "dsir": q_dsir,
-        "semdedup": q_semdedup,
-        "diversity_sample": q_diversity_sample,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "sessionize": q_sessionize,
-        "bm25_topk": q_bm25_topk,
-        "lm_score": q_lm_score,
-        "ppl_buckets": q_ppl_buckets,
-        "redirect_resolve": q_redirect_resolve,
-        "crawl_diff": q_crawl_diff,
-        "build_postings": q_build_postings,
-        "mirror_hosts": q_mirror_hosts,
-        "robots_directives": q_robots_directives,
-        "detect_charset": q_detect_charset,
-        "decode_entities": q_decode_entities,
-        "revenue_by_segment": q_revenue_by_segment,
-        "length_quantiles": q_length_quantiles,
     }
 
 
