@@ -536,18 +536,30 @@ def decontaminate(
     Scale shape: both sides shingle to 60-bit hashes inside their scan
     stages; the benchmark side (eval suites — thousands of docs, not
     billions) aggregates to a distinct-hash set that BROADCASTS, so the
-    100 TB training side is scanned once with a map-side semi-join and
-    never shuffles on content. Falls back to a shuffled equi-join
-    automatically if the benchmark outgrows the broadcast threshold —
-    the plan is an ordinary inner join on `_gh` either way."""
-    t = train.select(
-        F.col(id_col), F.explode(_word_ngram_hashes(F.col(text_col), ngram)).alias("_gh")
-    ).distinct()
+    100 TB training side is scanned once with a map-side join and never
+    shuffles on content. The train-side ``.distinct()`` (a doc may
+    repeat a contaminated gram; the paper counts distinct grams) runs
+    AFTER the broadcast join: only the contaminated (id, gram) pairs —
+    tiny by construction — ever reach an exchange. (The r5 shape ran
+    the distinct BEFORE the join; Catalyst cannot push a join below an
+    aggregate, so the full ~n_tokens-per-doc explosion of the 100 TB
+    side shuffled on every run.) The broadcast hint is size-gated on
+    the benchmark row count: an eval suite that somehow outgrows the
+    broadcast cap drops the hint and leaves the strategy to the
+    planner/AQE instead of forcing an executor-OOM-sized build side."""
     b = (
         benchmark.select(F.explode(_word_ngram_hashes(F.col(text_col), ngram)).alias("_gh"))
         .distinct()
     )
-    hits = t.join(F.broadcast(b), "_gh").groupBy(id_col).agg(
+    # hard F.broadcast overrides autoBroadcastJoinThreshold, so gate it
+    # on a cheap driver-side count of the (already tiny) benchmark side
+    bench_rows = benchmark.count()
+    if bench_rows <= 1_000_000:  # ~1M docs x ~1k grams still < 8 GB hashes
+        b = F.broadcast(b)
+    t = train.select(
+        F.col(id_col), F.explode(_word_ngram_hashes(F.col(text_col), ngram)).alias("_gh")
+    )
+    hits = t.join(b, "_gh").distinct().groupBy(id_col).agg(
         F.count("*").alias("n_hits")
     )
     return (
@@ -767,7 +779,17 @@ def dsir_weights(
         ).select(id_col, "_pos", (_md5_hash64(F.col("_g")) % buckets).alias("_b"))
 
     tb = _buckets(target).groupBy("_b").agg(F.count("*").cast("double").alias("_ct"))
-    rb_all = _buckets(raw)
+    # The raw-side feature relation feeds BOTH the raw model (bucket
+    # counts) and the scoring pass. Uncached, Catalyst evaluates the
+    # explode subtree twice — two full normalize + per-feature md5
+    # scans of the 100 TB side, the single most expensive part of the
+    # op. Persist the fixed-width (id, pos, bucket) relation so the
+    # expensive scan runs once; the cache is populated and reused
+    # within the one action that consumes the returned plan. (At
+    # deployment scale this intermediate is what you would write to
+    # storage between the two passes anyway — DSIR is inherently
+    # two-pass over the raw features.)
+    rb_all = _buckets(raw).persist()
     rb = rb_all.groupBy("_b").agg(F.count("*").cast("double").alias("_cr"))
     tt = tb.agg(F.coalesce(F.sum("_ct"), F.lit(0.0)).alias("_ctot"))
     rt = rb.agg(F.coalesce(F.sum("_cr"), F.lit(0.0)).alias("_rtot"))

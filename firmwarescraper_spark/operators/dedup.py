@@ -62,14 +62,21 @@ def dup_spans(
 
     Scale shape: the window explode is ~n_tokens rows/doc — the
     method's inherent cost — but each row is a fixed-width
-    (id, pos, 60-bit hash) triple; text never shuffles. The
-    doc-frequency reduce is map-side combinable (hot boilerplate
-    hashes collapse before the exchange) and the mark-back is a
-    LEFT SEMI join on the hash (output bounded by the window count;
-    skewed hot hashes are AQE skew-join territory). Span merging is a
-    per-doc JVM ``F.aggregate`` fold over the sorted positions — the
-    gaps-and-islands rule ``break iff pos - prev > L`` — so no
-    per-row Python anywhere."""
+    (id, pos, 60-bit hash) triple; text never shuffles, and the explode
+    (normalize + per-window md5, the expensive scan) runs EXACTLY ONCE:
+    one hash-keyed aggregation gathers each hash's occurrence list AND
+    its distinct-doc count in the same pass (both map-side combinable),
+    the >=2-doc filter drops singleton hashes — the overwhelming
+    majority — before their occurrence lists ever re-explode, and the
+    survivors regroup by doc. (The previous shape evaluated the explode
+    subtree twice — once for the doc-frequency reduce, once for the
+    mark-back semi-join — plus a third shuffle for the join itself;
+    plan now: 2 Exchanges, both on fixed-width keys. A hash shared by
+    many docs concentrates its occurrence list on one reducer, but that
+    is the same key-skew exposure the semi-join had; rows are 16-byte
+    structs.) Span merging is a per-doc JVM ``F.aggregate`` fold over
+    the sorted positions — the gaps-and-islands rule ``break iff
+    pos - prev > L`` — so no per-row Python anywhere."""
     words = F.split(normalize_text(F.col(text_col)), " ")
     n = F.size(words)
     wins = F.when(
@@ -83,16 +90,23 @@ def dup_spans(
         F.col(id_col), n.cast("bigint").alias("n_tokens"),
         F.posexplode(wins).alias("pos", "h"),
     )
-    duph = (
+    marked = (
         base.groupBy("h")
-        .agg(F.count_distinct(F.col(id_col)).alias("ndocs"))
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("ndocs"),
+            F.collect_list(
+                F.struct(F.col(id_col), F.col("n_tokens"), F.col("pos"))
+            ).alias("occ"),
+        )
         .filter(F.col("ndocs") >= 2)
-        .select("h")
+        .select(F.explode("occ").alias("o"))
     )
     per = (
-        base.join(duph, "h", "left_semi")
-        .groupBy(id_col, "n_tokens")
-        .agg(F.sort_array(F.collect_list("pos")).alias("ps"))
+        marked.groupBy(
+            F.col(f"o.{id_col}").alias(id_col),
+            F.col("o.n_tokens").alias("n_tokens"),
+        )
+        .agg(F.sort_array(F.collect_list("o.pos")).alias("ps"))
     )
     close = lambda st: F.concat(
         st["acc"],

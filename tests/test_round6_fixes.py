@@ -130,3 +130,55 @@ def test_fast_scanner_fuzz_equivalence():
         checked += 1
         assert _surface(fast) == _surface(_parse_stdlib(s)), repr(s[:200])
     assert checked > 100  # the fast path must accept most real fragments
+
+
+def test_decontaminate_no_exchange_below_broadcast_join(spark):
+    """r5 verdict #3: the train-side shingle explosion must never reach
+    an Exchange — the benchmark set broadcasts onto the exploded scan and
+    only contaminated (id, gram) pairs shuffle. Every Exchange in the
+    plan must therefore sit ABOVE (downstream of) the broadcast join; in
+    the printed tree, parents precede children, so the last Exchange
+    line must appear before the BroadcastHashJoin line."""
+    from firmwarescraper_spark.operators import curation as CU
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta " + str(i))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id % 13 = 0")
+    train = docs.filter("doc_id % 13 != 0")
+    out = CU.decontaminate(train, bench, ngram=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    # the streamed (train) side prints between the join line and its
+    # BroadcastExchange build side: the explode must reach the join with
+    # no Exchange in between (the benchmark side's distinct exchange,
+    # inside the broadcast subtree, is fine — it is the tiny side)
+    join_at = plan.index("BroadcastHashJoin")
+    bcast_at = plan.index("BroadcastExchange", join_at)
+    streamed = plan[join_at:bcast_at]
+    assert "Generate explode" in streamed, streamed
+    assert "Exchange hashpartitioning" not in streamed, streamed
+
+
+def test_decontaminate_oracle_values_unchanged(spark):
+    """The plan fix must not move a single output value: distinct AFTER
+    the join counts the same distinct contaminated grams per doc."""
+    from firmwarescraper_spark.operators import curation as CU
+
+    rows = [
+        (0, "shared phrase here tail zero"),
+        (13, "shared phrase here bench doc"),
+        (1, "shared phrase here shared phrase here repeated"),
+        (2, "nothing in common at all today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.filter("doc_id % 13 = 0 and doc_id > 0")
+    train = docs.filter("doc_id % 13 != 0 or doc_id = 0")
+    got = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+           for r in CU.decontaminate(train, bench, ngram=3).collect()}
+    # doc 1 repeats the contaminated 3-gram; the distinct-gram count
+    # still reports it once (the post-join distinct at work)
+    assert got[0][1] and got[1][1] and not got[2][1]
+    assert got[1][0] == got[0][0] == 1
