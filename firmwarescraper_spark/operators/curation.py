@@ -348,8 +348,10 @@ def chunk_dedup_stats(
         F.explode(word_chunks(F.col(text_col), chunk_words)).alias("_c"),
     ).select(id_col, _md5_hash64(F.col("_c")).alias("_ch"))
     # distinct (doc, chunk-hash): within-doc repeats count once toward
-    # doc frequency, like CCNet's per-paragraph doc counting
-    doc_chunks = chunks.distinct()
+    # doc frequency, like CCNet's per-paragraph doc counting. Persisted:
+    # it feeds both the frequency agg and the join back — uncached the
+    # explode + per-chunk md5 scan would run twice.
+    doc_chunks = chunks.distinct().persist()
     freq = doc_chunks.groupBy("_ch").agg(F.count("*").alias("_docs"))
     per_doc = (
         doc_chunks.join(freq, "_ch")
@@ -391,10 +393,13 @@ def chunk_dedup_apply(
     hash; the only text-carrying wide op is the final doc-keyed regroup
     (collect surviving (pos, chunk) structs), whose width is bounded by
     the SURVIVING text — boilerplate never rides the shuffle."""
+    # persisted: the chunk relation feeds the df count, the n_chunks agg
+    # and the survivor regroup — three consumers that would each re-run
+    # the explode + per-chunk md5 scan uncached
     chunks = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.posexplode(word_chunks(F.col(text_col), chunk_words)).alias("_p", "_c"),
-    ).withColumn("_ch", _md5_hash64(F.col("_c")))
+    ).withColumn("_ch", _md5_hash64(F.col("_c"))).persist()
     freq = (
         chunks.select(id_col, "_ch").distinct()
         .groupBy("_ch").agg(F.count("*").alias("_df"))
@@ -459,10 +464,14 @@ def site_boilerplate(
     wide op is the final doc-keyed regroup of SURVIVING chunks —
     boilerplate text never rides a shuffle."""
     base = df.filter(F.col(text_col).isNotNull())
+    # the chunk relation feeds the df count, the boilerplate mark join
+    # and the survivor regroup — three consumers that would otherwise
+    # each re-run the explode + per-chunk md5 scan (the expensive part);
+    # persist so it is computed once within the consuming action
     chunks = base.select(
         F.col(id_col), F.col(host_col),
         F.posexplode(word_chunks(F.col(text_col), chunk_words)).alias("_p", "_c"),
-    ).withColumn("_ch", _md5_hash64(F.col("_c")))
+    ).withColumn("_ch", _md5_hash64(F.col("_c"))).persist()
     host_docs = base.groupBy(host_col).agg(
         F.countDistinct(id_col).alias("_hd"))
     freq = (
@@ -1011,7 +1020,9 @@ def semdedup(
             F.col(vec_col).cast("array<double>").alias("_v"),
         ),
         centroids, vec_col="_v", out_col="cid", via=assign_via,
-    )
+    ).persist()  # the prune reads it three times (both self-join sides
+    # + the keep-flag base); the k-centroid argmax projection should run
+    # once — the deployment shape persists this table bucketed anyway
     # No forced repartition here: at sandbox scale Catalyst broadcasts
     # the self-join side (measured 2x faster than a forced cid
     # shuffle); at deployment the assignment is PERSISTED bucketed by

@@ -335,7 +335,9 @@ def minhash_lsh_pairs(
     one LSH band (rows_per_band = num_hashes / bands). Equi-join on the
     band key — no quadratic blow-up."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    stacked = minhash_band_keys(sigs, id_col, num_hashes, bands)
+    # both self-join sides read the band keys; persist so the shingle
+    # explode + k-way min aggregation runs once
+    stacked = minhash_band_keys(sigs, id_col, num_hashes, bands).persist()
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -375,7 +377,10 @@ def incremental_lsh_pairs(
     new_sigs = minhash_signatures(new_docs, text_col, id_col, num_hashes,
                                   shingle_n)
     idx_keys = minhash_band_keys(index_sigs, id_col, num_hashes, bands)
-    new_keys = minhash_band_keys(new_sigs, id_col, num_hashes, bands)
+    # the new shard's band keys feed the vs-index join and both sides of
+    # the within-shard self-join; persist so the shard is shingled once
+    new_keys = minhash_band_keys(new_sigs, id_col, num_hashes,
+                                 bands).persist()
     a, b = new_keys.alias("a"), idx_keys.alias("b")
     vs_index = (
         a.join(b, F.col("a.band_key") == F.col("b.band_key"))
@@ -417,48 +422,62 @@ def connected_components(
     Driver-side work per round is one count (the convergence check) — no
     collect of node data.
     """
+    # persisted: every propagation round joins the edge table against the
+    # current labels — uncached, each round re-derived the whole upstream
+    # candidate-pair pipeline (LSH banding etc.) from scratch
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
         .distinct()
+        .persist()
     )
     labels = (
         edges.select(F.col("u").alias("id")).distinct()
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
-        nbr_min = (
-            edges.join(labels, edges["v"] == labels["id"])
-            .groupBy("u").agg(F.min("component").alias("nmin"))
-        )
-        prop = (
-            labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
-            .select(
-                "id",
-                F.least(F.col("component"), F.coalesce("nmin", "component"))
-                .alias("component"),
+    try:
+        for _ in range(max_iters):
+            nbr_min = (
+                edges.join(labels, edges["v"] == labels["id"])
+                .groupBy("u").agg(F.min("component").alias("nmin"))
             )
-        )
-        ptr = prop.select(
-            F.col("id").alias("pid"), F.col("component").alias("pcomp")
-        )
-        jumped = (
-            prop.join(ptr, prop["component"] == ptr["pid"], "left")
-            .select(
-                "id", F.coalesce("pcomp", "component").alias("component")
+            # persisted per round: prop feeds both sides of the pointer
+            # jump — uncached, the neighbor-min aggregation ran twice
+            prop = (
+                labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
+                .select(
+                    "id",
+                    F.least(F.col("component"),
+                            F.coalesce("nmin", "component"))
+                    .alias("component"),
+                )
+                .persist()
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = jumped
-        if changed == 0:
-            break
+            ptr = prop.select(
+                F.col("id").alias("pid"), F.col("component").alias("pcomp")
+            )
+            jumped = (
+                prop.join(ptr, prop["component"] == ptr["pid"], "left")
+                .select(
+                    "id", F.coalesce("pcomp", "component").alias("component")
+                )
+                .localCheckpoint(eager=True)
+            )
+            prop.unpersist()  # jumped is materialized; round cache done
+            changed = (
+                jumped.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels = jumped
+            if changed == 0:
+                break
+    finally:
+        # the returned labels are checkpoint-materialized — they no
+        # longer reference the edge cache
+        edges.unpersist()
     return labels
 
 
@@ -592,7 +611,11 @@ def hamming_neardup_pairs(sig: DataFrame, sig_col: str, id_col: str,
     pick = bands - max_hamming  # blocks per combination key
     combos = list(itertools.combinations(range(bands), pick))
 
-    ids = sig.select(id_col, sig_col)
+    # the signature relation feeds both tiers' self-joins, the distinct
+    # banding input and the two expansion joins — five consumers; the
+    # upstream signature computation (simhash's per-bit aggregation /
+    # the image decode+hash scan) must run once, not five times
+    ids = sig.select(id_col, sig_col).persist()
 
     # tier 1: identical signatures — hamming 0 by definition, no banding
     ia, ib = ids.alias("ia"), ids.alias("ib")
@@ -677,12 +700,17 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
     )
+    # rare feeds doc_sizes and BOTH sides of the intersection self-join,
+    # and itself contains two evaluations of the shingle explode —
+    # uncached, the explode subtree ran six times per query. Persist the
+    # capped relation (it is the pruned shingle space, the thing the
+    # df_cap exists to keep small).
     rare = sh.join(
         sh.groupBy("sh").agg(F.countDistinct(id_col).alias("df")).filter(
             F.col("df") <= df_cap
         ).select("sh"),
         "sh",
-    )
+    ).persist()
     # doc sizes over the SAME capped shingle space as the intersections:
     # when the cap binds, jaccard is the exact similarity of the pruned
     # shingle sets (numerator and denominator both exclude boilerplate);
@@ -773,7 +801,10 @@ def embedding_neardup_pairs_lsh(
     from firmwarescraper_spark.operators.similarity import lsh_signature
 
     sig = lsh_signature(F.col(vec_col), dim, planes)
-    signed = emb.select(F.col(id_col), F.col(vec_col), sig.alias("_sig"))
+    # both join sides project from `signed`; persist so the
+    # planes x dim hyperplane-fold signature runs once per row
+    signed = emb.select(
+        F.col(id_col), F.col(vec_col), sig.alias("_sig")).persist()
     masks = [0]
     for h in range(1, multiprobe_hamming + 1):
         masks.extend(

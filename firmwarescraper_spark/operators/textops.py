@@ -296,9 +296,11 @@ def bm25_topk(
     the reduction order is fixed, and the final score is rounded to 4.
     """
     terms = sorted(set(query_terms))
+    # persisted: the tokenized relation feeds the corpus stats AND the
+    # term-frequency explode — uncached the tokenizer ran twice
     toks = docs.select(
         F.col(id_col), _bm25_tokens(F.col(text_col)).alias("_toks")
-    ).withColumn("_dl", F.size("_toks"))
+    ).withColumn("_dl", F.size("_toks")).persist()
     stats = toks.agg(
         F.count("*").cast("double").alias("_n"),
         F.avg("_dl").alias("_avgdl"),
@@ -382,12 +384,16 @@ def lm_score(
     """
     if lm_docs is None:
         lm_docs = docs
+    # persisted: the tokenized train relation feeds the unigram agg and
+    # the bigram agg, and the unigram table feeds both the vocab scalar
+    # and the scoring join — uncached, the tokenizer ran three times and
+    # the unigram aggregation twice per query
     train_toks = lm_docs.select(
-        _bm25_tokens(F.col(text_col)).alias("_toks"))
+        _bm25_tokens(F.col(text_col)).alias("_toks")).persist()
     uni = (
         train_toks.select(F.explode("_toks").alias("_w"))
         .groupBy("_w").agg(F.count("*").cast("double").alias("_cu"))
-    )
+    ).persist()
     vocab = uni.agg(F.count("*").cast("double").alias("_v"))
     bg_of = lambda toks: F.transform(       # noqa: E731
         F.sequence(F.lit(0), F.size(toks) - 2),
@@ -463,7 +469,10 @@ def ppl_buckets(
     """
     from pyspark.sql import Window
 
-    s = lm_score(docs, lm_docs, top_bigrams, text_col, id_col)
+    # persisted: the scored relation feeds the distribution agg AND the
+    # final bucket join — uncached, the entire lm_score pipeline (LM
+    # build + scoring) ran twice per query
+    s = lm_score(docs, lm_docs, top_bigrams, text_col, id_col).persist()
     per = s.groupBy("lm_logprob").agg(F.count("*").alias("_c"))
     w = (
         Window.orderBy(F.desc("lm_logprob"))
@@ -676,11 +685,21 @@ def classifier_train(
     try:
         weights: dict[int, int] = {}
         for _ in range(iters):
-            wdf = spark.createDataFrame(
-                [(int(b), int(w)) for b, w in weights.items()],
-                "_b bigint, _w bigint",
-            )
-            margins = _train_margins(ex, wdf)
+            if weights:
+                wdf = spark.createDataFrame(
+                    [(int(b), int(w)) for b, w in weights.items()],
+                    "_b bigint, _w bigint",
+                )
+                margins = _train_margins(ex, wdf)
+            else:
+                # iteration 1: the model is identically zero, so the
+                # margin is exactly 0 for every (doc, label) — skip the
+                # broadcast + join + weighted sum entirely (the groupBy
+                # still rides the persisted HashPartitioning(_id), no
+                # Exchange). Bit-identical to _train_margins on an
+                # empty weight table.
+                margins = ex.groupBy("_id", "_y").agg(
+                    F.min(F.lit(0)).cast("long").alias("_m"))
             logit = F.col("_m").cast("double") / F.lit(float(scale))
             p = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
             resid = margins.select(
@@ -797,7 +816,9 @@ def pr_curve(
             F.sum("_y").alias("_pos"),
             (F.count(F.lit(1)) - F.sum("_y")).alias("_neg"),
         )
-    )
+    ).persist()  # feeds the cumulative window AND the positives scalar;
+    # uncached, the upstream scorer (often a full classifier inference)
+    # would run twice
     w = Window.orderBy(F.desc("threshold")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -864,7 +885,8 @@ def build_postings(
         )
         .groupBy("term", "doc")
         .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    ).persist()  # feeds the df/cf branch and the top-k windows; uncached
+    # the tokenize + explode + (term, doc) reduce ran twice
     stats = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
     )

@@ -122,10 +122,13 @@ def _split_gzip_members(data: bytes):
     member is resident at a time; trailing garbage ends the stream
     instead of raising (truncated tail files happen in real crawls)."""
     pos = 0
+    view = memoryview(data)   # zero-copy slicing: the bytes-slice form
+    # copied the entire remaining stream per member — O(members x bytes)
+    # memcpy, the dominant cost of parsing a many-record .warc.gz
     while pos < len(data):
         d = zlib.decompressobj(wbits=31)
         try:
-            out = d.decompress(data[pos:])
+            out = d.decompress(view[pos:])
         except zlib.error:
             return
         if not d.eof:            # truncated final member
@@ -155,6 +158,30 @@ def parse_warc_bytes(data: bytes):
             yield rec
 
 
+_DATE_DIGITS = (0, 1, 2, 3, 5, 6, 8, 9, 11, 12, 14, 15, 17, 18)
+
+
+def _warc_epoch(date: str) -> int:
+    """Epoch seconds of a WARC-Date string — semantics identical to
+    ``strptime(date, "%Y-%m-%dT%H:%M:%SZ")`` (raises ValueError on
+    anything it rejects) but ~10x faster on the canonical zero-padded
+    20-char layout every conforming writer emits; non-canonical-but-
+    parseable variants (e.g. single-digit fields, which %m tolerates)
+    fall back to strptime."""
+    if (len(date) == 20 and date[4] == "-" and date[7] == "-"
+            and date[10] == "T" and date[13] == ":" and date[16] == ":"
+            and date[19] == "Z"
+            and all(date[i].isdigit() for i in _DATE_DIGITS)):
+        # datetime() applies the same range/calendar validation the
+        # strptime path ends with (ValueError on Feb 31 etc.)
+        return int(datetime(
+            int(date[0:4]), int(date[5:7]), int(date[8:10]),
+            int(date[11:13]), int(date[14:16]), int(date[17:19]),
+            tzinfo=timezone.utc).timestamp())
+    return int(datetime.strptime(date, "%Y-%m-%dT%H:%M:%SZ")
+               .replace(tzinfo=timezone.utc).timestamp())
+
+
 def _parse_one(buf: bytes, pos: int):
     start = buf.find(b"WARC/", pos)
     if start < 0:
@@ -178,8 +205,7 @@ def _parse_one(buf: bytes, pos: int):
     rec_type = headers.get(b"warc-type", b"").decode("ascii", "replace")
     date = headers.get(b"warc-date", b"").decode("ascii", "replace")
     try:
-        epoch = int(datetime.strptime(date, "%Y-%m-%dT%H:%M:%SZ")
-                    .replace(tzinfo=timezone.utc).timestamp())
+        epoch = _warc_epoch(date)
     except ValueError:
         epoch = 0
     status, payload = 0, block
@@ -194,8 +220,7 @@ def _parse_one(buf: bytes, pos: int):
             payload = block[he + 4:]
     rdate = headers.get(b"warc-refers-to-date", b"").decode("ascii", "replace")
     try:
-        refers_epoch = int(datetime.strptime(rdate, "%Y-%m-%dT%H:%M:%SZ")
-                           .replace(tzinfo=timezone.utc).timestamp())
+        refers_epoch = _warc_epoch(rdate)
     except ValueError:
         refers_epoch = None
     return ({"rec_type": rec_type, "uri": uri, "epoch_sec": epoch,
