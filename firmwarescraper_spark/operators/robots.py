@@ -168,35 +168,67 @@ def build_robots_rules(pages: DataFrame, persist: bool = False) -> tuple:
     return rules_df, delay_df
 
 
-def robots_filter(frontier: DataFrame, rules_df: DataFrame) -> tuple:
+def robots_filter(frontier: DataFrame, rules_df: DataFrame,
+                  persist_split: bool = False) -> tuple:
     """Split frontier into (allowed, blocked) by protego longest-match:
     a URL is blocked iff its longest matching Disallow rule is strictly
-    longer than its longest matching Allow rule."""
+    longer than its longest matching Allow rule.
+
+    ``persist_split=True`` persists the verdict-joined parent and
+    returns ``(allowed, blocked, joined)`` — both branches then filter
+    ONE cached frame instead of each consumer re-running the rules join
+    + verdict aggregation (the crawl round's metrics and seen writes
+    both read ``blocked``; uncached that was two extra full passes of
+    frontier ⋈ rules per round). The caller owns ``joined.unpersist()``.
+
+    Plan shape (round 6): rules pre-group to ONE array row per host —
+    the same tiny table, one row instead of rules-per-host — and the
+    verdict is a per-frontier-row fold over that array: one join on
+    host, zero Exchange of the frontier, no per-URL re-aggregation.
+    (The previous shape exploded frontier x rules-per-host, shuffled
+    the explosion by url_hash for the max-length aggregation, then
+    joined the verdict back — two extra frontier-sized wide ops per
+    round. Regex evaluation count is identical; the longest-match /
+    Allow-wins-ties semantics are pinned by the same tests.)"""
     path = F.regexp_replace("canon_url", r"^[a-z]+://[^/]*", "")
     # no forced broadcast hint (VERDICT r2): the rules table scales with
     # host count — at 10^7 hosts a forced broadcast is a driver OOM. Under
     # the broadcast threshold Spark/AQE still picks BroadcastHashJoin on
     # its own; past it the join degrades gracefully to a shuffle join.
-    candidates = frontier.withColumn("_path", path).join(rules_df, "host", "left")
-    matched_len = F.when(
-        F.col("rule_regex").isNotNull()
-        & F.expr("regexp_like(_path, rule_regex)"),
-        F.col("rule_len"),
-    ).otherwise(F.lit(-1))
-    scored = candidates.withColumn("_mlen", matched_len)
-    verdict = (
-        scored.groupBy("url_hash")
-        .agg(
-            F.max(F.when(F.col("is_allow"), F.col("_mlen")).otherwise(-1)).alias("_allow"),
-            F.max(F.when(~F.col("is_allow"), F.col("_mlen")).otherwise(-1)).alias("_deny"),
-        )
-        # tie (equal lengths) -> Allow wins (protego)
-        .withColumn("_blocked", (F.col("_deny") >= 0) & (F.col("_deny") > F.col("_allow")))
-        .select("url_hash", "_blocked")
+    per_host = rules_df.groupBy("host").agg(
+        F.collect_list(
+            F.struct("rule_regex", "rule_len", "is_allow")
+        ).alias("_rules")
     )
-    joined = frontier.join(verdict, "url_hash", "left")
+    best = lambda want_allow: F.aggregate(  # noqa: E731
+        F.filter(F.col("_rules"),
+                 lambda r: r["is_allow"] if want_allow
+                 else ~r["is_allow"]),
+        F.lit(-1),
+        lambda acc, r: F.when(
+            (r["rule_len"] > acc)
+            & F.regexp_like(F.col("_path"), r["rule_regex"]),
+            r["rule_len"],
+        ).otherwise(acc),
+    )
+    scored = (
+        frontier.withColumn("_path", path)
+        .join(per_host, "host", "left")
+        .withColumn("_allow", F.when(F.col("_rules").isNotNull(),
+                                     best(True)).otherwise(F.lit(-1)))
+        .withColumn("_deny", F.when(F.col("_rules").isNotNull(),
+                                    best(False)).otherwise(F.lit(-1)))
+    )
+    # tie (equal lengths) -> Allow wins (protego)
+    joined = scored.withColumn(
+        "_blocked", (F.col("_deny") >= 0) & (F.col("_deny") > F.col("_allow"))
+    ).drop("_path", "_rules", "_allow", "_deny")
+    if persist_split:
+        joined = joined.persist()
     allowed = joined.filter(~F.coalesce(F.col("_blocked"), F.lit(False))).drop("_blocked")
     blocked = joined.filter(F.coalesce(F.col("_blocked"), F.lit(False))).drop("_blocked")
+    if persist_split:
+        return allowed, blocked, joined
     return allowed, blocked
 
 
