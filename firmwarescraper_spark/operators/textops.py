@@ -37,17 +37,28 @@ def stopword_hits(text: Column, stopwords: list) -> Column:
 
 def langid_col(text: Column) -> Column:
     """Arg-max stopword-hit language with deterministic tie-break
-    (alphabetical language code order on equal scores -> first wins via
-    strictly-greater comparison chain)."""
+    (alphabetical language code order on equal scores -> first wins).
+
+    Implemented as array_max over (score, -index, lang) structs —
+    lexicographic struct comparison picks the highest score and, on
+    ties, the highest -index = the FIRST language in sorted order,
+    exactly the strictly-greater chain this replaces. The chain
+    duplicated every score expression (each containing a full
+    lower+split+filter of the text) ~2^k times across the when-tree;
+    here each language's score appears once, which cuts the analyzed/
+    compiled tree to a quarter for the same result."""
     scores = {lang: stopword_hits(text, sw) for lang, sw in sorted(LANG_STOPWORDS.items())}
     langs = sorted(scores)
-    best_lang = F.lit(langs[0])
-    best_score = scores[langs[0]]
-    for lang in langs[1:]:
-        is_better = scores[lang] > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
-    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+    arr = F.array(*[
+        F.struct(
+            scores[lang].alias("s"),
+            F.lit(-i).alias("ni"),
+            F.lit(lang).alias("l"),
+        )
+        for i, lang in enumerate(langs)
+    ])
+    best = F.array_max(arr)
+    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
 
 
 def token_count_ws(text: Column) -> Column:
@@ -205,10 +216,14 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
       are repeats of an earlier gram (1 - distinct/total): template/
       looping text pushes this up.
 
-    Scale shape: the dup fraction is pure per-row column algebra
-    (array_distinct — no shuffle at all); the top-gram mode needs one
-    explode + two-level hash aggregation keyed by (doc, gram) — partial
-    aggregation map-side, no skew risk beyond document length itself."""
+    Scale shape: BOTH signals are pure per-row column algebra with no
+    shuffle at all — the dup fraction via array_distinct, and (round 6)
+    the top-gram mode count via a sort + longest-equal-run fold over
+    the row's own gram array (max run in the sorted array == the mode's
+    multiplicity), replacing the previous explode + two-level
+    (doc, gram)-keyed aggregation + join-back. Identical values, zero
+    Exchange: the whole operator is one codegen'd projection, and the
+    corpus-wide shuffle of every n-gram disappears at any scale."""
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     base = df.select(
         F.col(id_col),
@@ -216,17 +231,32 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
         _word_ngrams(words, top_n).alias("_top_g"),
         _word_ngrams(words, dup_n).alias("_dup_g"),
     )
+    run_state = F.aggregate(
+        F.array_sort(F.col("_top_g")),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda st, g: F.struct(
+            g.alias("prev"),
+            F.when(st["prev"].eqNullSafe(g), st["run"] + 1)
+            .otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                st["best"],
+                F.when(st["prev"].eqNullSafe(g), st["run"] + 1)
+                .otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda st: st["best"],
+    )
     per_row = base.select(
         F.col(id_col), "_n_words",
         F.size("_dup_g").alias("_n_dup"),
         F.size(F.array_distinct("_dup_g")).alias("_n_dup_d"),
+        run_state.alias("_top_cnt"),
     )
-    top = (
-        base.select(F.col(id_col), F.explode("_top_g").alias("_g"))
-        .groupBy(id_col, "_g").count()
-        .groupBy(id_col).agg(F.max("count").alias("_top_cnt"))
-    )
-    return per_row.join(top, id_col, "left").select(
+    return per_row.select(
         F.col(id_col),
         # clamp to 1.0: occurrences overlap, so count*top_n can exceed
         # n_words on degenerate docs ("a a a a" -> 3*2/4 = 1.5) and Gopher
