@@ -592,7 +592,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qv = [float(x) for x in
               emb.filter(F.col("vec_id") == 0).first()["embedding"]]
         cbs = SIM.pq_codebooks(emb, m=4, ksub=16)
-        return SIM.pq_adc_topk(emb, qv, cbs, k=10, refine=50)
+        # via="pandas": one numpy matmul per Arrow batch instead of 64
+        # interpreted least()-over-fold literal structs — measured ~2.3x
+        # faster cold AND warm at this codebook size, and it is the
+        # production path for real (m=16, ksub=256) codebooks anyway;
+        # the literal path stays the operator default so
+        # test_pq_encode_paths_agree keeps pinning both paths equal
+        return SIM.pq_adc_topk(emb, qv, cbs, k=10, refine=50, via="pandas")
 
     def q_langid(spark, sf):
         docs = _t(spark, sf, "documents")
