@@ -163,7 +163,6 @@ canonicalize_url_udf = lru_cache(maxsize=None)(
 url_host_udf = lru_cache(maxsize=None)(lambda: _pandas_udf(_host_series, "url_host"))
 url_join_udf = lru_cache(maxsize=None)(lambda: _pandas_udf(_join_series, "url_join"))
 
-
 def form_body(form: dict | None) -> str:
     """Canonical POST body: sorted urlencoded pairs (the scrapy request
     fingerprint includes the body — S2, dlink_gpl.py:97-107)."""

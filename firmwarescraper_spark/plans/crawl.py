@@ -114,6 +114,7 @@ class CrawlEngine:
         self._pages = None
         self._robots_rules = None
         self._host_budget = None
+        self._budget_all_unlimited = False
         self._has_fail_col = None
 
     # -- state paths ---------------------------------------------------------
@@ -434,6 +435,14 @@ class CrawlEngine:
                 self._host_budget = RB.host_budget_from_delay(
                     delay, self.round_seconds, self.tokens_per_host
                 ).persist()
+                # one tiny agg per crawl (amortized over every round):
+                # when every per-host override is itself "unlimited", the
+                # budget join is the identity and run_round skips it at
+                # PLAN time — the politeness windows then fold away
+                # entirely for unbudgeted (steady-state drain) rounds
+                row = self._host_budget.agg(F.min("tokens")).first()
+                self._budget_all_unlimited = (
+                    row[0] is None or row[0] >= FR.UNLIMITED_TOKENS)
             return self._robots_rules, self._host_budget
         # robots over live HTTP (deployment twin of the corpus robots
         # rows): each round, hosts not yet covered get their /robots.txt
@@ -481,6 +490,9 @@ class CrawlEngine:
             self._robots_rules = rules.localCheckpoint()
             self._host_budget = budget.localCheckpoint()
             self._robots_hosts = hosts.localCheckpoint()
+            row = self._host_budget.agg(F.min("tokens")).first()
+            self._budget_all_unlimited = (
+                row[0] is None or row[0] >= FR.UNLIMITED_TOKENS)
             for df in old:
                 if df is not None:
                     df.unpersist()  # superseded snapshots: bounded storage
@@ -531,6 +543,16 @@ class CrawlEngine:
             # deferred) across several actions this round — cache it so
             # the anti-join subtree runs once
             candidates = candidates.persist()
+        if (budget is not None and self._budget_all_unlimited
+                and self.tokens_per_host >= FR.UNLIMITED_TOKENS):
+            # every effective budget is >= UNLIMITED_TOKENS (checked once
+            # per crawl when the budget table is built): drop the join so
+            # the per-row budget is a LITERAL and Catalyst folds the
+            # entire capped branch — windows, count gate, deferred union
+            # — out of every consumer job's plan. An unbudgeted
+            # steady-state round otherwise pays the broadcast build plus
+            # that dead plan's analysis in all six concurrent jobs.
+            budget = None
         dequeued, deferred = FR.politeness_dequeue(
             candidates, self.tokens_per_host, self.salt_buckets, budget
         )
@@ -607,8 +629,27 @@ class CrawlEngine:
                 "html",
                 F.when(F.col("rule").contains("ftp"), F.col("html")),
             )
-            .persist()
         )
+        # Cache the parse products as one column PER PAGE_STRUCT FIELD,
+        # not one wide struct column: the in-memory columnar cache prunes
+        # by column, so each of the round's several working-set passes
+        # (per-rule children/items branches, metrics, seen projection)
+        # decodes only the fields it reads instead of the whole struct
+        # every time. The single-struct `parsed` the rule packs consume is
+        # rebuilt below as a zero-cost view — Catalyst folds
+        # parsed.<field> straight back to the cached column
+        # (SimplifyExtractValueOps), so no rule changes and no extra
+        # evaluation (the UDF still runs once in its own ArrowEvalPython
+        # node feeding the split projection).
+        from firmwarescraper_spark.functions.html import PAGE_STRUCT
+
+        _pf = [f.name for f in PAGE_STRUCT.fields]
+        _ok_cached = ok.select(
+            "*", *[F.col("parsed").getField(n).alias("_pf_" + n) for n in _pf]
+        ).drop("parsed").persist()
+        ok = _ok_cached.withColumn(
+            "parsed",
+            F.struct(*[F.col("_pf_" + n).alias(n) for n in _pf]))
         # Rules scheduled this round: a column-pruned scan of the frontier
         # snapshot (~0.3 s) instead of collect_set over the fetched+parsed
         # working set. The frontier rule set is a SUPERSET of the fetched
@@ -617,7 +658,7 @@ class CrawlEngine:
         # Catalyst analysis in degraded rounds only; <=23 strings either
         # way). What this buys at steady state: the round no longer runs a
         # dedicated materialize action before plan construction — the
-        # fetch+parse+cache work is triggered by the first state writes
+        # fetch+parse+cache work is triggered by the seen write
         # below and runs on the executors WHILE the driver builds the rule
         # and frontier plans, so the ~3 s of per-round driver-only
         # expression construction (a direct serial-floor hit on the N→4N
@@ -725,26 +766,38 @@ class CrawlEngine:
         if blocked is not None:
             seen_add = seen_add.unionByName(blocked.select("url_hash", "fetch_key"))
 
-        # the metrics and seen appends are submitted FIRST: they trigger
-        # the round's heavy fetch+parse+cache work on the executors (the
-        # working set is no longer pre-materialized by a dedicated action)
-        # while the driver builds the rule and frontier plans below — the
-        # ~3 s of core-count-insensitive expression construction now
-        # overlaps the round's heaviest parallel phase instead of running
-        # as pure serial floor against the N→4N headline. The commit
-        # marker still waits for EVERY write, and the whole window is
-        # try/finally-guarded (ADVICE r5): an exception between here and
-        # commit shuts the pool down and unpersists the working set
-        # instead of leaking executor cache + unsupervised write jobs.
+        # ONE materializer job — seen_add.localCheckpoint() — is
+        # submitted FIRST and ALONE: seen_add consumes ok ∪ terminal ∪
+        # blocked, the full working set, so the one job triggers the
+        # round's heavy fetch+parse+cache work on the executors while
+        # the driver builds the rule and frontier plans below (the ~3 s
+        # of core-count-insensitive expression construction overlaps the
+        # round's heaviest parallel phase instead of running as pure
+        # serial floor against the N→4N headline). EVERY state write
+        # waits for it: concurrent jobs racing on the same uncached
+        # partitions are CORRECT (BlockManager.getOrElseUpdate
+        # write-locks per block) but their blocked tasks occupy task
+        # slots while the partition computes — measured +24-60% total
+        # executor run time at local[4] vs local[1] for identical work,
+        # a direct multi-core-only tax on the scaling headline. The
+        # checkpoint (not persist) of the narrow (url_hash, fetch_key)
+        # result exists because the children-dedup anti-join consumes
+        # seen_add AGAIN under a unionByName, and Dataset.unionByName
+        # flattens nested Unions at construction (CombineUnions), so a
+        # cached seen_add subtree can never match there — the
+        # checkpointed rows are a leaf relation both consumers share.
+        # The commit marker still waits for EVERY write, and the whole
+        # window is try/finally-guarded (ADVICE r5): an exception
+        # between here and commit shuts the pool down and unpersists the
+        # working set instead of leaking executor cache + unsupervised
+        # write jobs.
         from concurrent.futures import ThreadPoolExecutor
 
         pool = ThreadPoolExecutor(max_workers=5)
         committed = False
         try:
-            pending = [
-                pool.submit(self._append, metrics, "fetch_log", rnd),
-                pool.submit(self._append, seen_add, "seen", rnd),
-            ]
+            materialized = pool.submit(seen_add.localCheckpoint)
+            pending = []
             present_rules = set(
                 frontier.agg(F.collect_set("rule")).first()[0]
             )
@@ -840,6 +893,20 @@ class CrawlEngine:
                     .withColumn("retry_count", F.lit(0))
                     .select([f.name for f in FRONTIER_SCHEMA.fields])
                 )
+            else:
+                fresh = None
+
+            # every state write waits for the materializer, then runs
+            # concurrently over the cached working set — the round's
+            # wall time is parse + the slowest residual write, not their
+            # sum and not a cache-lock convoy. None of them is the
+            # commit point: the round-commit marker below is written
+            # only after every write has finished, and resume rolls back
+            # anything newer than it.
+            _mark("plan_build")   # driver-only: rule loop + frontier exprs
+            seen_add = materialized.result()  # working set cached from here
+            _mark("mat_wait")
+            if fresh is not None:
                 # ONE anti-join covers both dedup obligations: the seen
                 # set, AND (ADVICE r1) the rows already scheduled for next
                 # round — a URL deferred (or retried) this round and
@@ -858,14 +925,10 @@ class CrawlEngine:
                         next_frontier.select("url_hash", "fetch_key")),
                 )
                 next_frontier = next_frontier.unionByName(fresh)
-
-            # the remaining state writes join the two early-submitted ones
-            # — all independent, so the round's wall time is parse + the
-            # slowest write, not their sum. None of them is the commit
-            # point: the round-commit marker below is written only after
-            # every write has finished, and resume rolls back anything
-            # newer than it.
-            _mark("plan_build")   # driver-only: rule loop + frontier exprs
+            pending.append(
+                pool.submit(self._append, seen_add, "seen", rnd))
+            pending.append(
+                pool.submit(self._append, metrics, "fetch_log", rnd))
             pending.append(
                 pool.submit(self._write_frontier, next_frontier, rnd + 1))
             if items_df is not None:
@@ -893,7 +956,7 @@ class CrawlEngine:
             else:
                 pool.shutdown(wait=False)
             dequeued.unpersist()
-            ok.unpersist()
+            _ok_cached.unpersist()
             candidates.unpersist()   # no-op on the robots path
             if robots_joined is not None:
                 robots_joined.unpersist()

@@ -182,3 +182,35 @@ def test_decontaminate_oracle_values_unchanged(spark):
     # still reports it once (the post-join distinct at work)
     assert got[0][1] and got[1][1] and not got[2][1]
     assert got[1][0] == got[0][0] == 1
+
+
+def test_unlimited_budget_fold_state_parity(spark, tmp_path_factory):
+    """run_round's plan-time budget fold (every robots-derived budget >=
+    UNLIMITED_TOKENS -> skip the broadcast budget join so the politeness
+    windows fold away) must leave the crawl state bit-identical to the
+    joined path."""
+    from firmwarescraper_spark.plans.crawl import CrawlEngine
+    from firmwarescraper_spark.sources import generate as G
+
+    corpus = str(tmp_path_factory.mktemp("bfold") / "pages")
+    G.write_corpus(spark, corpus, n_avm=3, n_linksys=2, partitions=2)
+
+    def run(force_join: bool):
+        state = str(tmp_path_factory.mktemp(
+            "bfold_state_" + ("join" if force_join else "fold")))
+        eng = CrawlEngine(spark, corpus, state,
+                          tokens_per_host=10 ** 9, salt_buckets=4,
+                          round_seconds=10 ** 9)
+        eng._robots()  # computes _budget_all_unlimited
+        assert eng._budget_all_unlimited
+        if force_join:
+            eng._budget_all_unlimited = False  # take the joined path
+        eng.run(G.seeds(), fresh=True)
+        seen = sorted((r["url_hash"], r["fetch_key"], r["round"])
+                      for r in eng.seen().collect())
+        frontier_rounds = eng.latest_round()
+        items = sorted(map(tuple, (
+            tuple(tuple(v) for v in r) for r in eng.items().drop("round").collect())))
+        return seen, frontier_rounds, items
+
+    assert run(False) == run(True)
