@@ -695,7 +695,12 @@ def parse_page(html, fields=None) -> dict:
     per-field dict assembly and (the dominant cost) the Arrow struct
     conversion + cache bytes for products the page's rule provably never
     reads (see rulepacks.RULE_PARSE_FIELDS). ``fields=None`` = full
-    output, the safe default for unmapped rules."""
+    output, the safe default for unmapped rules. An EMPTY field set
+    means the rule reads nothing from ``parsed`` (the FTP rules consume
+    the raw body as JSON): the parse itself is skipped and every field
+    ships None — the same output the full parse would trim to."""
+    if fields is not None and not fields:
+        return dict(_EMPTY_PAGE)
     doc = parse_html(html)
     want = fields.__contains__ if fields is not None else (lambda _f: True)
     out = dict(_EMPTY_PAGE)

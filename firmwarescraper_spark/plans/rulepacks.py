@@ -267,10 +267,11 @@ RULES = {
 # parse UDF trims its per-row output to this set (functions/html.py
 # parse_page_udf), which cuts the Arrow struct conversion + executor
 # cache to a fraction for the listing-shaped rules that dominate a
-# crawl round. Rules absent from this map (all vendor rules) parse in
-# full, so forgetting to map a new rule costs speed, never correctness.
-# Keep in sync with the `parsed.` references in the functions above —
-# pinned by tests/test_round6_fixes.py.
+# crawl round. Vendor rules merge their own map in via
+# _register_vendor_rules (rulepacks_vendors.VENDOR_PARSE_FIELDS); a
+# rule absent from the merged map parses in full, so forgetting to map
+# a new rule costs speed, never correctness. Keep in sync with the
+# `parsed.` references in the rule functions.
 RULE_PARSE_FIELDS = {
     "avm:parse": ("hrefs",),
     "avm:parse_product": ("hrefs", "pre_texts"),
@@ -284,10 +285,12 @@ def _register_vendor_rules():
     """Deferred import: rulepacks_vendors imports helpers from this module."""
     from firmwarescraper_spark.plans.rulepacks_vendors import (
         VENDOR_HOST_PATTERNS,
+        VENDOR_PARSE_FIELDS,
         VENDOR_RULES,
     )
 
     RULES.update(VENDOR_RULES)
+    RULE_PARSE_FIELDS.update(VENDOR_PARSE_FIELDS)
     ALLOWED_HOST_PATTERNS.update(VENDOR_HOST_PATTERNS)
 
 # F8 offsite filter — allowed_domains per spider family as host regexes

@@ -649,6 +649,36 @@ VENDOR_RULES = {
     "dlink_ftp:files": ftp_files,
 }
 
+# PAGE_STRUCT fields each vendor rule actually reads from `parsed` —
+# merged into rulepacks.RULE_PARSE_FIELDS so the parse UDF trims its
+# per-row output for vendor pages too (round-6 audit, one entry per
+# `parsed.` / helper reference in the functions above). The dlink_ftp
+# rules consume the raw `html` JSON listing via from_json and never read
+# `parsed` at all: their empty tuple skips the HTML parse entirely.
+# Forgetting a field a rule reads breaks the vendor parity suite
+# (tests/test_crawl_vendors.py runs these rules through the full
+# engine), never silently.
+VENDOR_PARSE_FIELDS = {
+    "tplink:parse": ("anchors",),
+    "tplink:parse_product": ("anchors", "texts"),
+    "tplink:parse_firmware": ("rows", "texts"),
+    "netgear_gpl:parse": ("paras",),
+    "linksys_gpl:parse": ("rows",),
+    "tplink_gpl:parse": ("anchors",),
+    "tplink_gpl:parse_multi": ("anchors", "rows"),
+    "asus:parse": ("scripts",),
+    "asus:parse_firmware": ("anchors", "texts"),
+    "hp:parse": ("rows",),
+    "hp:parse_firmware": ("anchors",),
+    "dlink_gpl:parse": ("anchors", "rows", "inputs"),
+    "dlink_gpl:detail": ("rows",),
+    "dlink_gpl:download": ("rows",),
+    "dlink_ftp:root": (),
+    "dlink_ftp:family": (),
+    "dlink_ftp:device": (),
+    "dlink_ftp:files": (),
+}
+
 VENDOR_HOST_PATTERNS = {
     "tplink": r"^(www|static)\.tp-link\.com$",
     "netgear_gpl": r"^www\.downloads\.netgear\.com$",
