@@ -463,6 +463,14 @@ def site_boilerplate(
     across its chunk space (no single-key skew); the only text-carrying
     wide op is the final doc-keyed regroup of SURVIVING chunks —
     boilerplate text never rides a shuffle."""
+    # Input-parallelism floor (operators/partitioning.spread_input): the
+    # chunk explode + per-chunk md5 is the CPU wall and a one-file
+    # benchmark table runs it as a single task that the cache's
+    # concurrent consumers then convoy behind; fires only when the
+    # input's file count cannot feed every core.
+    from firmwarescraper_spark.operators.partitioning import spread_input
+
+    df = spread_input(df, id_col)
     base = df.filter(F.col(text_col).isNotNull())
     # the chunk relation feeds the df count, the boilerplate mark join
     # and the survivor regroup — three consumers that would otherwise
@@ -766,6 +774,17 @@ def dsir_weights(
     rounded to 6, summed in document position order (fixed reduction
     order), final sum rounded to 4 — the lm_score pattern.
     """
+    # Input-parallelism floor (operators/partitioning.spread_input): the
+    # hashed-feature explode is the operator's CPU wall, and a
+    # benchmark-sized table arriving as one parquet file runs it as ONE
+    # task (measured: 3 concurrent consumers each saw a 9.6 s
+    # single-task stage); the branch only fires when the input's file
+    # count cannot feed every core, so the 100 TB raw side never
+    # shuffles at deployment file counts.
+    from firmwarescraper_spark.operators.partitioning import spread_input
+
+    raw = spread_input(raw, id_col)
+    target = spread_input(target, id_col)
     words = lambda c: F.split(normalize_text(c), " ")  # noqa: E731
 
     def _feats(c: Column) -> Column:

@@ -77,6 +77,16 @@ def dup_spans(
     structs.) Span merging is a per-doc JVM ``F.aggregate`` fold over
     the sorted positions — the gaps-and-islands rule ``break iff
     pos - prev > L`` — so no per-row Python anywhere."""
+    # Input-parallelism floor (operators/partitioning.spread_input): the
+    # window scan is the operator's CPU wall, and a benchmark-sized
+    # table arriving as ONE parquet file would run it on one core
+    # (measured: an 11 s single-task stage at local[32]); when — and
+    # only when — the input's file count cannot feed every core, the
+    # docs are first hash-spread by id. At deployment file counts the
+    # branch never fires, so text still never shuffles at scale.
+    from firmwarescraper_spark.operators.partitioning import spread_input
+
+    df = spread_input(df, id_col)
     words = F.split(normalize_text(F.col(text_col)), " ")
     n = F.size(words)
     wins = F.when(

@@ -626,7 +626,17 @@ def _train_feature_relation(
     """(doc, label, bucket, count) — built once per training run; raw
     text never leaves the scan stage. Ends with repartition(doc) so the
     per-iteration margin aggregation (clustering on (_id, _y)) is
-    satisfied by the persisted partitioning and adds NO Exchange."""
+    satisfied by the persisted partitioning and adds NO Exchange.
+
+    Input-parallelism floor (operators/partitioning.spread_input): the
+    tokenize+hash explode is the build's CPU wall and a one-file
+    benchmark table would run it as a single task; the doc-spread fires
+    only when the input's file count cannot feed every core, and lives
+    in the one-time cache-build plan the shuffle-free-iteration pin
+    explicitly allows."""
+    from firmwarescraper_spark.operators.partitioning import spread_input
+
+    docs = spread_input(docs, id_col)
     return (
         docs.filter(F.col(text_col).isNotNull())
         .select(
